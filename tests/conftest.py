@@ -1,0 +1,30 @@
+"""Test config: force an 8-device CPU platform so sharding/collective code
+paths run without TPU hardware — the TPU-world equivalent of a fake backend
+(SURVEY.md §4).
+
+Note: this environment's sitecustomize pins JAX_PLATFORMS=axon (remote TPU
+tunnel), so the env var alone is not enough — we must also set the jax
+config after import."""
+
+import os
+
+# Must be set before the backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    assert jax.device_count() == 8
+    return jax.devices()

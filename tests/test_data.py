@@ -1,0 +1,93 @@
+"""Tokenization + batching tests."""
+
+import numpy as np
+
+from text_similarity_tpu.data.tokenization import (
+    WordPieceTokenizer,
+    train_wordpiece_vocab,
+)
+from text_similarity_tpu.data.batching import (
+    LengthBucketBatcher,
+    pick_bucket,
+    pad_to_bucket,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast dark fox leaped over a sleepy dog",
+    "machine learning on tensor processing units",
+    "semantic similarity of sentences",
+    "the dog sleeps while the fox runs",
+] * 4
+
+
+def _tok():
+    vocab = train_wordpiece_vocab(CORPUS, vocab_size=512, min_freq=1)
+    return WordPieceTokenizer(vocab)
+
+
+def test_wordpiece_roundtrip_known_words():
+    tok = _tok()
+    ids = tok.tokenize_to_ids("the quick fox")
+    assert len(ids) >= 3
+    assert tok.unk_id not in ids  # all words seen in training corpus
+
+
+def test_wordpiece_unseen_word_uses_subwords_or_unk():
+    tok = _tok()
+    ids = tok.tokenize_to_ids("zzzzqqqq")
+    assert len(ids) >= 1  # never crashes
+
+
+def test_encode_batch_shapes_and_mask():
+    tok = _tok()
+    ids, mask = tok.encode_batch(["the fox", "a sleepy dog runs far away"], max_len=16)
+    assert ids.shape == mask.shape
+    assert (ids[mask == 0] == tok.pad_id).all()
+    assert ids[0, 0] == tok.cls_id
+    row_len = mask[0].sum()
+    assert ids[0, row_len - 1] == tok.sep_id
+
+
+def test_encode_pair_batch_types():
+    tok = _tok()
+    ids, mask, tts = tok.encode_pair_batch(
+        ["the fox"], ["the dog sleeps"], max_len=32
+    )
+    n = mask[0].sum()
+    seps = np.where(ids[0, :n] == tok.sep_id)[0]
+    assert len(seps) == 2
+    assert (tts[0, : seps[0] + 1] == 0).all()
+    assert (tts[0, seps[0] + 1 : seps[1] + 1] == 1).all()
+
+
+def test_bucket_batcher_static_shapes():
+    rows = [[1] * n for n in (3, 5, 9, 17, 20, 33, 60, 2, 64, 100)]
+    batcher = LengthBucketBatcher(batch_size=4, shuffle_batches=False)
+    seen = set()
+    covered = np.zeros(len(rows), bool)
+    for b in batcher.batches(rows):
+        assert b["ids"].shape[0] == 4
+        assert b["ids"].shape[1] in (16, 32, 64, 128, 256, 512)
+        seen.add(b["ids"].shape)
+        covered[b["index"][b["valid"]]] = True
+    assert covered.all()
+
+
+def test_pick_bucket_and_pad():
+    assert pick_bucket(10) == 16
+    assert pick_bucket(17) == 32
+    ids = np.ones((2, 20), np.int32)
+    mask = np.ones((2, 20), np.int32)
+    pi, pm = pad_to_bucket(ids, mask)
+    assert pi.shape == (2, 32)
+    assert pm[:, 20:].sum() == 0
+
+
+def test_word_spans_alignment():
+    tok = _tok()
+    spans = tok.token_spans("the quick fox")
+    assert [w for w, _ in spans] == ["the", "quick", "fox"]
+    # positions are consecutive starting at 1 ([CLS] at 0)
+    flat = [p for _, ps in spans for p in ps]
+    assert flat == list(range(1, len(flat) + 1))

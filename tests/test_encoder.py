@@ -1,0 +1,199 @@
+"""Encoder forward correctness: HF parity (logit-level diff vs a random-init
+torch BertModel/DistilBertModel), mask invariance, layer gating."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_similarity_tpu.core.config import ARCH_PRESETS
+from text_similarity_tpu.core.precision import FP32_PRECISION
+from text_similarity_tpu.models import (
+    convert_hf_model,
+    encoder_forward,
+    init_params,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_bert_config():
+    return transformers.BertConfig(
+        vocab_size=512,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=96,
+        type_vocab_size=2,
+    )
+
+
+def _random_batch(vocab, b=3, s=24, pad_from=16, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(5, vocab, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[:, pad_from:] = 0
+    ids[:, pad_from:] = 0
+    return ids, mask
+
+
+def test_bert_parity_with_hf():
+    cfg = _tiny_bert_config()
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg).eval()
+    params, arch = convert_hf_model(model)
+    ids, mask = _random_batch(cfg.vocab_size)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        )
+    out = encoder_forward(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        arch=arch,
+        precision=FP32_PRECISION,
+        attention_impl="reference",
+    )
+    got = np.asarray(out.last_hidden_state, np.float32)
+    want = ref.last_hidden_state.numpy()
+    # Only compare non-padding positions (HF computes padded positions too,
+    # but they are meaningless downstream — our poolers mask them).
+    m = mask.astype(bool)
+    np.testing.assert_allclose(got[m], want[m], atol=2e-4, rtol=2e-3)
+
+    pooled = np.asarray(out.pooler_output, np.float32)
+    np.testing.assert_allclose(
+        pooled, ref.pooler_output.numpy(), atol=2e-4, rtol=2e-3
+    )
+
+
+def test_distilbert_parity_with_hf():
+    cfg = transformers.DistilBertConfig(
+        vocab_size=512,
+        dim=64,
+        n_layers=2,
+        n_heads=4,
+        hidden_dim=128,
+        max_position_embeddings=96,
+    )
+    torch.manual_seed(1)
+    model = transformers.DistilBertModel(cfg).eval()
+    params, arch = convert_hf_model(model)
+    ids, mask = _random_batch(cfg.vocab_size, seed=1)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        )
+    out = encoder_forward(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        arch=arch,
+        precision=FP32_PRECISION,
+        attention_impl="reference",
+    )
+    got = np.asarray(out.last_hidden_state, np.float32)
+    want = ref.last_hidden_state.numpy()
+    m = mask.astype(bool)
+    np.testing.assert_allclose(got[m], want[m], atol=2e-4, rtol=2e-3)
+
+
+def test_roberta_parity_with_hf():
+    cfg = transformers.RobertaConfig(
+        vocab_size=512,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=98,
+        type_vocab_size=1,
+        pad_token_id=1,
+    )
+    torch.manual_seed(2)
+    model = transformers.RobertaModel(cfg, add_pooling_layer=False).eval()
+    params, arch = convert_hf_model(model)
+    ids, mask = _random_batch(cfg.vocab_size, seed=2)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        )
+    out = encoder_forward(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        arch=arch,
+        precision=FP32_PRECISION,
+        attention_impl="reference",
+    )
+    got = np.asarray(out.last_hidden_state, np.float32)
+    m = mask.astype(bool)
+    np.testing.assert_allclose(
+        got[m], ref.last_hidden_state.numpy()[m], atol=2e-4, rtol=2e-3
+    )
+
+
+def test_padding_invariance():
+    """Extending padding must not change non-pad outputs (flash + reference)."""
+    arch = ARCH_PRESETS["tiny-test"]
+    params = init_params(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(3)
+    ids16 = rng.randint(5, arch.vocab_size, size=(2, 16)).astype(np.int32)
+    mask16 = np.ones((2, 16), np.int32)
+    ids32 = np.pad(ids16, ((0, 0), (0, 16)))
+    mask32 = np.pad(mask16, ((0, 0), (0, 16)))
+
+    out16 = encoder_forward(
+        params, jnp.asarray(ids16), jnp.asarray(mask16),
+        arch=arch, precision=FP32_PRECISION, attention_impl="reference",
+    ).last_hidden_state
+    out32 = encoder_forward(
+        params, jnp.asarray(ids32), jnp.asarray(mask32),
+        arch=arch, precision=FP32_PRECISION, attention_impl="reference",
+    ).last_hidden_state
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32[:, :16]), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_layer_gate_identity():
+    """Gating a layer off must make it contribute identity (theseus/layer-drop
+    semantics, reference bert_of_theseus.py:551-561)."""
+    arch = ARCH_PRESETS["tiny-test"]
+    params = init_params(jax.random.PRNGKey(0), arch)
+    ids = jnp.asarray(
+        np.random.RandomState(4).randint(5, arch.vocab_size, size=(2, 8)),
+        jnp.int32,
+    )
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    full = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION,
+        layer_gate=jnp.array([1.0, 1.0]), attention_impl="reference",
+    ).last_hidden_state
+    gated = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION,
+        layer_gate=jnp.array([1.0, 0.0]), attention_impl="reference",
+    ).last_hidden_state
+    assert not np.allclose(np.asarray(full), np.asarray(gated))
+
+    # All-off == embeddings only
+    off = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION,
+        layer_gate=jnp.array([0.0, 0.0]), attention_impl="reference",
+        output_hidden_states=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(off.last_hidden_state),
+        np.asarray(off.hidden_states[0]),
+        atol=1e-6,
+    )

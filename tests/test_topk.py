@@ -1,0 +1,65 @@
+"""Fused cosine top-k: pallas kernel (interpret mode on CPU) vs XLA oracle vs
+numpy argsort."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from text_similarity_tpu.ops.topk import (
+    cosine_topk_pallas,
+    cosine_topk_xla,
+    l2_normalize,
+    topk_merge,
+)
+
+
+def _data(q=7, n=999, d=128, seed=0):
+    rng = np.random.RandomState(seed)
+    queries = l2_normalize(jnp.asarray(rng.randn(q, d), jnp.float32))
+    corpus = l2_normalize(jnp.asarray(rng.randn(n, d), jnp.float32))
+    return queries, corpus
+
+
+def _numpy_topk(queries, corpus, k):
+    scores = np.asarray(queries, np.float32) @ np.asarray(corpus, np.float32).T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    s = np.take_along_axis(scores, idx, axis=1)
+    return s, idx
+
+
+def test_xla_topk_matches_numpy():
+    q, c = _data()
+    s, i = cosine_topk_xla(q, c, k=10, chunk=256)
+    ns, ni = _numpy_topk(q, c, 10)
+    np.testing.assert_allclose(np.asarray(s), ns, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+
+
+def test_pallas_topk_matches_numpy():
+    q, c = _data(q=5, n=700, d=128, seed=1)
+    s, i = cosine_topk_pallas(q, c, k=10, block_q=8, block_c=256, interpret=True)
+    ns, ni = _numpy_topk(q, c, 10)
+    np.testing.assert_allclose(np.asarray(s), ns, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+
+
+def test_pallas_topk_single_block():
+    q, c = _data(q=3, n=100, d=64, seed=2)
+    s, i = cosine_topk_pallas(q, c, k=5, block_q=8, block_c=128, interpret=True)
+    ns, ni = _numpy_topk(q, c, 5)
+    np.testing.assert_allclose(np.asarray(s), ns, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+
+
+def test_topk_merge():
+    rng = np.random.RandomState(3)
+    # 4 shards × top-8 each, global ids disjoint per shard
+    scores = jnp.asarray(rng.rand(4, 8), jnp.float32)
+    indices = jnp.asarray(
+        np.arange(32).reshape(4, 8) + 1000, jnp.int32
+    )
+    ms, mi = topk_merge(scores, indices, k=8)
+    flat_s = np.asarray(scores).reshape(-1)
+    flat_i = np.asarray(indices).reshape(-1)
+    order = np.argsort(-flat_s)[:8]
+    np.testing.assert_allclose(np.asarray(ms), flat_s[order], atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(mi), flat_i[order])

@@ -1,0 +1,117 @@
+"""Checkpoint save/restore.
+
+The reference persists HF weights + tokenizer + a *pickled* Configuration
+(`model_config.bin`) and never persists optimizer state — there is no resume
+path (reference: src/models/modeling.py:52-59, src/training/learner.py:80-98;
+SURVEY.md §5.4). Here checkpoints are:
+
+- step-stamped and resumable: params + opt_state + step in one snapshot,
+- JSON metadata (no pickle),
+- stored as a flat npz keyed by pytree paths, so they are readable from
+  plain numpy and independent of jax versions.
+
+Arrays are gathered to host on save; on restore, the caller re-shards by
+device_put-ing with the desired sharding (models at this scale fit easily).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SEP = "/"
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(_path_str(p) for p in path)
+        flat[key] = np.asarray(jax.device_get(leaf))
+    return flat
+
+
+def _path_str(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return f"#{p.idx}"
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def _unflatten_into(template, flat: Dict[str, np.ndarray]):
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_and_leaves:
+        key = _SEP.join(_path_str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing key {key!r}")
+        arr = flat[key]
+        if hasattr(leaf, "dtype"):
+            arr = arr.astype(leaf.dtype)
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(
+    path: str,
+    params,
+    opt_state=None,
+    step: int = 0,
+    meta: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write a step-stamped checkpoint directory under ``path``."""
+    ckpt_dir = os.path.join(path, f"step_{step:08d}")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    np.savez(os.path.join(ckpt_dir, "params.npz"), **_flatten(params))
+    if opt_state is not None:
+        np.savez(os.path.join(ckpt_dir, "opt_state.npz"), **_flatten(opt_state))
+    info = {"step": step, "meta": meta or {}}
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    # atomic-ish "latest" pointer
+    with open(os.path.join(path, "LATEST"), "w") as f:
+        f.write(os.path.basename(ckpt_dir))
+    return ckpt_dir
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    latest = os.path.join(path, "LATEST")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            name = f.read().strip()
+        d = os.path.join(path, name)
+        if os.path.isdir(d):
+            return d
+    cands = sorted(
+        d for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if re.match(r"step_\d+$", d)
+    )
+    return os.path.join(path, cands[-1]) if cands else None
+
+
+def restore_checkpoint(
+    ckpt_dir: str,
+    params_template,
+    opt_state_template=None,
+) -> Tuple[Any, Any, int, Dict[str, Any]]:
+    """Restore (params, opt_state, step, meta) from a checkpoint dir.
+
+    Templates provide pytree structure + dtypes (e.g. from init fns)."""
+    with np.load(os.path.join(ckpt_dir, "params.npz")) as z:
+        params = _unflatten_into(params_template, dict(z))
+    opt_state = None
+    opt_path = os.path.join(ckpt_dir, "opt_state.npz")
+    if opt_state_template is not None and os.path.exists(opt_path):
+        with np.load(opt_path) as z:
+            opt_state = _unflatten_into(opt_state_template, dict(z))
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        info = json.load(f)
+    return params, opt_state, info["step"], info.get("meta", {})

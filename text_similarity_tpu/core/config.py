@@ -1,0 +1,211 @@
+"""Frozen config dataclasses — the TPU-native analogue of the reference's
+two-tier config system (argparse flags feeding ``Configuration`` dataclasses,
+reference: src/configurations/config.py:7-58).
+
+Differences from the reference, by design:
+- configs are frozen + hashable so they can be closed over by jitted
+  functions as static arguments;
+- serialization is JSON (not pickle) so checkpoints stay readable and
+  framework-independent;
+- mesh/sharding fields are first-class (the reference is single-device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _asdict(obj) -> dict:
+    return dataclasses.asdict(obj)
+
+
+@dataclass(frozen=True)
+class EncoderArch:
+    """Architecture of a BERT-class transformer encoder.
+
+    Covers BERT / MiniLM (bert layout), DistilBERT (no token types, no
+    pooler), and RoBERTa/XLM-R (position offset 2, type vocab 1) — the model
+    families the reference wraps via HF AutoModel (reference:
+    src/models/modeling.py:32-33).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_act: str = "gelu"  # "gelu" (erf, HF default) | "gelu_new" | "relu"
+    pad_token_id: int = 0
+    # RoBERTa starts position ids at pad_token_id + 1 and skips padding
+    # positions; BERT starts at 0.
+    position_offset: int = 0
+    # DistilBERT has no token-type embeddings and no pooler.
+    has_token_type: bool = True
+    has_pooler: bool = True
+    # Optional projection head (SBERT-style dense after pooling),
+    # 0 = disabled.
+    projection_dim: int = 0
+    # Attention dropout / hidden dropout (train-time only).
+    attention_dropout: float = 0.1
+    hidden_dropout: float = 0.1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def embedding_size(self) -> int:
+        """Output embedding width (after optional projection)."""
+        return self.projection_dim or self.hidden_size
+
+    def replace(self, **kw) -> "EncoderArch":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EncoderArch":
+        return cls(**json.loads(s))
+
+
+# Registry of common architectures — the analogue of the reference's
+# MODELS / DIMENSIONS_MAP registries (reference: src/configurations/config.py:66-91).
+ARCH_PRESETS = {
+    "bert-base": EncoderArch(),
+    "bert-large": EncoderArch(
+        hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096
+    ),
+    "distilbert-base": EncoderArch(
+        num_layers=6, has_token_type=False, has_pooler=False
+    ),
+    "minilm-l6": EncoderArch(
+        hidden_size=384, num_layers=6, num_heads=12, intermediate_size=1536
+    ),
+    "minilm-l12": EncoderArch(
+        hidden_size=384, num_layers=12, num_heads=12, intermediate_size=1536
+    ),
+    "roberta-base": EncoderArch(
+        vocab_size=50265,
+        max_position=514,
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+        position_offset=2,
+    ),
+    "xlm-roberta-base": EncoderArch(
+        vocab_size=250002,
+        max_position=514,
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+        position_offset=2,
+    ),
+    "tiny-test": EncoderArch(
+        vocab_size=1024,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=128,
+        max_position=128,
+    ),
+}
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. Axis sizes of 1 mean the axis is unused.
+
+    - ``data``: batch/data-parallel axis (DP; also ZeRO-style param sharding)
+    - ``model``: tensor-parallel axis (heads / hidden sharding)
+    - ``index``: ANN corpus shard axis (per-shard scan + all-gather top-k)
+
+    The reference has no distributed layer at all (SURVEY.md §5.8); this is a
+    new first-class component.
+    """
+
+    data: int = 1
+    model: int = 1
+    index: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model * self.index
+
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("data", "model", "index")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (semantics of reference
+    src/training/learner.py:53-78 — AdamW with no-decay groups + linear
+    warmup — plus TPU-native additions)."""
+
+    lr: float = 2e-5
+    weight_decay: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    warmup_ratio: float = 0.1
+    max_grad_norm: float = 1.0
+    batch_size: int = 32
+    epochs: int = 1
+    grad_accum_steps: int = 1
+    seed: int = 0
+    # bf16 matmuls ≈ the reference's fp16 AMP (learner.py:48-49).
+    bf16: bool = True
+    max_seq_len: int = 256
+    eval_in_train: bool = True
+    save_best: bool = True
+    metric_direction: str = "max"  # direction of the tracked eval metric
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """ANN index parameters — the TPU-native analogue of the reference's
+    ``SearchConfiguration`` HNSW knobs (ef/ef_construction/M, reference:
+    src/configurations/config.py:40-44), re-expressed for an IVF/clustered
+    index."""
+
+    num_clusters: int = 1024
+    num_probes: int = 16
+    kmeans_iters: int = 12
+    top_k: int = 10
+    # Cap on cluster size (lists padded/truncated for static shapes).
+    max_cluster_size: int = 0  # 0 = auto (corpus / clusters * 4)
+    quantize_int8: bool = False
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level run config threaded through entry points — analogue of
+    the reference's ``Configuration`` object passed everywhere."""
+
+    model_name: str = "minilm-l6"
+    arch: EncoderArch = field(default_factory=lambda: ARCH_PRESETS["minilm-l6"])
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    save_path: str = "checkpoints"
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        d = json.loads(s)
+        return cls(
+            model_name=d.get("model_name", "minilm-l6"),
+            arch=EncoderArch(**d["arch"]),
+            mesh=MeshConfig(**d["mesh"]),
+            train=TrainConfig(**d["train"]),
+            index=IndexConfig(**d["index"]),
+            save_path=d.get("save_path", "checkpoints"),
+        )

@@ -1,0 +1,82 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-device (SURVEY.md §5.8); here the mesh is a
+first-class citizen. All parallelism in the framework rides three named
+axes:
+
+- ``data``  — batch sharding (DP / ZeRO-style)
+- ``model`` — tensor parallelism (attention heads / hidden / FFN sharding)
+- ``index`` — ANN corpus shards (per-shard top-k + all-gather merge)
+
+Collectives are XLA-inserted via NamedSharding/pjit, or explicit
+(psum/all_gather) inside shard_map regions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+INDEX_AXIS = "index"
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    index: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 3-axis mesh over the given (default: all) devices.
+
+    ``data=-1`` absorbs whatever devices remain after model/index axes.
+    Axis order is (data, model, index): model-parallel groups stay on
+    adjacent devices so TP collectives ride the fastest ICI links.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data == -1:
+        if n % (model * index) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*index={model * index}"
+            )
+        data = n // (model * index)
+    if data * model * index != n:
+        raise ValueError(
+            f"mesh {data}x{model}x{index} != {n} devices"
+        )
+    arr = np.asarray(devs).reshape(data, model, index)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, INDEX_AXIS))
+
+
+def local_mesh() -> Mesh:
+    """Single-axis data mesh over all local devices (the common case for
+    one-chip encode/serve)."""
+    return make_mesh()
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Place a host batch onto the mesh, sharded along the leading dim."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec(ndim: int, axis: str = DATA_AXIS) -> P:
+    return P(axis, *([None] * (ndim - 1)))
+
+
+def is_multichip() -> bool:
+    return jax.device_count() > 1

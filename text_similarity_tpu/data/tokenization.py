@@ -1,0 +1,281 @@
+"""Host-side tokenization.
+
+The reference delegates tokenization to HF AutoTokenizer (+ MeCab for
+Japanese, reference: src/utils/tokenizers.py:1-12); tokenization stays a CPU
+concern here too (SURVEY.md §2.1). This module provides:
+
+- ``WordPieceTokenizer``: a from-scratch BERT-style WordPiece tokenizer
+  (basic whitespace/punctuation pre-split + greedy longest-match subwords)
+  that can load a ``vocab.txt`` or a trained in-memory vocab;
+- ``train_wordpiece_vocab``: a frequency-based vocab builder so tests and
+  benches run with zero network access;
+- ``load_tokenizer``: loads a HuggingFace ``tokenizer.json`` via the
+  ``tokenizers`` wheel when one exists on disk, else ``vocab.txt``.
+
+All tokenizers expose the same API: ``encode_batch(texts, max_len)`` /
+``encode_pair_batch(a, b, max_len)`` returning numpy ``(ids, mask[,
+type_ids])``, padded to ``max_len``, with [CLS]/[SEP] added.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import re
+import unicodedata
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
+SPECIALS = [PAD, UNK, CLS, SEP, MASK]
+
+_PUNCT_RE = re.compile(r"([\W_])", re.UNICODE)
+
+
+def _basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
+    if lowercase:
+        text = text.lower()
+    text = unicodedata.normalize("NFKC", text)
+    out = []
+    for chunk in text.split():
+        for piece in _PUNCT_RE.split(chunk):
+            piece = piece.strip()
+            if piece:
+                out.append(piece)
+    return out
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece (BERT semantics)."""
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        lowercase: bool = True,
+        max_word_chars: int = 100,
+    ):
+        self.vocab = dict(vocab)
+        self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        self.lowercase = lowercase
+        self.max_word_chars = max_word_chars
+        self.pad_id = self.vocab[PAD]
+        self.unk_id = self.vocab[UNK]
+        self.cls_id = self.vocab[CLS]
+        self.sep_id = self.vocab[SEP]
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @classmethod
+    def from_vocab_file(cls, path: str, lowercase: bool = True):
+        vocab = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, lowercase=lowercase)
+
+    def save_vocab(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            for tok, _ in sorted(self.vocab.items(), key=lambda kv: kv[1]):
+                f.write(tok + "\n")
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if len(word) > self.max_word_chars:
+            return [self.unk_id]
+        ids, start = [], 0
+        n = len(word)
+        while start < n:
+            end, cur = n, None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def tokenize_to_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for w in _basic_tokenize(text, self.lowercase):
+            ids.extend(self._wordpiece(w))
+        return ids
+
+    # ------------------------------------------------------------------
+    # Batch APIs (numpy, padded)
+    # ------------------------------------------------------------------
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int = 128, pad_to: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (ids, mask), shape (B, L). [CLS] tokens [SEP], truncated."""
+        rows = []
+        for t in texts:
+            ids = [self.cls_id] + self.tokenize_to_ids(t)[: max_len - 2] + [self.sep_id]
+            rows.append(ids)
+        L = pad_to or max(len(r) for r in rows)
+        out = np.full((len(rows), L), self.pad_id, np.int32)
+        mask = np.zeros((len(rows), L), np.int32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return out, mask
+
+    def encode_pair_batch(
+        self,
+        texts_a: Sequence[str],
+        texts_b: Sequence[str],
+        max_len: int = 128,
+        pad_to: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Cross-encoder input: [CLS] a [SEP] b [SEP] with token types."""
+        rows, types = [], []
+        budget = max_len - 3
+        for a, b in zip(texts_a, texts_b):
+            ia, ib = self.tokenize_to_ids(a), self.tokenize_to_ids(b)
+            # longest-first truncation (HF 'longest_first' strategy)
+            while len(ia) + len(ib) > budget:
+                if len(ia) >= len(ib):
+                    ia.pop()
+                else:
+                    ib.pop()
+            ids = [self.cls_id] + ia + [self.sep_id] + ib + [self.sep_id]
+            tt = [0] * (len(ia) + 2) + [1] * (len(ib) + 1)
+            rows.append(ids)
+            types.append(tt)
+        L = pad_to or max(len(r) for r in rows)
+        out = np.full((len(rows), L), self.pad_id, np.int32)
+        mask = np.zeros((len(rows), L), np.int32)
+        tts = np.zeros((len(rows), L), np.int32)
+        for i, (r, tt) in enumerate(zip(rows, types)):
+            out[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+            tts[i, : len(tt)] = tt
+        return out, mask, tts
+
+    def token_spans(self, text: str) -> List[Tuple[str, List[int]]]:
+        """Word → positions of its wordpieces in the encoded sequence
+        (offset by 1 for [CLS]) — the analogue of the reference's
+        word↔subtoken alignment (dataset.py:353-379), used by WiC/GWSC."""
+        spans, pos = [], 1  # position 0 is [CLS]
+        for w in _basic_tokenize(text, self.lowercase):
+            n = len(self._wordpiece(w))
+            spans.append((w, list(range(pos, pos + n))))
+            pos += n
+        return spans
+
+
+def train_wordpiece_vocab(
+    texts: Iterable[str],
+    vocab_size: int = 8192,
+    lowercase: bool = True,
+    min_freq: int = 2,
+) -> Dict[str, int]:
+    """Build a WordPiece vocab: all single chars (+ '##' continuations) for
+    full coverage, then the most frequent whole words and suffixes."""
+    word_freq: collections.Counter = collections.Counter()
+    for t in texts:
+        word_freq.update(_basic_tokenize(t, lowercase))
+
+    char_set, cont_set = set(), set()
+    for w in word_freq:
+        for i, ch in enumerate(w):
+            (char_set if i == 0 else cont_set).add(ch)
+
+    cand: collections.Counter = collections.Counter()
+    for w, f in word_freq.items():
+        if f >= min_freq:
+            cand[w] += f
+            # frequent suffixes as continuation pieces
+            for i in range(1, min(len(w), 8)):
+                cand["##" + w[i:]] += f
+
+    vocab: Dict[str, int] = {}
+    for s in SPECIALS:
+        vocab[s] = len(vocab)
+    for ch in sorted(char_set):
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    for ch in sorted(cont_set):
+        tok = "##" + ch
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    for tok, _ in cand.most_common():
+        if len(vocab) >= vocab_size:
+            break
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+class HFTokenizerAdapter:
+    """Wraps a HuggingFace ``tokenizers.Tokenizer`` (from tokenizer.json on
+    disk) behind the same batch API."""
+
+    def __init__(self, tok, pad_id: int, cls_id: int, sep_id: int):
+        self._tok = tok
+        self.pad_id, self.cls_id, self.sep_id = pad_id, cls_id, sep_id
+        self.vocab_size = tok.get_vocab_size()
+
+    @classmethod
+    def from_file(cls, path: str):
+        from tokenizers import Tokenizer
+
+        tok = Tokenizer.from_file(path)
+        vocab = tok.get_vocab()
+        return cls(
+            tok,
+            pad_id=vocab.get(PAD, 0),
+            cls_id=vocab.get(CLS, vocab.get("<s>", 0)),
+            sep_id=vocab.get(SEP, vocab.get("</s>", 0)),
+        )
+
+    def encode_batch(self, texts, max_len=128, pad_to=None):
+        encs = self._tok.encode_batch(list(texts))
+        rows = [e.ids[:max_len] for e in encs]
+        L = pad_to or max(len(r) for r in rows)
+        out = np.full((len(rows), L), self.pad_id, np.int32)
+        mask = np.zeros((len(rows), L), np.int32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return out, mask
+
+    def encode_pair_batch(self, texts_a, texts_b, max_len=128, pad_to=None):
+        encs = self._tok.encode_batch(list(zip(texts_a, texts_b)))
+        rows = [e.ids[:max_len] for e in encs]
+        tids = [e.type_ids[:max_len] for e in encs]
+        L = pad_to or max(len(r) for r in rows)
+        out = np.full((len(rows), L), self.pad_id, np.int32)
+        mask = np.zeros((len(rows), L), np.int32)
+        tts = np.zeros((len(rows), L), np.int32)
+        for i, (r, tt) in enumerate(zip(rows, tids)):
+            out[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+            tts[i, : len(tt)] = tt
+        return out, mask, tts
+
+
+def load_tokenizer(path: str):
+    """Load a tokenizer from a model directory: prefers tokenizer.json
+    (HF fast-tokenizer format), falls back to vocab.txt (WordPiece)."""
+    tj = os.path.join(path, "tokenizer.json")
+    if os.path.exists(tj):
+        return HFTokenizerAdapter.from_file(tj)
+    vt = os.path.join(path, "vocab.txt")
+    if os.path.exists(vt):
+        lowercase = True
+        cfgp = os.path.join(path, "tokenizer_config.json")
+        if os.path.exists(cfgp):
+            with open(cfgp) as f:
+                lowercase = json.load(f).get("do_lower_case", True)
+        return WordPieceTokenizer.from_vocab_file(vt, lowercase=lowercase)
+    raise FileNotFoundError(f"no tokenizer.json or vocab.txt under {path}")

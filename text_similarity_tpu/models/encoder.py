@@ -1,0 +1,303 @@
+"""BERT-class transformer encoder as a pure-pytree functional model.
+
+Capability parity with the reference's HF ``AutoModel`` wrapper
+(reference: src/models/modeling.py:11-87) but TPU-first:
+
+- params are a plain pytree of arrays; layers are *stacked* along a leading
+  L axis and the forward pass is a single ``lax.scan`` — one compiled layer
+  body regardless of depth (fast compiles, natural fit for theseus-style
+  layer surgery and layer-drop distillation);
+- attention dispatches to a Pallas flash kernel on TPU
+  (ops/attention.py), the full S×S score tensor never hits HBM;
+- softmax/layernorm in fp32, matmuls in bf16 (Precision policy) — the
+  TPU analogue of the reference's fp16 AMP;
+- tensor-parallel PartitionSpecs are provided by :func:`param_pspecs` so the
+  same params pytree shards over a mesh ``model`` axis under pjit.
+
+Supports BERT / MiniLM / DistilBERT / RoBERTa layouts via EncoderArch flags.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..core.config import EncoderArch
+from ..core.precision import Precision, DEFAULT_PRECISION
+from ..ops.attention import multi_head_attention
+
+
+class EncoderOutput(NamedTuple):
+    last_hidden_state: jax.Array            # (B, S, H)
+    pooler_output: Optional[jax.Array]      # (B, H) tanh(W·cls) or None
+    hidden_states: Optional[jax.Array]      # (L+1, B, S, H) if requested
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, fan_in, fan_out, stddev=0.02):
+    return jax.random.normal(key, (fan_in, fan_out), jnp.float32) * stddev
+
+
+def init_params(key: jax.Array, arch: EncoderArch) -> dict:
+    """Random-init params (HF-style trunc-normal-ish, std=0.02)."""
+    keys = jax.random.split(key, 16)
+    h, i, l = arch.hidden_size, arch.intermediate_size, arch.num_layers
+
+    def stack(fn, key, *shape_args):
+        ks = jax.random.split(key, l)
+        return jnp.stack([fn(ks[j], *shape_args) for j in range(l)])
+
+    params = {
+        "embeddings": {
+            "word": jax.random.normal(keys[0], (arch.vocab_size, h)) * 0.02,
+            "position": jax.random.normal(keys[1], (arch.max_position, h)) * 0.02,
+            "ln": {"scale": jnp.ones((h,)), "bias": jnp.zeros((h,))},
+        },
+        "layers": {
+            "attn": {
+                "q": {"w": stack(_dense_init, keys[2], h, h), "b": jnp.zeros((l, h))},
+                "k": {"w": stack(_dense_init, keys[3], h, h), "b": jnp.zeros((l, h))},
+                "v": {"w": stack(_dense_init, keys[4], h, h), "b": jnp.zeros((l, h))},
+                "o": {"w": stack(_dense_init, keys[5], h, h), "b": jnp.zeros((l, h))},
+            },
+            "attn_ln": {"scale": jnp.ones((l, h)), "bias": jnp.zeros((l, h))},
+            "mlp": {
+                "in": {"w": stack(_dense_init, keys[6], h, i), "b": jnp.zeros((l, i))},
+                "out": {"w": stack(_dense_init, keys[7], i, h), "b": jnp.zeros((l, h))},
+            },
+            "mlp_ln": {"scale": jnp.ones((l, h)), "bias": jnp.zeros((l, h))},
+        },
+    }
+    if arch.has_token_type:
+        params["embeddings"]["token_type"] = (
+            jax.random.normal(keys[8], (arch.type_vocab_size, h)) * 0.02
+        )
+    if arch.has_pooler:
+        params["pooler"] = {
+            "w": _dense_init(keys[9], h, h),
+            "b": jnp.zeros((h,)),
+        }
+    if arch.projection_dim:
+        params["projection"] = {
+            "w": _dense_init(keys[10], h, arch.projection_dim),
+            "b": jnp.zeros((arch.projection_dim,)),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Sharding specs (tensor parallelism over the mesh "model" axis)
+# ---------------------------------------------------------------------------
+
+def param_pspecs(arch: EncoderArch, model_axis: str = "model") -> dict:
+    """Megatron-style TP: QKV/MLP-in shard the output feature dim, O/MLP-out
+    shard the input feature dim (row-parallel); XLA inserts the psum."""
+    m = model_axis
+    specs = {
+        "embeddings": {
+            "word": P(None, None),
+            "position": P(None, None),
+            "ln": {"scale": P(None), "bias": P(None)},
+        },
+        "layers": {
+            "attn": {
+                "q": {"w": P(None, None, m), "b": P(None, m)},
+                "k": {"w": P(None, None, m), "b": P(None, m)},
+                "v": {"w": P(None, None, m), "b": P(None, m)},
+                "o": {"w": P(None, m, None), "b": P(None, None)},
+            },
+            "attn_ln": {"scale": P(None, None), "bias": P(None, None)},
+            "mlp": {
+                "in": {"w": P(None, None, m), "b": P(None, m)},
+                "out": {"w": P(None, m, None), "b": P(None, None)},
+            },
+            "mlp_ln": {"scale": P(None, None), "bias": P(None, None)},
+        },
+    }
+    if arch.has_token_type:
+        specs["embeddings"]["token_type"] = P(None, None)
+    if arch.has_pooler:
+        specs["pooler"] = {"w": P(None, None), "b": P(None)}
+    if arch.projection_dim:
+        specs["projection"] = {"w": P(None, None), "b": P(None)}
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _act(name: str):
+    if name == "gelu":
+        # HF default: exact erf gelu.
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation {name}")
+
+
+def _dropout(x, rate, key, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def encoder_forward(
+    params: dict,
+    input_ids: jax.Array,               # (B, S) int32
+    attention_mask: Optional[jax.Array] = None,  # (B, S) 1=keep
+    token_type_ids: Optional[jax.Array] = None,  # (B, S)
+    *,
+    arch: EncoderArch,
+    precision: Precision = DEFAULT_PRECISION,
+    head_mask: Optional[jax.Array] = None,       # (L, num_heads)
+    layer_gate: Optional[jax.Array] = None,      # (L,) 1=run layer, 0=skip
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    output_hidden_states: bool = False,
+    attention_impl: str = "auto",
+) -> EncoderOutput:
+    """Run the encoder. ``layer_gate`` supports theseus-style stochastic
+    layer skipping and layer-drop distillation (reference semantics:
+    src/models/bert_of_theseus.py:551-561) — a gated layer contributes the
+    identity."""
+    b, s = input_ids.shape
+    h = arch.hidden_size
+    nh, hd = arch.num_heads, arch.head_dim
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+
+    emb = params["embeddings"]
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    pos_ids = jnp.arange(s, dtype=jnp.int32) + arch.position_offset
+    if arch.position_offset:
+        # RoBERTa: padding tokens keep position = pad index; real tokens get
+        # cumulative positions (HF create_position_ids_from_input_ids).
+        m = attention_mask.astype(jnp.int32)
+        pos_ids = jnp.cumsum(m, axis=1) * m + arch.pad_token_id
+        x = x + jnp.take(emb["position"], pos_ids, axis=0)
+    else:
+        x = x + emb["position"][None, :s, :]
+    if arch.has_token_type:
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((b, s), jnp.int32)
+        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    x = _layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], arch.layer_norm_eps)
+
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
+    x = _dropout(
+        x, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 997), deterministic
+    )
+    x = x.astype(precision.compute_dtype)
+
+    act = _act(arch.hidden_act)
+    l = arch.num_layers
+    if head_mask is None:
+        hm_stack = jnp.ones((l, nh), jnp.float32)
+        use_head_mask = False
+    else:
+        hm_stack = head_mask.astype(jnp.float32)
+        use_head_mask = True
+    if layer_gate is None:
+        layer_gate = jnp.ones((l,), jnp.float32)
+
+    layer_params = jax.tree.map(
+        lambda p: p.astype(precision.compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        params["layers"],
+    )
+
+    def layer_body(carry, scanned):
+        hx = carry
+        lp, hm, gate, layer_idx = scanned
+        attn, mlp = lp["attn"], lp["mlp"]
+
+        def dense(x_, wb):
+            return (
+                jnp.einsum(
+                    "bsh,ho->bso", x_, wb["w"],
+                    preferred_element_type=precision.accum_dtype,
+                ).astype(x_.dtype)
+                + wb["b"]
+            )
+
+        q = dense(hx, attn["q"]).reshape(b, s, nh, hd)
+        k = dense(hx, attn["k"]).reshape(b, s, nh, hd)
+        v = dense(hx, attn["v"]).reshape(b, s, nh, hd)
+        ctx = multi_head_attention(
+            q, k, v,
+            mask=attention_mask,
+            head_mask=hm if use_head_mask else None,
+            impl=attention_impl,
+        ).reshape(b, s, h)
+        ctx = dense(ctx, attn["o"])
+        ctx = _dropout(
+            ctx,
+            arch.hidden_dropout,
+            jax.random.fold_in(dropout_rng, layer_idx * 2),
+            deterministic,
+        )
+        hx1 = _layer_norm(
+            hx + ctx, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
+            arch.layer_norm_eps,
+        )
+        ff = dense(hx1, mlp["in"])
+        ff = act(ff.astype(jnp.float32)).astype(hx1.dtype)
+        ff = dense(ff, mlp["out"])
+        ff = _dropout(
+            ff,
+            arch.hidden_dropout,
+            jax.random.fold_in(dropout_rng, layer_idx * 2 + 1),
+            deterministic,
+        )
+        hx2 = _layer_norm(
+            hx1 + ff, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
+            arch.layer_norm_eps,
+        )
+        out = gate * hx2 + (1.0 - gate) * hx
+        out = out.astype(hx.dtype)
+        return out, out if output_hidden_states else None
+
+    scanned = (
+        layer_params,
+        hm_stack,
+        layer_gate.astype(precision.compute_dtype),
+        jnp.arange(l, dtype=jnp.int32),
+    )
+    final, ys = jax.lax.scan(layer_body, x, scanned)
+
+    hidden_states = None
+    if output_hidden_states:
+        hidden_states = jnp.concatenate([x[None], ys], axis=0)
+
+    pooler_out = None
+    if arch.has_pooler and "pooler" in params:
+        cls = final[:, 0, :].astype(jnp.float32)
+        pw = params["pooler"]
+        pooler_out = jnp.tanh(cls @ pw["w"] + pw["b"]).astype(final.dtype)
+
+    return EncoderOutput(final, pooler_out, hidden_states)
+
+
+def num_params(params) -> int:
+    return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,77 @@
+"""Pooling strategies turning token states into sentence/word embeddings.
+
+Parity targets (intent, not bugs) with reference src/modules/modules.py:
+- masked mean      ← AvgPoolingStrategy (modules.py:154-171)
+- CLS              ← CLSPoolingStrategy (modules.py:174-181; the reference
+                     returns an empty slice ``embeddings[:0:]`` by mistake —
+                     we implement the intended ``[:, 0, :]``)
+- BERT pooler      ← BertPoolingStrategy CLS→Linear→Tanh (modules.py:184-195)
+- word spans       ← WordPoolingStrategy (modules.py:58-74)
+
+All poolers are shape-static and jit-friendly; the word pooler takes a
+fixed-size span-index matrix (padded with -1) instead of Python lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mean_pool(hidden: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked mean over the sequence axis.
+
+    hidden: (B, S, H); mask: (B, S) with 1 = real token.
+    Matches the reference's clamp(min=1e-9) on the token count."""
+    m = mask.astype(jnp.float32)[..., None]
+    summed = jnp.sum(hidden.astype(jnp.float32) * m, axis=1)
+    count = jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    return (summed / count).astype(hidden.dtype)
+
+
+def cls_pool(hidden: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    return hidden[:, 0, :]
+
+
+def max_pool(hidden: jax.Array, mask: jax.Array) -> jax.Array:
+    neg = jnp.finfo(jnp.float32).min
+    m = mask.astype(bool)[..., None]
+    return jnp.max(
+        jnp.where(m, hidden.astype(jnp.float32), neg), axis=1
+    ).astype(hidden.dtype)
+
+
+def bert_pooler(hidden: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    cls = hidden[:, 0, :].astype(jnp.float32)
+    return jnp.tanh(cls @ w + b).astype(hidden.dtype)
+
+
+def word_span_pool(
+    hidden: jax.Array,       # (B, S, H)
+    span_indices: jax.Array,  # (B, W) subtoken indices of the target word,
+                              # padded with -1
+) -> jax.Array:
+    """Mean of the sub-token vectors of one target word per example —
+    the WiC/GWSC word-embedding pooler."""
+    b, s, h = hidden.shape
+    valid = (span_indices >= 0).astype(jnp.float32)  # (B, W)
+    idx = jnp.maximum(span_indices, 0)
+    gathered = jnp.take_along_axis(
+        hidden, idx[..., None].astype(jnp.int32), axis=1
+    ).astype(jnp.float32)  # (B, W, H)
+    summed = jnp.sum(gathered * valid[..., None], axis=1)
+    count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+    return (summed / count).astype(hidden.dtype)
+
+
+POOLERS = {
+    "mean": mean_pool,
+    "cls": cls_pool,
+    "max": max_pool,
+}
+
+
+def pool(strategy: str, hidden: jax.Array, mask: jax.Array) -> jax.Array:
+    return POOLERS[strategy](hidden, mask)

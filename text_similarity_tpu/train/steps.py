@@ -1,0 +1,246 @@
+"""Train/eval step factories.
+
+The reference's training runtime is ``Learner`` — a Python loop running
+fp16-autocast forward/backward per batch with host syncs every step
+(reference: src/training/learner.py:104-251). Here each step is one jitted,
+donated, mesh-sharded function: forward (twin-tower or cross-encoder), loss,
+grad, clip, AdamW update — all on device; metrics return as a small scalar
+pytree (no per-step host transfers of activations).
+
+Parallelism: batch shards over the mesh ``data`` axis, parameters are
+replicated (or TP-sharded via models.encoder.param_pspecs) — XLA inserts the
+gradient psum automatically from the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderArch, TrainConfig
+from ..core.mesh import DATA_AXIS
+from ..core.precision import Precision, DEFAULT_PRECISION
+from ..models.encoder import encoder_forward
+from ..models.pooling import mean_pool, cls_pool
+from ..models import losses as L
+
+
+class TrainState(NamedTuple):
+    params: Any           # {"encoder": ..., "head": ...}
+    opt_state: Any
+    step: jax.Array       # scalar int32
+    rng: jax.Array        # PRNG key
+
+
+def init_train_state(params: dict, tx: optax.GradientTransformation, seed: int = 0):
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def _embed(
+    enc_params, ids, mask, *, arch, precision, pooling, rng, deterministic,
+    layer_gate=None,
+):
+    out = encoder_forward(
+        enc_params, ids, mask, arch=arch, precision=precision,
+        deterministic=deterministic, dropout_rng=rng, layer_gate=layer_gate,
+    )
+    if pooling == "cls":
+        return cls_pool(out.last_hidden_state, mask)
+    return mean_pool(out.last_hidden_state, mask)
+
+
+def init_sharded_train_state(
+    params: dict,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    param_specs=None,
+    seed: int = 0,
+) -> TrainState:
+    """Build a mesh-placed TrainState. ``param_specs``: optional pytree of
+    PartitionSpec for params (e.g. models.encoder.param_pspecs for TP);
+    defaults to replication. Params are sharded *first*, then ``tx.init``
+    runs on the sharded params so optimizer moments inherit the same
+    layouts; jitted steps then propagate shardings from their inputs — no
+    in_shardings plumbing needed."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    if param_specs is None:
+        params = jax.tree.map(lambda x: put(x, P()), params)
+    else:
+        params = jax.tree.map(put, params, param_specs)
+    opt_state = tx.init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
+        rng=jax.device_put(jax.random.PRNGKey(seed), NamedSharding(mesh, P())),
+    )
+
+
+def shard_batch_for(mesh: Optional[Mesh], batch):
+    if mesh is None:
+        return batch
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+        )
+    return jax.tree.map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# Bi-encoder (SBERT) training step
+# ---------------------------------------------------------------------------
+
+def make_bi_encoder_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    loss_type: str = "cosine_mse",   # softmax | cosine_mse | contrastive |
+                                     # online_contrastive | mnrl | distill_mse
+    pooling: str = "mean",
+    precision: Precision = DEFAULT_PRECISION,
+    margin: float = 0.5,
+) -> Callable:
+    """Returns step(state, batch) → (state, metrics).
+
+    batch: ids_a, mask_a, ids_b, mask_b, target (labels or scores or
+    teacher embeddings), valid (B,) — fixed shapes.
+    Twin towers share the encoder (reference parallel_mode,
+    sentence_encoder.py:100-113)."""
+
+    def loss_fn(params, batch, rng):
+        enc = params["encoder"]
+        r1, r2 = jax.random.split(rng)
+        u = _embed(
+            enc, batch["ids_a"], batch["mask_a"], arch=arch,
+            precision=precision, pooling=pooling, rng=r1, deterministic=False,
+        )
+        v = _embed(
+            enc, batch["ids_b"], batch["mask_b"], arch=arch,
+            precision=precision, pooling=pooling, rng=r2, deterministic=False,
+        )
+        valid = batch.get("valid")
+        target = batch.get("target")
+        aux = {}
+        if loss_type == "softmax":
+            head = params["head"]
+            loss, logits = L.softmax_loss(
+                u, v, head["w"], head["b"], target, valid
+            )
+            aux["accuracy"] = _masked_accuracy(logits, target, valid)
+        elif loss_type == "cosine_mse":
+            loss, _ = L.cosine_mse_loss(u, v, target, valid)
+        elif loss_type == "contrastive":
+            loss, _ = L.contrastive_loss(u, v, target, margin, valid)
+        elif loss_type == "online_contrastive":
+            loss, _ = L.online_contrastive_loss(u, v, target, margin, valid)
+        elif loss_type == "mnrl":
+            loss, _ = L.multiple_negatives_loss(u, v, valid=valid)
+        elif loss_type == "distill_mse":
+            loss = L.distill_mse_loss(u, target, valid)
+        else:
+            raise ValueError(f"unknown loss {loss_type}")
+        return loss, aux
+
+    def step(state: TrainState, batch) -> tuple:
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux}
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            metrics,
+        )
+
+    # Shardings propagate from the input state/batch (see shard_train_state);
+    # donation keeps params+moments in place.
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder / sequence classifier training step
+# ---------------------------------------------------------------------------
+
+def classifier_forward(
+    params, ids, mask, type_ids, *, arch, precision, pooling="cls",
+    rng=None, deterministic=True, head_mask=None, layer_gate=None,
+):
+    """Encoder → pool → linear head → logits. The TransformerWrapper
+    forward (reference modeling.py:101-116)."""
+    out = encoder_forward(
+        params["encoder"], ids, mask, type_ids, arch=arch,
+        precision=precision, deterministic=deterministic, dropout_rng=rng,
+        head_mask=head_mask, layer_gate=layer_gate,
+    )
+    if pooling == "cls":
+        if out.pooler_output is not None:
+            pooled = out.pooler_output
+        else:
+            pooled = cls_pool(out.last_hidden_state, mask)
+    else:
+        pooled = mean_pool(out.last_hidden_state, mask)
+    head = params["head"]
+    logits = pooled.astype(jnp.float32) @ head["w"] + head["b"]
+    return logits
+
+
+def init_classifier_head(key, in_dim: int, num_classes: int) -> dict:
+    return {
+        "w": jax.random.normal(key, (in_dim, num_classes), jnp.float32) * 0.02,
+        "b": jnp.zeros((num_classes,), jnp.float32),
+    }
+
+
+def _masked_accuracy(logits, labels, valid):
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == labels).astype(jnp.float32)
+    if valid is None:
+        return jnp.mean(hit)
+    w = valid.astype(jnp.float32)
+    return jnp.sum(hit * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def make_classifier_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    pooling: str = "cls",
+    precision: Precision = DEFAULT_PRECISION,
+) -> Callable:
+    """Cross-encoder / document-classifier step. batch: ids, mask,
+    type_ids, labels, valid."""
+
+    def loss_fn(params, batch, rng):
+        logits = classifier_forward(
+            params, batch["ids"], batch["mask"], batch.get("type_ids"),
+            arch=arch, precision=precision, pooling=pooling,
+            rng=rng, deterministic=False,
+        )
+        valid = batch.get("valid")
+        loss = L.cross_entropy_loss(logits, batch["labels"], valid)
+        return loss, {"accuracy": _masked_accuracy(logits, batch["labels"], valid)}
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
