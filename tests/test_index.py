@@ -1,0 +1,123 @@
+"""Index tests: store semantics, brute-force exactness, k-means sanity,
+IVF recall vs brute force (the north-star property, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from text_similarity_tpu.core.config import IndexConfig
+from text_similarity_tpu.index import EmbeddingStore, BruteForceIndex, IVFIndex
+from text_similarity_tpu.ops.kmeans import kmeans, assign_clusters
+from text_similarity_tpu.ops.topk import l2_normalize
+
+
+def _clustered_corpus(n=4000, d=64, n_clusters=20, seed=0):
+    """Gaussian-mixture corpus — realistic skew for IVF."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d) * 3
+    sizes = rng.multinomial(n, rng.dirichlet([2.0] * n_clusters))
+    rows = []
+    for c, s in zip(centers, sizes):
+        rows.append(c[None, :] + rng.randn(s, d))
+    x = np.concatenate(rows).astype(np.float32)
+    rng.shuffle(x)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return jnp.asarray(x)
+
+
+def test_store_add_query_delete():
+    store = EmbeddingStore(capacity=64, dim=8)
+    rng = np.random.RandomState(0)
+    x = rng.randn(10, 8).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ids = store.add(x)
+    assert list(ids) == list(range(10))
+    idx = BruteForceIndex(store)
+    s, i = idx.query(x[:3], k=1)
+    np.testing.assert_array_equal(i[:, 0], [0, 1, 2])  # self is nearest
+    store.mark_deleted([1])
+    s, i = idx.query(x[1:2], k=1)
+    assert i[0, 0] != 1  # tombstoned row not returned
+
+
+def test_store_save_load(tmp_path):
+    store = EmbeddingStore(capacity=16, dim=4)
+    x = np.eye(4, dtype=np.float32)
+    store.add(x)
+    store.mark_deleted([2])
+    p = str(tmp_path / "store.npz")
+    store.save(p)
+    loaded = EmbeddingStore.load(p)
+    assert loaded.size == 4
+    np.testing.assert_allclose(np.asarray(loaded.view), x, atol=1e-6)
+    assert not bool(loaded.alive[2])
+
+
+def test_kmeans_clusters_separable():
+    x = _clustered_corpus(n=2000, d=32, n_clusters=8)
+    centroids, assign = kmeans(x, 8, iters=15)
+    # same-cluster points should be much closer to their centroid
+    a = np.asarray(assign)
+    assert len(np.unique(a)) == 8
+    c = np.asarray(centroids)
+    sims = np.asarray(x) @ c.T
+    np.testing.assert_array_equal(np.argmax(sims, 1), a)
+
+
+def test_brute_force_mine_excludes_self():
+    x = _clustered_corpus(n=300, d=32)
+    idx = BruteForceIndex.from_embeddings(x)
+    s, i = idx.mine(k=3, batch=128)
+    rows = np.arange(300)[:, None]
+    assert (i != rows).all()
+
+
+def test_ivf_recall_vs_brute_force():
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    queries = x[:64] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(1), (64, 64)
+    )
+    queries = l2_normalize(queries)
+
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+
+    for impl in ("xla", "pallas"):
+        _, ivf_i = ivf.query(queries, k=10, impl=impl)
+        ivf_i = np.asarray(ivf_i)
+        recall = np.mean([
+            len(set(ivf_i[r]) & set(true_i[r])) / 10 for r in range(64)
+        ])
+        assert recall >= 0.95, f"{impl} recall {recall}"
+
+
+def test_ivf_save_load(tmp_path):
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(num_clusters=16, num_probes=4, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg)
+    p = str(tmp_path / "ivf.npz")
+    ivf.save(p)
+    loaded = IVFIndex.load(p)
+    q = x[:8]
+    s1, i1 = ivf.query_xla(q, k=5)
+    s2, i2 = loaded.query_xla(q, k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_overflow_clusters_preserve_recall():
+    """Force tiny Mc so overflow clusters are exercised."""
+    x = _clustered_corpus(n=1000, d=32, n_clusters=4)  # few, fat clusters
+    cfg = IndexConfig(
+        num_clusters=8, num_probes=8, kmeans_iters=5, max_cluster_size=64
+    )
+    ivf = IVFIndex.build(x, cfg)
+    assert ivf.num_overflow > 0  # capping definitely triggered
+    brute = BruteForceIndex.from_embeddings(x)
+    q = l2_normalize(x[:32])
+    _, ti = brute.query(q, k=5)
+    _, ii = ivf.query_xla(q, k=5)  # all probes → must be exact
+    ii = np.asarray(ii)
+    recall = np.mean([len(set(ii[r]) & set(ti[r])) / 5 for r in range(32)])
+    assert recall == 1.0, recall

@@ -1,0 +1,396 @@
+"""IVF (inverted-file / clustered) ANN index — TPU-native replacement for
+the reference's hnswlib HNSW graph index (reference:
+src/pipeline/search_pipeline.py:96-175; config knobs ef/ef_construction/M →
+num_clusters/num_probes, SearchConfiguration config.py:40-44).
+
+Design (SURVEY.md §2.1, §7 stage 6):
+
+- **Build** on device: spherical k-means (ops/kmeans.py) → clusters laid out
+  as a padded (C, Mc, D) tensor + (C, Mc) id map, so every cluster scan is a
+  static-shape MXU matmul. Rows overflowing a cluster's Mc slots go to
+  append-only *overflow clusters* that every query scans — recall never
+  silently drops from capping.
+- **Query**: centroid matmul → top-P probe lists; then
+  - XLA path (oracle/CPU/sharded): gather probed clusters, masked top-k;
+  - Pallas path: grid (query_blocks, probes); the probed cluster id is
+    *scalar-prefetched* and drives the BlockSpec index_map, so cluster
+    blocks stream HBM→VMEM only for probed clusters while a VMEM scratch
+    carries the running top-k (same merge as ops/topk).
+  Queries in a block share a probe list (the union approximated by top-U of
+  the block-max centroid scores) — scanning a colleague's cluster only adds
+  candidates, never removes.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import IndexConfig
+from ..ops.kmeans import kmeans, assign_clusters
+from ..ops.topk import l2_normalize, topk_merge
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+class IVFIndex:
+    def __init__(
+        self,
+        centroids: jax.Array,     # (C, D)
+        data_padded: jax.Array,   # (C_tot, Mc, D) — C_tot = C + overflow
+        ids_padded: jax.Array,    # (C_tot, Mc) int32, -1 = pad
+        num_base_clusters: int,
+        config: IndexConfig,
+    ):
+        self.centroids = centroids
+        self.data_padded = data_padded
+        self.ids_padded = ids_padded
+        self.num_base_clusters = num_base_clusters
+        self.num_overflow = data_padded.shape[0] - num_base_clusters
+        self.config = config
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus,                    # (N, D) L2-normalized
+        config: IndexConfig = IndexConfig(),
+        key: Optional[jax.Array] = None,
+        data_dtype=jnp.float32,
+    ) -> "IVFIndex":
+        corpus = jnp.asarray(corpus)
+        n, d = corpus.shape
+        c = min(config.num_clusters, max(n // 32, 1))
+        centroids, assign = kmeans(
+            corpus, c, iters=config.kmeans_iters, key=key
+        )
+
+        counts = np.bincount(np.asarray(assign), minlength=c)
+        mean_sz = max(int(np.ceil(n / c)), 1)
+        mc = config.max_cluster_size or min(
+            int(counts.max()), 4 * mean_sz
+        )
+        mc = _round_up(max(mc, 8), 8)
+
+        # Slot computation on host (ids only — the vectors stay on device).
+        assign_h = np.asarray(assign)
+        order = np.argsort(assign_h, kind="stable")
+        sorted_assign = assign_h[order]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(n) - starts[sorted_assign]
+
+        in_cap = rank < mc
+        slot = np.empty(n, np.int64)
+        slot[in_cap] = sorted_assign[in_cap] * mc + rank[in_cap]
+        n_over = int((~in_cap).sum())
+        e = (n_over + mc - 1) // mc if n_over else 0
+        if e:
+            over_rank = np.arange(n_over)
+            slot[~in_cap] = c * mc + over_rank
+        c_tot = c + e
+
+        slot_of_row = np.empty(n, np.int64)
+        slot_of_row[order] = slot
+        slot_dev = jnp.asarray(slot_of_row, jnp.int32)
+
+        flat = jnp.zeros((c_tot * mc, d), data_dtype)
+        flat = flat.at[slot_dev].set(corpus.astype(data_dtype))
+        ids_flat = np.full((c_tot * mc,), -1, np.int32)
+        ids_flat[slot_of_row] = np.arange(n, dtype=np.int32)
+
+        return cls(
+            centroids=centroids,
+            data_padded=flat.reshape(c_tot, mc, d),
+            ids_padded=jnp.asarray(ids_flat.reshape(c_tot, mc)),
+            num_base_clusters=c,
+            config=config,
+        )
+
+    # ------------------------------------------------------------------
+    # Probe selection
+    # ------------------------------------------------------------------
+
+    def _probe_ids(self, queries: jax.Array, probes: int) -> jax.Array:
+        """(B, P) cluster ids per query (base clusters only)."""
+        scores = jnp.einsum(
+            "bd,cd->bc", queries, self.centroids,
+            preferred_element_type=jnp.float32,
+        )
+        _, ids = jax.lax.top_k(scores, probes)
+        return ids.astype(jnp.int32)
+
+    def _block_probe_union(
+        self, queries: jax.Array, probes: int, block_q: int, union: int
+    ) -> jax.Array:
+        """(B/block_q, union + overflow) probe list per query block: top-U
+        clusters by block-max centroid score, then the overflow clusters."""
+        b = queries.shape[0]
+        scores = jnp.einsum(
+            "bd,cd->bc", queries, self.centroids,
+            preferred_element_type=jnp.float32,
+        ).reshape(b // block_q, block_q, -1)
+        block_scores = jnp.max(scores, axis=1)  # (nblocks, C)
+        _, ids = jax.lax.top_k(block_scores, union)
+        if self.num_overflow:
+            over = jnp.tile(
+                jnp.arange(
+                    self.num_base_clusters,
+                    self.num_base_clusters + self.num_overflow,
+                    dtype=jnp.int32,
+                )[None, :],
+                (ids.shape[0], 1),
+            )
+            ids = jnp.concatenate([ids.astype(jnp.int32), over], axis=1)
+        return ids.astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # Query — XLA path (oracle / CPU / building block for sharded)
+    # ------------------------------------------------------------------
+
+    def query_xla(
+        self, queries, k: int = 10, probes: Optional[int] = None,
+        chunk_q: int = 16,
+    ) -> Tuple[jax.Array, jax.Array]:
+        probes = probes or self.config.num_probes
+        q = l2_normalize(jnp.asarray(queries))
+        return _ivf_query_xla(
+            q, self.centroids, self.data_padded, self.ids_padded,
+            self.num_base_clusters, k, probes, chunk_q,
+        )
+
+    # ------------------------------------------------------------------
+    # Query — Pallas fast path
+    # ------------------------------------------------------------------
+
+    def query(
+        self, queries, k: int = 10, probes: Optional[int] = None,
+        block_q: int = 8, union_factor: int = 2, impl: str = "auto",
+    ) -> Tuple[jax.Array, jax.Array]:
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "xla":
+            return self.query_xla(queries, k, probes)
+        probes = probes or self.config.num_probes
+        q = l2_normalize(jnp.asarray(queries)).astype(jnp.float32)
+        b, d = q.shape
+        block_q = min(block_q, b)
+        pad_b = _round_up(b, block_q)
+        if pad_b != b:
+            q = jnp.pad(q, ((0, pad_b - b), (0, 0)))
+        union = min(
+            _round_up(probes * union_factor, 8), self.num_base_clusters
+        )
+        probe_list = self._block_probe_union(q, probes, block_q, union)
+        s, i = _ivf_query_pallas(
+            q, probe_list, self.data_padded, self.ids_padded, k, block_q,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return s[:b], i[:b]
+
+    # ------------------------------------------------------------------
+    # Persistence (analogue of hnswlib save_index/load_index,
+    # reference search_pipeline.py:106,122)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(
+            path,
+            centroids=np.asarray(jax.device_get(self.centroids)),
+            data_padded=np.asarray(jax.device_get(self.data_padded)),
+            ids_padded=np.asarray(jax.device_get(self.ids_padded)),
+            num_base_clusters=self.num_base_clusters,
+            num_clusters=self.config.num_clusters,
+            num_probes=self.config.num_probes,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with np.load(path) as z:
+            cfg = IndexConfig(
+                num_clusters=int(z["num_clusters"]),
+                num_probes=int(z["num_probes"]),
+            )
+            return cls(
+                centroids=jnp.asarray(z["centroids"]),
+                data_padded=jnp.asarray(z["data_padded"]),
+                ids_padded=jnp.asarray(z["ids_padded"]),
+                num_base_clusters=int(z["num_base_clusters"]),
+                config=cfg,
+            )
+
+
+# ---------------------------------------------------------------------------
+# XLA query impl
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("num_base", "k", "probes", "chunk_q")
+)
+def _ivf_query_xla(
+    q, centroids, data_padded, ids_padded, num_base, k, probes, chunk_q
+):
+    b, d = q.shape
+    c_tot, mc, _ = data_padded.shape
+    n_over = c_tot - num_base
+
+    cscores = jnp.einsum(
+        "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
+    )
+    _, probe = jax.lax.top_k(cscores, probes)  # (B, P)
+    if n_over:
+        over = jnp.tile(
+            jnp.arange(num_base, c_tot, dtype=probe.dtype)[None, :], (b, 1)
+        )
+        probe = jnp.concatenate([probe, over], axis=1)
+    p_tot = probe.shape[1]
+
+    pad_b = _round_up(b, chunk_q)
+    q_p = jnp.pad(q, ((0, pad_b - b), (0, 0)))
+    probe_p = jnp.pad(probe, ((0, pad_b - b), (0, 0)))
+
+    def one_chunk(args):
+        qc, pc = args  # (chunk, D), (chunk, P)
+        cand = data_padded[pc]          # (chunk, P, Mc, D)
+        cand_ids = ids_padded[pc]       # (chunk, P, Mc)
+        s = jnp.einsum(
+            "qd,qpmd->qpm", qc, cand.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(cand_ids >= 0, s, -jnp.inf)
+        s = s.reshape(qc.shape[0], -1)
+        cand_ids = cand_ids.reshape(qc.shape[0], -1)
+        ts, tl = jax.lax.top_k(s, k)
+        ti = jnp.take_along_axis(cand_ids, tl, axis=1)
+        return ts, ti
+
+    qs = q_p.reshape(-1, chunk_q, d)
+    ps = probe_p.reshape(-1, chunk_q, p_tot)
+    ts, ti = jax.lax.map(one_chunk, (qs, ps))
+    return ts.reshape(pad_b, k)[:b], ti.reshape(pad_b, k)[:b]
+
+
+# ---------------------------------------------------------------------------
+# Pallas query kernel
+# ---------------------------------------------------------------------------
+
+def _ivf_kernel(
+    probes_ref,   # scalar-prefetch (n_blocks, U) int32
+    q_ref,        # (block_q, D)
+    data_ref,     # (1, Mc, D) — cluster block selected by index_map
+    ids_ref,      # (1, Mc) int32
+    out_s_ref,    # (block_q, k)
+    out_i_ref,    # (block_q, k)
+    acc_s, acc_i,  # VMEM scratch (block_q, k)
+    *,
+    k: int,
+):
+    u = pl.program_id(1)
+    n_u = pl.num_programs(1)
+
+    @pl.when(u == 0)
+    def _init():
+        acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+        acc_i[...] = jnp.full_like(acc_i, -1)
+
+    q = q_ref[...].astype(jnp.float32)          # (block_q, D)
+    data = data_ref[0].astype(jnp.float32)      # (Mc, D)
+    ids = ids_ref[0]                             # (Mc,)
+    mc = data.shape[0]
+    block_q = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, data, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, Mc)
+    ids_b = jnp.broadcast_to(ids[None, :], (block_q, mc))
+    s = jnp.where(ids_b >= 0, s, -jnp.inf)
+
+    cand_s = jnp.concatenate([acc_s[...], s], axis=1)
+    cand_i = jnp.concatenate([acc_i[...], ids_b], axis=1)
+    width = k + mc
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, width), 1)
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
+
+    def round_fn(i, carry):
+        cand, new_s, new_i = carry
+        m = jnp.max(cand, axis=1)
+        am = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        hit = cols == am[:, None]
+        picked = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, dtype=jnp.int32)
+        sel = kcols == i
+        new_s = jnp.where(sel, m[:, None], new_s)
+        new_i = jnp.where(sel, picked[:, None], new_i)
+        cand = jnp.where(hit, -jnp.inf, cand)
+        return cand, new_s, new_i
+
+    init = (
+        cand_s,
+        jnp.zeros((block_q, k), jnp.float32),
+        jnp.zeros((block_q, k), jnp.int32),
+    )
+    _, ns, ni = jax.lax.fori_loop(0, k, round_fn, init)
+    acc_s[...] = ns
+    acc_i[...] = ni
+
+    @pl.when(u == n_u - 1)
+    def _flush():
+        out_s_ref[...] = acc_s[...]
+        out_i_ref[...] = acc_i[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
+def _ivf_query_pallas(
+    q,            # (B, D) padded to block_q
+    probe_list,   # (B/block_q, U) int32
+    data_padded,  # (C_tot, Mc, D)
+    ids_padded,   # (C_tot, Mc)
+    k: int,
+    block_q: int,
+    interpret: bool = False,
+):
+    b, d = q.shape
+    n_blocks, u_tot = probe_list.shape
+    c_tot, mc, _ = data_padded.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, u_tot),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
+            pl.BlockSpec((1, mc, d), lambda i, j, probes: (probes[i, j], 0, 0)),
+            pl.BlockSpec((1, mc), lambda i, j, probes: (probes[i, j], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_ivf_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(probe_list, q, data_padded, ids_padded)
+    return out_s, out_i

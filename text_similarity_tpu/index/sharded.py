@@ -1,0 +1,241 @@
+"""Sharded ANN query: corpora larger than one chip's HBM shard over the mesh
+``index`` axis; each device scans its shard and the per-shard top-k results
+merge with one all-gather over ICI (SURVEY.md §2.2, §5.8 — the one
+collective pattern the north star requires; the reference has no
+distributed anything).
+
+Works for both the brute-force scan and per-shard IVF indexes. The query
+batch is replicated along the index axis; result merge happens on every
+device (k is tiny, so the redundant merge is free and keeps results
+replicated for the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.mesh import INDEX_AXIS
+from ..ops.topk import cosine_topk_xla, l2_normalize, topk_merge
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+class ShardedBruteForceIndex:
+    """Exact kNN over a row-sharded corpus matrix."""
+
+    def __init__(self, mesh: Mesh, corpus_sharded: jax.Array, n_total: int):
+        self.mesh = mesh
+        self.corpus = corpus_sharded      # (N_pad, D) sharded over INDEX_AXIS
+        self.n_total = n_total
+        self._query_fn = {}
+
+    @classmethod
+    def build(cls, mesh: Mesh, embeddings) -> "ShardedBruteForceIndex":
+        emb = jnp.asarray(embeddings)
+        n, d = emb.shape
+        n_shards = mesh.shape[INDEX_AXIS]
+        pad_n = _round_up(n, n_shards * 8)
+        if pad_n != n:
+            emb = jnp.pad(emb, ((0, pad_n - n), (0, 0)))
+        sharding = NamedSharding(mesh, P(INDEX_AXIS, None))
+        return cls(mesh, jax.device_put(emb, sharding), n)
+
+    def _make_query(self, k: int):
+        mesh = self.mesh
+        n_total = self.n_total
+        n_shards = mesh.shape[INDEX_AXIS]
+        shard_rows = self.corpus.shape[0] // n_shards
+
+        def local_query(q, corpus_shard):
+            # q: (Q, D) replicated; corpus_shard: (rows, D)
+            shard_idx = jax.lax.axis_index(INDEX_AXIS)
+            s, i = cosine_topk_xla(q, corpus_shard, k=k)
+            gid = i + shard_idx * shard_rows
+            s = jnp.where(gid < n_total, s, -jnp.inf)  # mask padding rows
+            # (n_shards, Q, k) on every device
+            s_all = jax.lax.all_gather(s, INDEX_AXIS)
+            i_all = jax.lax.all_gather(gid, INDEX_AXIS)
+            ms, mi = topk_merge(
+                s_all.transpose(1, 0, 2), i_all.transpose(1, 0, 2), k
+            )
+            return ms, mi
+
+        fn = shard_map(
+            local_query,
+            mesh=mesh,
+            in_specs=(P(), P(INDEX_AXIS, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def query(self, queries, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        q = l2_normalize(jnp.asarray(queries, jnp.float32))
+        q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        if k not in self._query_fn:
+            self._query_fn[k] = self._make_query(k)
+        s, i = self._query_fn[k](q, self.corpus)
+        return np.asarray(jax.device_get(s)), np.asarray(jax.device_get(i))
+
+
+class ShardedIVFIndex:
+    """IVF per shard: each device holds an IVF layout of its corpus rows;
+    query probes every shard's local clusters, merges via all-gather.
+
+    Built from a single-device IVFIndex per shard's rows (build is offline);
+    the padded layouts are stacked and row-sharded over the index axis."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        centroids: jax.Array,      # (S*C, D) sharded
+        data_padded: jax.Array,    # (S*C_tot, Mc, D) sharded
+        ids_padded: jax.Array,     # (S*C_tot, Mc) sharded — GLOBAL ids
+        num_probes: int,
+    ):
+        self.mesh = mesh
+        self.centroids = centroids
+        self.data_padded = data_padded
+        self.ids_padded = ids_padded
+        self.num_probes = num_probes
+        self._query_fn = {}
+
+    @classmethod
+    def build(
+        cls, mesh: Mesh, embeddings, config, key: Optional[jax.Array] = None
+    ) -> "ShardedIVFIndex":
+        from .ivf import IVFIndex
+        from ..core.config import IndexConfig
+
+        emb = np.asarray(jax.device_get(jnp.asarray(embeddings)))
+        n, d = emb.shape
+        s = mesh.shape[INDEX_AXIS]
+        rows_per = _round_up(n, s) // s
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        cents, datas, idss = [], [], []
+        c_per = max(config.num_clusters // s, 1)
+        sub_cfg = IndexConfig(
+            num_clusters=c_per,
+            num_probes=config.num_probes,
+            kmeans_iters=config.kmeans_iters,
+            max_cluster_size=config.max_cluster_size,
+        )
+        c_tot_max, mc_max = 0, 0
+        shards = []
+        for si in range(s):
+            rows = emb[si * rows_per : min((si + 1) * rows_per, n)]
+            if rows.shape[0] == 0:
+                rows = np.zeros((1, d), np.float32)
+            sub = IVFIndex.build(
+                jnp.asarray(rows), sub_cfg, key=jax.random.fold_in(key, si)
+            )
+            gids = np.asarray(jax.device_get(sub.ids_padded))
+            gids = np.where(gids >= 0, gids + si * rows_per, -1)
+            shards.append((
+                np.asarray(jax.device_get(sub.centroids)),
+                np.asarray(jax.device_get(sub.data_padded)),
+                gids,
+            ))
+            c_tot_max = max(c_tot_max, shards[-1][1].shape[0])
+            mc_max = max(mc_max, shards[-1][1].shape[1])
+
+        # pad every shard to identical (C_tot, Mc) so stacking shards is legal
+        def padded(cent, data, gid):
+            ct, mc = data.shape[0], data.shape[1]
+            data = np.pad(
+                data, ((0, c_tot_max - ct), (0, mc_max - mc), (0, 0))
+            )
+            gid = np.pad(
+                gid, ((0, c_tot_max - ct), (0, mc_max - mc)),
+                constant_values=-1,
+            )
+            cent = np.pad(cent, ((0, c_per - cent.shape[0]), (0, 0)))
+            return cent, data, gid
+
+        cents, datas, idss = zip(*(padded(*sh) for sh in shards))
+        cent_all = jnp.asarray(np.concatenate(cents))       # (S*c_per, D)
+        data_all = jnp.asarray(np.concatenate(datas))       # (S*C_tot, Mc, D)
+        ids_all = jnp.asarray(np.concatenate(idss))
+        sh_c = NamedSharding(mesh, P(INDEX_AXIS, None))
+        sh_d = NamedSharding(mesh, P(INDEX_AXIS, None, None))
+        return cls(
+            mesh,
+            jax.device_put(cent_all, sh_c),
+            jax.device_put(data_all, sh_d),
+            jax.device_put(ids_all, sh_c),
+            num_probes=config.num_probes,
+        )
+
+    def _make_query(self, k: int, probes: int):
+        mesh = self.mesh
+
+        def local_query(q, cent, data, ids):
+            cs = jnp.einsum(
+                "bd,cd->bc", q, cent, preferred_element_type=jnp.float32
+            )
+            _, probe = jax.lax.top_k(cs, min(probes, cent.shape[0]))
+            # also scan local overflow clusters (ids beyond base count) —
+            # here all clusters beyond centroid count
+            n_base = cent.shape[0]
+            c_tot = data.shape[0]
+            if c_tot > n_base:
+                over = jnp.tile(
+                    jnp.arange(n_base, c_tot, dtype=probe.dtype)[None, :],
+                    (q.shape[0], 1),
+                )
+                probe = jnp.concatenate([probe, over], axis=1)
+            cand = data[probe]            # (Q, P, Mc, D)
+            cand_ids = ids[probe]         # (Q, P, Mc)
+            s = jnp.einsum(
+                "qd,qpmd->qpm", q, cand.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(cand_ids >= 0, s, -jnp.inf)
+            ts, tl = jax.lax.top_k(s.reshape(q.shape[0], -1), k)
+            ti = jnp.take_along_axis(
+                cand_ids.reshape(q.shape[0], -1), tl, axis=1
+            )
+            s_all = jax.lax.all_gather(ts, INDEX_AXIS)
+            i_all = jax.lax.all_gather(ti, INDEX_AXIS)
+            return topk_merge(
+                s_all.transpose(1, 0, 2), i_all.transpose(1, 0, 2), k
+            )
+
+        fn = shard_map(
+            local_query,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                P(INDEX_AXIS, None),
+                P(INDEX_AXIS, None, None),
+                P(INDEX_AXIS, None),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def query(
+        self, queries, k: int = 10, probes: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        probes = probes or self.num_probes
+        q = l2_normalize(jnp.asarray(queries, jnp.float32))
+        q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        key = (k, probes)
+        if key not in self._query_fn:
+            self._query_fn[key] = self._make_query(k, probes)
+        s, i = self._query_fn[key](
+            q, self.centroids, self.data_padded, self.ids_padded
+        )
+        return np.asarray(jax.device_get(s)), np.asarray(jax.device_get(i))

@@ -1,0 +1,108 @@
+"""EmbeddingStore: HBM-resident corpus embedding matrix.
+
+The reference moves every embedding GPU→numpy→C++ index
+(search_pipeline.py:114-122); here embeddings stay on device from encode to
+query. Fixed capacity (static shapes), device-side append via
+dynamic_update_slice, deletion by tombstone mask (parity with hnswlib's
+``mark_deleted``/``resize_index``, reference search_pipeline.py:154-175),
+npz save/load.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, rows, offset):
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (offset, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_mask(mask, value, offset, count):
+    idx = jnp.arange(mask.shape[0])
+    sel = (idx >= offset) & (idx < offset + count)
+    return jnp.where(sel, value, mask)
+
+
+class EmbeddingStore:
+    """Append-only (plus tombstones) embedding matrix in HBM.
+
+    Rows are L2-normalized fp32 or bf16. ``alive`` masks tombstoned rows out
+    of search (scores forced to -inf by the query path)."""
+
+    def __init__(self, capacity: int, dim: int, dtype=jnp.float32):
+        self.capacity = capacity
+        self.dim = dim
+        self.data = jnp.zeros((capacity, dim), dtype)
+        self.alive = jnp.zeros((capacity,), jnp.bool_)
+        self.size = 0
+
+    def add(self, embeddings) -> np.ndarray:
+        """Append rows; returns their assigned ids."""
+        rows = jnp.asarray(embeddings)
+        n = rows.shape[0]
+        if self.size + n > self.capacity:
+            raise ValueError(
+                f"store full: {self.size}+{n} > {self.capacity}; "
+                "create with larger capacity or grow()"
+            )
+        self.data = _write_rows(self.data, rows, self.size)
+        self.alive = _write_mask(self.alive, True, self.size, n)
+        ids = np.arange(self.size, self.size + n)
+        self.size += n
+        return ids
+
+    def mark_deleted(self, ids: Sequence[int]) -> None:
+        alive = np.array(jax.device_get(self.alive))  # writable copy
+        alive[np.asarray(list(ids))] = False
+        self.alive = jnp.asarray(alive)
+
+    def grow(self, new_capacity: int) -> None:
+        """Resize (analogue of hnswlib resize_index)."""
+        if new_capacity < self.capacity:
+            raise ValueError("can only grow")
+        pad = new_capacity - self.capacity
+        self.data = jnp.pad(self.data, ((0, pad), (0, 0)))
+        self.alive = jnp.pad(self.alive, ((0, pad),))
+        self.capacity = new_capacity
+
+    @property
+    def view(self) -> jax.Array:
+        """(size, dim) view of the filled prefix."""
+        return self.data[: self.size]
+
+    @property
+    def alive_view(self) -> jax.Array:
+        return self.alive[: self.size]
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(
+            path,
+            data=np.asarray(jax.device_get(self.data[: self.size])),
+            alive=np.asarray(jax.device_get(self.alive[: self.size])),
+            capacity=self.capacity,
+        )
+
+    @classmethod
+    def load(cls, path: str, dtype=jnp.float32) -> "EmbeddingStore":
+        with np.load(path) as z:
+            data = z["data"]
+            alive = z["alive"]
+            capacity = int(z["capacity"])
+        store = cls(capacity, data.shape[1], dtype)
+        store.data = _write_rows(store.data, jnp.asarray(data), 0)
+        store.alive = _write_mask(store.alive, True, 0, data.shape[0])
+        if not alive.all():
+            am = np.zeros((capacity,), bool)
+            am[: data.shape[0]] = alive
+            store.alive = jnp.asarray(am)
+        store.size = data.shape[0]
+        return store

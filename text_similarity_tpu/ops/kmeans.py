@@ -1,0 +1,92 @@
+"""On-device spherical k-means — the IVF index build kernel.
+
+Replaces the reference's C++ HNSW graph construction
+(hnswlib ``init_index``/``add_items``, reference:
+src/pipeline/search_pipeline.py:105-122) with the TPU-native build step of a
+clustered/IVF index: assignment is a chunked matmul+argmax over the MXU,
+centroid update is a segment-sum — both stay in HBM, no host round trips
+(SURVEY.md §2.1). Also backs the k-means clustering pipeline (reference:
+src/pipeline/clustering.py:8-31).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def assign_clusters(
+    data: jax.Array,        # (N, D) L2-normalized
+    centroids: jax.Array,   # (C, D) L2-normalized
+    chunk: int = 65536,
+) -> jax.Array:
+    """argmax_c <x, centroid_c> per row, chunked so the (N, C) score matrix
+    never materializes."""
+    n, d = data.shape
+    pad = (-n) % chunk
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    chunks = data_p.reshape(-1, chunk, d)
+
+    def one(chunk_rows):
+        scores = jnp.einsum(
+            "nd,cd->nc", chunk_rows, centroids,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    out = jax.lax.map(one, chunks).reshape(-1)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("num_clusters", "chunk"))
+def _update_centroids(
+    data: jax.Array, assign: jax.Array, num_clusters: int, chunk: int = 65536
+) -> Tuple[jax.Array, jax.Array]:
+    sums = jax.ops.segment_sum(
+        data.astype(jnp.float32), assign, num_segments=num_clusters
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), jnp.float32), assign,
+        num_segments=num_clusters,
+    )
+    return sums, counts
+
+
+def kmeans(
+    data: jax.Array,        # (N, D) L2-normalized
+    num_clusters: int,
+    iters: int = 12,
+    key: jax.Array | None = None,
+    chunk: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """Spherical k-means. Returns (centroids (C, D) normalized,
+    assignments (N,)). Empty clusters are re-seeded from random rows."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = data.shape[0]
+    c = num_clusters
+    init_idx = jax.random.choice(key, n, (c,), replace=False)
+    centroids = data[init_idx].astype(jnp.float32)
+
+    @jax.jit
+    def one_iter(centroids, reseed_key):
+        assign = assign_clusters(data, centroids, chunk=chunk)
+        sums, counts = _update_centroids(data, assign, c, chunk=chunk)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # re-seed empties from random data rows
+        rand_rows = data[
+            jax.random.randint(reseed_key, (c,), 0, n)
+        ].astype(jnp.float32)
+        new = jnp.where(counts[:, None] > 0, new, rand_rows)
+        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+        return new / jnp.maximum(norm, 1e-12)
+
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        centroids = one_iter(centroids, sub)
+    assign = assign_clusters(data, centroids, chunk=chunk)
+    return centroids, assign

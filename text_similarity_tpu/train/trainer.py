@@ -1,0 +1,176 @@
+"""Trainer: epoch loop with eval-in-train and best-metric checkpointing.
+
+Parity with reference ``Trainer``/``Learner`` (src/training/train.py:21-120,
+learner.py:188-336) with the TPU-native differences:
+
+- the inner loop is a single jitted step (train.steps) — no per-step host
+  syncs; step metrics are device scalars fetched lazily at log boundaries
+  (the reference calls .item()/.cpu() every step, learner.py:225-232);
+- checkpoints are step-stamped and resumable (params+opt_state+step), the
+  best-metric snapshot is additionally tagged (the reference only saves
+  model weights on best metric, train.py:94-109);
+- run history is a JSONL results file (the reference writes plain-text
+  results files, train.py:113-117).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..utils.logging import get_logger
+
+logger = get_logger("trainer")
+
+
+class Trainer:
+    def __init__(
+        self,
+        step_fn: Callable,                 # (state, batch) -> (state, metrics)
+        state,                             # TrainState
+        save_path: Optional[str] = None,
+        eval_fn: Optional[Callable] = None,  # (state) -> Dict[str, float]
+        tracked_metric: str = "loss",
+        direction: str = "min",
+        log_every: int = 50,
+        checkpoint_every: int = 0,         # steps; 0 = only best/final
+        save_optimizer: bool = True,
+    ):
+        self.step_fn = step_fn
+        self.state = state
+        self.save_path = save_path
+        self.eval_fn = eval_fn
+        self.tracked_metric = tracked_metric
+        self.direction = direction
+        self.log_every = log_every
+        self.checkpoint_every = checkpoint_every
+        self.save_optimizer = save_optimizer
+        self.best_metric = -np.inf if direction == "max" else np.inf
+        self.history = []
+
+    def _is_better(self, value: float) -> bool:
+        if self.direction == "max":
+            return value > self.best_metric
+        return value < self.best_metric
+
+    def execute(
+        self,
+        batches_per_epoch: Callable[[int], Iterable[dict]],
+        epochs: int = 1,
+        write_results: bool = True,
+    ) -> Dict:
+        """Run training. ``batches_per_epoch(epoch)`` yields device-ready
+        batch dicts (fixed shapes)."""
+        global_step = int(jax.device_get(self.state.step))
+        for epoch in range(epochs):
+            t0 = time.time()
+            pending = []  # device metric pytrees, fetched at log boundaries
+            n_steps = 0
+            epoch_metrics: Dict[str, float] = {}
+            for batch in batches_per_epoch(epoch):
+                self.state, metrics = self.step_fn(self.state, batch)
+                pending.append(metrics)
+                n_steps += 1
+                global_step += 1
+                if len(pending) >= self.log_every:
+                    epoch_metrics = self._drain(pending, epoch_metrics)
+                    pending = []
+                if (
+                    self.checkpoint_every
+                    and self.save_path
+                    and global_step % self.checkpoint_every == 0
+                ):
+                    self._save(global_step, tag=None)
+            epoch_metrics = self._drain(pending, epoch_metrics)
+            dt = time.time() - t0
+            avg = {
+                k: v / max(n_steps, 1) for k, v in epoch_metrics.items()
+            }
+            record = {
+                "epoch": epoch,
+                "steps": n_steps,
+                "seconds": round(dt, 2),
+                "train": {k: round(v, 6) for k, v in avg.items()},
+            }
+
+            if self.eval_fn is not None:
+                eval_metrics = self.eval_fn(self.state)
+                record["eval"] = {
+                    k: round(float(v), 6) for k, v in eval_metrics.items()
+                }
+                tracked = float(eval_metrics[self.tracked_metric])
+                if self._is_better(tracked):
+                    self.best_metric = tracked
+                    if self.save_path:
+                        self._save(global_step, tag="best")
+            elif self.save_path:
+                # track train loss when no eval is configured
+                tracked = avg.get("loss", 0.0)
+                if self.direction == "min" and self._is_better(tracked):
+                    self.best_metric = tracked
+                    self._save(global_step, tag="best")
+
+            self.history.append(record)
+            logger.info("epoch %d: %s", epoch, json.dumps(record))
+
+        if self.save_path:
+            self._save(global_step, tag="final")
+            if write_results:
+                with open(os.path.join(self.save_path, "results.jsonl"), "w") as f:
+                    for r in self.history:
+                        f.write(json.dumps(r) + "\n")
+        return {
+            "best_metric": self.best_metric,
+            "history": self.history,
+            "state": self.state,
+        }
+
+    def _drain(self, pending, acc: Dict[str, float]) -> Dict[str, float]:
+        if not pending:
+            return acc
+        fetched = jax.device_get(pending)
+        for m in fetched:
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+        return acc
+
+    def _save(self, step: int, tag: Optional[str]):
+        os.makedirs(self.save_path, exist_ok=True)
+        d = ckpt.save_checkpoint(
+            self.save_path,
+            self.state.params,
+            opt_state=self.state.opt_state if self.save_optimizer else None,
+            step=step,
+            meta={"tag": tag or "periodic", "best_metric": float(self.best_metric)},
+        )
+        if tag:
+            with open(os.path.join(self.save_path, f"{tag.upper()}"), "w") as f:
+                f.write(os.path.basename(d))
+
+    def resume(self, params_template, opt_template=None) -> bool:
+        """Resume from the latest checkpoint under save_path (a capability
+        the reference lacks entirely — SURVEY.md §5.4)."""
+        if not self.save_path:
+            return False
+        d = ckpt.latest_checkpoint(self.save_path)
+        if d is None:
+            return False
+        params, opt_state, step, meta = ckpt.restore_checkpoint(
+            d, params_template, opt_template
+        )
+        import jax.numpy as jnp
+
+        self.state = self.state._replace(
+            params=params,
+            opt_state=opt_state if opt_state is not None else self.state.opt_state,
+            step=jnp.asarray(step, jnp.int32),
+        )
+        self.best_metric = meta.get("best_metric", self.best_metric)
+        logger.info("resumed from %s (step %d)", d, step)
+        return True
