@@ -1,0 +1,136 @@
+"""End-to-end pipeline tests with a tiny random-init encoder: identical
+texts embed identically, so self-retrieval must be exact."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from text_similarity_tpu.core.config import ARCH_PRESETS, IndexConfig
+from text_similarity_tpu.core.precision import FP32_PRECISION
+from text_similarity_tpu.data.tokenization import (
+    WordPieceTokenizer,
+    train_wordpiece_vocab,
+)
+from text_similarity_tpu.models import init_params
+from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+from text_similarity_tpu.models.cross_encoder import CrossEncoder
+from text_similarity_tpu.pipelines import (
+    SemanticSearchPipeline,
+    SentenceMiningPipeline,
+    RankingPipeline,
+    ClusteringPipeline,
+    TopicModelingPipeline,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast dark fox leaped over a sleepy dog",
+    "machine learning on tensor processing units",
+    "neural networks accelerate matrix multiplication",
+    "semantic similarity of short sentences",
+    "the stock market fell sharply on tuesday",
+    "investors worried about rising interest rates",
+    "the cat sat on the mat",
+    "a kitten rested on a rug",
+    "tokyo is the capital of japan",
+    "kyoto was the ancient capital of japan",
+    "rain is expected across the region tomorrow",
+] * 2  # duplicates make self-retrieval checks meaningful
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    vocab = train_wordpiece_vocab(CORPUS, vocab_size=512, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = ARCH_PRESETS["tiny-test"].replace(vocab_size=tok.vocab_size)
+    params = init_params(jax.random.PRNGKey(0), arch)
+    return SentenceEncoder(
+        params, arch, tokenizer=tok, precision=FP32_PRECISION
+    )
+
+
+@pytest.fixture(scope="module")
+def cross_encoder(encoder):
+    arch = encoder.arch
+    return CrossEncoder.init(
+        jax.random.PRNGKey(1), arch, tokenizer=encoder.tokenizer,
+        num_classes=1, precision=FP32_PRECISION,
+    )
+
+
+def test_search_pipeline_self_retrieval(encoder):
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    results = pipe([CORPUS[0], CORPUS[5]], max_num_results=3)
+    assert results[0][0][0] == CORPUS[0]
+    assert results[0][0][1] > 0.999  # exact duplicate: cosine ≈ 1
+    assert results[1][0][0] == CORPUS[5]
+
+
+def test_search_pipeline_add_remove(encoder):
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS[:6], use_ivf=False)
+    new_ids = pipe.add_documents(["completely new document about whales"])
+    res = pipe(["completely new document about whales"], 1)
+    assert res[0][0][2] == new_ids[0]
+    pipe.remove_documents(new_ids)
+    res = pipe(["completely new document about whales"], 1)
+    assert res[0][0][2] != new_ids[0]
+
+
+def test_search_pipeline_save_load(encoder, tmp_path):
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    pipe.save(str(tmp_path))
+    pipe2 = SemanticSearchPipeline(encoder, use_ivf=False)
+    pipe2.load_corpus(str(tmp_path))
+    r1 = pipe([CORPUS[3]], 2)
+    r2 = pipe2([CORPUS[3]], 2)
+    assert [x[2] for x in r1[0]] == [x[2] for x in r2[0]]
+
+
+def test_search_pipeline_ivf_path(encoder):
+    pipe = SemanticSearchPipeline(
+        encoder, corpus=CORPUS,
+        index_config=IndexConfig(num_clusters=4, num_probes=4, kmeans_iters=4),
+        use_ivf=True,
+    )
+    res = pipe([CORPUS[2]], 3)
+    assert res[0][0][0] == CORPUS[2]
+
+
+def test_mining_pipeline_finds_duplicates(encoder):
+    pipe = SentenceMiningPipeline(encoder)
+    pairs = pipe(CORPUS, k=2, min_score=0.99)
+    # every sentence has an exact duplicate 12 apart
+    found = {(i % 12, j % 12) for i, j, _ in pairs}
+    assert all(a == b for a, b in found)
+    assert len(pairs) >= 12
+
+
+def test_ranking_pipeline_runs(encoder, cross_encoder):
+    search = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    pipe = RankingPipeline(search, cross_encoder, retrieve_k=5)
+    out = pipe(["the quick brown fox"], top_k=3)
+    assert len(out) == 1 and len(out[0]) == 3
+    scores = [s for _, s, _ in out[0]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_clustering_pipeline(encoder):
+    pipe = ClusteringPipeline(encoder, num_clusters=3, iters=10)
+    clusters = pipe(CORPUS)
+    assert sum(len(v) for v in clusters.values()) == len(CORPUS)
+    # duplicates always cluster together
+    a = pipe.assignments(CORPUS)
+    assert (a[:12] == a[12:]).all()
+
+
+def test_topic_pipeline(encoder):
+    pipe = TopicModelingPipeline(
+        encoder, num_topics=4, reduce_dim=16, top_n_words=5
+    )
+    res = pipe(CORPUS)
+    assert len(res["assignments"]) == len(CORPUS)
+    assert all(len(w) <= 5 for w in res["topics"].values())
+    reduced = pipe.reduce_topics(res, CORPUS, target=2)
+    alive = {t for t in np.unique(reduced["assignments"]) if t >= 0}
+    assert len(alive) <= 2

@@ -1,0 +1,258 @@
+"""Batch builders: example lists → fixed-shape device batches.
+
+The TPU-native "smart batching" (reference SmartParaphraseDataloader,
+src/dataset/dataset.py:338-807): pairs are pre-tokenized once, sorted by
+max-side length, grouped into same-bucket batches of a fixed batch size
+(static shapes → one compile per bucket), tails padded with masked rows.
+
+Modes mirror the reference's (dataset.py:386-418):
+- ``build_pair_batches(mode="bi")``      ← standard/parallel (twin features)
+- ``build_pair_batches(mode="cross")``   ← standard sentence-pair
+                                           cross-encoder batches
+- ``build_sequence_batches``             ← sequence (document classification)
+- ``build_distill_batches``              ← distillation (student tokens +
+                                           teacher embeddings as targets)
+- ``build_word_batches``                 ← word (WiC span features)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .batching import BUCKETS, pick_bucket
+
+
+def _tok_rows(tokenizer, texts: Sequence[str], max_len: int) -> List[List[int]]:
+    return [
+        [tokenizer.cls_id]
+        + tokenizer.tokenize_to_ids(t)[: max_len - 2]
+        + [tokenizer.sep_id]
+        for t in texts
+    ]
+
+
+def _pad_rows(rows, batch_idx, bs, L, pad_id):
+    ids = np.full((bs, L), pad_id, np.int32)
+    mask = np.zeros((bs, L), np.int32)
+    for j, r in enumerate(batch_idx):
+        row = rows[r][:L]
+        ids[j, : len(row)] = row
+        mask[j, : len(row)] = 1
+    return ids, mask
+
+
+def build_pair_batches(
+    tokenizer,
+    pairs: Sequence,                  # [(a, b), ...]
+    targets: Sequence,                # labels / scores, len == len(pairs)
+    batch_size: int = 32,
+    max_len: int = 128,
+    mode: str = "bi",                 # "bi" (twin towers) | "cross" (joint)
+    buckets=BUCKETS,
+    shuffle: bool = True,
+    seed: int = 0,
+    target_dtype=np.float32,
+) -> List[Dict[str, np.ndarray]]:
+    rng = np.random.RandomState(seed)
+    targets = np.asarray(targets)
+
+    if mode == "cross":
+        enc = tokenizer.encode_pair_batch(
+            [p[0] for p in pairs], [p[1] for p in pairs],
+            max_len=max_len, pad_to=max_len,
+        )
+        ids_all, mask_all, tts_all = enc
+        lens = mask_all.sum(1)
+        order = np.argsort(lens, kind="stable")
+        batches = []
+        for s in range(0, len(order), batch_size):
+            g = order[s : s + batch_size]
+            L = pick_bucket(int(lens[g].max()), buckets)
+            bs = batch_size
+            ids = np.zeros((bs, L), np.int32)
+            ids[:, :] = tokenizer.pad_id
+            mask = np.zeros((bs, L), np.int32)
+            tts = np.zeros((bs, L), np.int32)
+            tgt = np.zeros((bs,), target_dtype)
+            valid = np.zeros((bs,), np.int32)
+            for j, r in enumerate(g):
+                ids[j, :L] = ids_all[r, :L]
+                mask[j, :L] = mask_all[r, :L]
+                tts[j, :L] = tts_all[r, :L]
+                tgt[j] = targets[r]
+                valid[j] = 1
+            batches.append(
+                {"ids": ids, "mask": mask, "type_ids": tts,
+                 "labels": tgt, "valid": valid}
+            )
+        if shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    rows_a = _tok_rows(tokenizer, [p[0] for p in pairs], max_len)
+    rows_b = _tok_rows(tokenizer, [p[1] for p in pairs], max_len)
+    lens = np.maximum(
+        [len(r) for r in rows_a], [len(r) for r in rows_b]
+    )
+    order = np.argsort(lens, kind="stable")
+    batches = []
+    for s in range(0, len(order), batch_size):
+        g = order[s : s + batch_size]
+        L = pick_bucket(int(lens[g].max()), buckets)
+        ids_a, mask_a = _pad_rows(rows_a, g, batch_size, L, tokenizer.pad_id)
+        ids_b, mask_b = _pad_rows(rows_b, g, batch_size, L, tokenizer.pad_id)
+        tgt = np.zeros((batch_size,), target_dtype)
+        valid = np.zeros((batch_size,), np.int32)
+        tgt[: len(g)] = targets[g]
+        valid[: len(g)] = 1
+        batches.append(
+            {"ids_a": ids_a, "mask_a": mask_a,
+             "ids_b": ids_b, "mask_b": mask_b,
+             "target": tgt, "valid": valid}
+        )
+    if shuffle:
+        rng.shuffle(batches)
+    return batches
+
+
+def build_sequence_batches(
+    tokenizer,
+    texts: Sequence[str],
+    labels: Sequence[int],
+    batch_size: int = 32,
+    max_len: int = 256,
+    buckets=BUCKETS,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> List[Dict[str, np.ndarray]]:
+    """Document-classification batches (reference smart_batching_sequence,
+    dataset.py:772-806)."""
+    rng = np.random.RandomState(seed)
+    rows = _tok_rows(tokenizer, texts, max_len)
+    labels = np.asarray(labels)
+    lens = np.asarray([len(r) for r in rows])
+    order = np.argsort(lens, kind="stable")
+    batches = []
+    for s in range(0, len(order), batch_size):
+        g = order[s : s + batch_size]
+        L = pick_bucket(int(lens[g].max()), buckets)
+        ids, mask = _pad_rows(rows, g, batch_size, L, tokenizer.pad_id)
+        lab = np.zeros((batch_size,), np.int32)
+        valid = np.zeros((batch_size,), np.int32)
+        lab[: len(g)] = labels[g]
+        valid[: len(g)] = 1
+        batches.append(
+            {"ids": ids, "mask": mask,
+             "type_ids": np.zeros_like(ids),
+             "labels": lab, "valid": valid}
+        )
+    if shuffle:
+        rng.shuffle(batches)
+    return batches
+
+
+def build_distill_batches(
+    student_tokenizer,
+    sentences: Sequence[str],
+    teacher_embeddings: np.ndarray,     # (N, D) precomputed teacher targets
+    batch_size: int = 32,
+    max_len: int = 128,
+    buckets=BUCKETS,
+    shuffle: bool = True,
+    seed: int = 0,
+    src_sentences: Optional[Sequence[str]] = None,
+) -> List[Dict[str, np.ndarray]]:
+    """Distillation batches: student tokens + teacher embedding targets
+    (reference smart_batching_distillation dataset.py:738-770 and the
+    multilingual parallel mode :687-736 — pass ``src_sentences`` for the
+    teacher-source / student-target split)."""
+    rng = np.random.RandomState(seed)
+    rows = _tok_rows(student_tokenizer, sentences, max_len)
+    lens = np.asarray([len(r) for r in rows])
+    order = np.argsort(lens, kind="stable")
+    d = teacher_embeddings.shape[1]
+    batches = []
+    for s in range(0, len(order), batch_size):
+        g = order[s : s + batch_size]
+        L = pick_bucket(int(lens[g].max()), buckets)
+        ids, mask = _pad_rows(rows, g, batch_size, L, student_tokenizer.pad_id)
+        tgt = np.zeros((batch_size, d), np.float32)
+        valid = np.zeros((batch_size,), np.int32)
+        tgt[: len(g)] = teacher_embeddings[g]
+        valid[: len(g)] = 1
+        batches.append(
+            {"ids_a": ids, "mask_a": mask,
+             "ids_b": ids, "mask_b": mask,   # unused by distill_mse loss
+             "target": tgt, "valid": valid}
+        )
+    if shuffle:
+        rng.shuffle(batches)
+    return batches
+
+
+def build_word_batches(
+    tokenizer,
+    examples: Sequence[Dict],           # load_wic rows
+    batch_size: int = 32,
+    max_len: int = 128,
+    max_span: int = 8,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> List[Dict[str, np.ndarray]]:
+    """WiC word-in-context batches: twin sentences + target-word sub-token
+    span indices (reference smart_batching_word dataset.py:482-529; the
+    word↔subtoken alignment of :353-379 is tokenizer.token_spans)."""
+    rng = np.random.RandomState(seed)
+
+    def encode_with_span(sent: str, word_idx: int):
+        spans = tokenizer.token_spans(sent)
+        row = [tokenizer.cls_id]
+        span_pos = [-1] * max_span
+        for wi, (w, positions) in enumerate(spans):
+            if len(row) >= max_len - 1:
+                break
+            if wi == word_idx:
+                for j, p in enumerate(range(len(row), len(row) + len(positions))):
+                    if j < max_span and p < max_len - 1:
+                        span_pos[j] = p
+            row.extend(tokenizer._wordpiece(w)[: max_len - 1 - len(row)])
+        row.append(tokenizer.sep_id)
+        return row, span_pos
+
+    rows_a, rows_b, spans_a, spans_b, labels = [], [], [], [], []
+    for ex in examples:
+        ra, sa = encode_with_span(ex["sent1"], ex["idx1"])
+        rb, sb = encode_with_span(ex["sent2"], ex["idx2"])
+        rows_a.append(ra)
+        rows_b.append(rb)
+        spans_a.append(sa)
+        spans_b.append(sb)
+        labels.append(ex["label"] if ex["label"] is not None else 0)
+
+    lens = np.maximum([len(r) for r in rows_a], [len(r) for r in rows_b])
+    order = np.argsort(lens, kind="stable")
+    batches = []
+    for s in range(0, len(order), batch_size):
+        g = order[s : s + batch_size]
+        L = pick_bucket(int(lens[g].max()))
+        ids_a, mask_a = _pad_rows(rows_a, g, batch_size, L, tokenizer.pad_id)
+        ids_b, mask_b = _pad_rows(rows_b, g, batch_size, L, tokenizer.pad_id)
+        sa = np.full((batch_size, max_span), -1, np.int32)
+        sb = np.full((batch_size, max_span), -1, np.int32)
+        lab = np.zeros((batch_size,), np.int32)
+        valid = np.zeros((batch_size,), np.int32)
+        for j, r in enumerate(g):
+            sa[j] = spans_a[r]
+            sb[j] = spans_b[r]
+            lab[j] = labels[r]
+            valid[j] = 1
+        batches.append(
+            {"ids_a": ids_a, "mask_a": mask_a, "span_a": sa,
+             "ids_b": ids_b, "mask_b": mask_b, "span_b": sb,
+             "target": lab, "valid": valid}
+        )
+    if shuffle:
+        rng.shuffle(batches)
+    return batches

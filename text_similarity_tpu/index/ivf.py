@@ -163,7 +163,9 @@ class IVFIndex:
         self, queries, k: int = 10, probes: Optional[int] = None,
         chunk_q: int = 16,
     ) -> Tuple[jax.Array, jax.Array]:
-        probes = probes or self.config.num_probes
+        probes = min(
+            probes or self.config.num_probes, self.num_base_clusters
+        )
         q = l2_normalize(jnp.asarray(queries))
         return _ivf_query_xla(
             q, self.centroids, self.data_padded, self.ids_padded,
@@ -182,7 +184,9 @@ class IVFIndex:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "xla":
             return self.query_xla(queries, k, probes)
-        probes = probes or self.config.num_probes
+        probes = min(
+            probes or self.config.num_probes, self.num_base_clusters
+        )
         q = l2_normalize(jnp.asarray(queries)).astype(jnp.float32)
         b, d = q.shape
         block_q = min(block_q, b)
@@ -290,7 +294,8 @@ def _ivf_kernel(
     probes_ref,   # scalar-prefetch (n_blocks, U) int32
     q_ref,        # (block_q, D)
     data_ref,     # (1, Mc, D) — cluster block selected by index_map
-    ids_ref,      # (1, Mc) int32
+    ids_ref,      # (1, 1, Mc) int32 (middle singleton keeps Mosaic's
+                  #  block-tiling rule satisfied: block dims == array dims)
     out_s_ref,    # (block_q, k)
     out_i_ref,    # (block_q, k)
     acc_s, acc_i,  # VMEM scratch (block_q, k)
@@ -307,7 +312,7 @@ def _ivf_kernel(
 
     q = q_ref[...].astype(jnp.float32)          # (block_q, D)
     data = data_ref[0].astype(jnp.float32)      # (Mc, D)
-    ids = ids_ref[0]                             # (Mc,)
+    ids = ids_ref[0, 0]                          # (Mc,)
     mc = data.shape[0]
     block_q = q.shape[0]
 
@@ -370,7 +375,9 @@ def _ivf_query_pallas(
         in_specs=[
             pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
             pl.BlockSpec((1, mc, d), lambda i, j, probes: (probes[i, j], 0, 0)),
-            pl.BlockSpec((1, mc), lambda i, j, probes: (probes[i, j], 0)),
+            pl.BlockSpec(
+                (1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0)
+            ),
         ],
         out_specs=[
             pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
@@ -392,5 +399,5 @@ def _ivf_query_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(probe_list, q, data_padded, ids_padded)
+    )(probe_list, q, data_padded, ids_padded[:, None, :])
     return out_s, out_i

@@ -1,0 +1,136 @@
+"""Word-level encoders for word-in-context (WiC) and graded word similarity
+(GWSC) tasks.
+
+Capability parity with reference src/models/word_encoder.py:8-144
+(``WordEncoderModel``/``GWSCModel``: encode both sentences, pool the target
+word's sub-token span, compare) and the frozen ``ContextualEmbedder``
+(src/modules/contextual_embedder.py:8-86: summed last-4-layer hidden
+states). The reference's WordNet sense-embedding concat (ARES/LMMS lookup,
+utils.py:190-262) maps to ``sense_bank`` — an optional (S, Ds) embedding
+matrix whose best-matching row (1-NN cosine against the contextual word
+vector) is concatenated before scoring.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EncoderArch
+from ..core.precision import Precision, DEFAULT_PRECISION
+from .encoder import encoder_forward
+from .pooling import word_span_pool
+
+
+def contextual_word_embedding(
+    enc_params: dict,
+    ids, mask, span,                    # (B,S), (B,S), (B,W)
+    *,
+    arch: EncoderArch,
+    precision: Precision = DEFAULT_PRECISION,
+    last_k_layers: int = 4,
+    rng=None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Target-word vector: sum of the last k layers' hidden states pooled
+    over the word's sub-token span (ContextualEmbedder semantics,
+    contextual_embedder.py:38-64)."""
+    out = encoder_forward(
+        enc_params, ids, mask, arch=arch, precision=precision,
+        output_hidden_states=True, deterministic=deterministic,
+        dropout_rng=rng,
+    )
+    hs = out.hidden_states  # (L+1, B, S, H)
+    k = min(last_k_layers, hs.shape[0])
+    summed = jnp.sum(hs[-k:].astype(jnp.float32), axis=0)
+    return word_span_pool(summed, span)
+
+
+def match_sense(word_vecs: jax.Array, sense_bank: jax.Array) -> jax.Array:
+    """1-NN cosine lookup into a sense-embedding bank → matched sense rows
+    (reference utils.py:190-262)."""
+    w = word_vecs / jnp.maximum(
+        jnp.linalg.norm(word_vecs, axis=-1, keepdims=True), 1e-12
+    )
+    s = sense_bank / jnp.maximum(
+        jnp.linalg.norm(sense_bank, axis=-1, keepdims=True), 1e-12
+    )
+    sims = w.astype(jnp.float32) @ s.astype(jnp.float32).T
+    best = jnp.argmax(sims, axis=-1)
+    return sense_bank[best]
+
+
+class WordEncoder:
+    """Twin-tower word-in-context model: cosine of the two word vectors
+    (optionally sense-augmented) predicts same-sense / different-sense."""
+
+    def __init__(
+        self,
+        enc_params: dict,
+        arch: EncoderArch,
+        tokenizer=None,
+        sense_bank: Optional[jax.Array] = None,
+        last_k_layers: int = 4,
+        precision: Precision = DEFAULT_PRECISION,
+    ):
+        self.enc_params = enc_params
+        self.arch = arch
+        self.tokenizer = tokenizer
+        self.sense_bank = sense_bank
+        self.last_k_layers = last_k_layers
+        self.precision = precision
+        self._jit = {}
+
+    def _word_vec(self, ids, mask, span):
+        v = contextual_word_embedding(
+            self.enc_params, ids, mask, span,
+            arch=self.arch, precision=self.precision,
+            last_k_layers=self.last_k_layers,
+        )
+        if self.sense_bank is not None:
+            sense = match_sense(v, self.sense_bank)
+            v = jnp.concatenate([v, sense.astype(v.dtype)], axis=-1)
+        return v
+
+    def score_tokens(self, batch) -> np.ndarray:
+        """Cosine similarity of the two target-word vectors per pair."""
+        key = batch["ids_a"].shape
+        if key not in self._jit:
+            def fn(ids_a, mask_a, span_a, ids_b, mask_b, span_b):
+                u = self._word_vec(ids_a, mask_a, span_a).astype(jnp.float32)
+                v = self._word_vec(ids_b, mask_b, span_b).astype(jnp.float32)
+                un = jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-12)
+                vn = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-12)
+                return jnp.sum(u * v, axis=-1) / (un * vn)
+
+            self._jit[key] = jax.jit(fn)
+        return np.asarray(
+            self._jit[key](
+                jnp.asarray(batch["ids_a"]), jnp.asarray(batch["mask_a"]),
+                jnp.asarray(batch["span_a"]), jnp.asarray(batch["ids_b"]),
+                jnp.asarray(batch["mask_b"]), jnp.asarray(batch["span_b"]),
+            )
+        )
+
+    def evaluate_wic(self, batches) -> dict:
+        """Best-threshold accuracy over cosine scores (WiC protocol,
+        reference experiments/eval_wic.py:12-126)."""
+        from ..evaluation.meters import best_threshold_accuracy
+
+        scores, labels = [], []
+        for b in batches:
+            s = self.score_tokens(b)
+            v = b["valid"].astype(bool)
+            scores.append(s[v])
+            labels.append(np.asarray(b["target"])[v])
+        return best_threshold_accuracy(
+            np.concatenate(scores), np.concatenate(labels)
+        )
+
+    def graded_similarity(self, batches) -> np.ndarray:
+        """GWSC: graded word-similarity-in-context scores (cosine change),
+        reference word_encoder.py:53-144."""
+        return np.concatenate([self.score_tokens(b) for b in batches])

@@ -1,0 +1,163 @@
+"""Topic modeling pipeline: embed → reduce → cluster → class-based TF-IDF.
+
+Capability parity with the reference's BERTopic-style pipeline
+(src/pipeline/topic_modeling.py:54-283: encode → UMAP → HDBSCAN → c-TF-IDF
+→ top-n words, with topic reduction). TPU-native substitutions per
+SURVEY.md §7 stage 7:
+
+- dimensionality reduction: PCA via on-device SVD (UMAP is a host-side C++
+  dependency; PCA preserves the embed→reduce capability),
+- clustering: spherical k-means (ops/kmeans) with an outlier rule
+  (distance-to-centroid below threshold → topic −1) standing in for
+  HDBSCAN's noise label,
+- c-TF-IDF scoring and topic merge implemented exactly as the reference's
+  math (topic_modeling.py:106-118 — tf·log(1+A/w) formulation; :129-151
+  merge of least-frequent topics into nearest neighbor).
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmeans import kmeans
+from ..ops.topk import l2_normalize
+
+_WORD_RE = re.compile(r"[a-zA-Z][a-zA-Z\-']+")
+
+# minimal English stoplist for topic words
+_STOP = set(
+    """the a an and or of to in is are was were be been it its this that
+    these those for with as on at by from not no but if then so such can
+    could would should may might will shall do does did done have has had
+    i you he she we they them his her their our your my me us""".split()
+)
+
+
+def _tokenize_doc(text: str) -> List[str]:
+    return [
+        w.lower()
+        for w in _WORD_RE.findall(text)
+        if w.lower() not in _STOP and len(w) > 2
+    ]
+
+
+def pca_reduce(emb: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """On-device PCA via SVD of the centered embedding matrix."""
+    x = jnp.asarray(emb, jnp.float32)
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    xc = x - mu
+    # economy SVD on (N, D): project on top-`dim` right singular vectors
+    _, _, vt = jnp.linalg.svd(xc, full_matrices=False)
+    return xc @ vt[:dim].T
+
+
+def class_tfidf(
+    docs_per_topic: Dict[int, List[str]], top_n: int = 10
+) -> Dict[int, List[Tuple[str, float]]]:
+    """c-TF-IDF: per-topic term frequency × log(1 + avg_docs_per_topic /
+    term_doc_frequency) — the reference's formulation
+    (topic_modeling.py:106-118)."""
+    topic_tf: Dict[int, collections.Counter] = {}
+    word_topic_freq: collections.Counter = collections.Counter()
+    for t, docs in docs_per_topic.items():
+        c = collections.Counter()
+        for d in docs:
+            c.update(_tokenize_doc(d))
+        topic_tf[t] = c
+        for w in c:
+            word_topic_freq[w] += c[w]
+    a = np.mean([sum(c.values()) or 1 for c in topic_tf.values()])
+    out = {}
+    for t, c in topic_tf.items():
+        total = sum(c.values()) or 1
+        scored = [
+            (w, (cnt / total) * np.log(1 + a / word_topic_freq[w]))
+            for w, cnt in c.items()
+        ]
+        scored.sort(key=lambda x: -x[1])
+        out[t] = scored[:top_n]
+    return out
+
+
+class TopicModelingPipeline:
+    def __init__(
+        self,
+        encoder,
+        num_topics: int = 20,
+        reduce_dim: int = 32,
+        top_n_words: int = 10,
+        outlier_quantile: float = 0.0,  # 0 = no outliers; e.g. 0.05
+        batch_size: int = 128,
+    ):
+        self.encoder = encoder
+        self.num_topics = num_topics
+        self.reduce_dim = reduce_dim
+        self.top_n_words = top_n_words
+        self.outlier_quantile = outlier_quantile
+        self.batch_size = batch_size
+
+    def __call__(self, corpus: Sequence[str]) -> dict:
+        emb = self.encoder.encode(corpus, batch_size=self.batch_size)
+        x = jnp.asarray(emb)
+        if self.reduce_dim and self.reduce_dim < x.shape[1]:
+            x = pca_reduce(x, self.reduce_dim)
+        x = l2_normalize(x)
+        k = min(self.num_topics, max(len(corpus) // 4, 1))
+        centroids, assign = kmeans(x, k, iters=20)
+        assign = np.asarray(assign)
+
+        # outlier rule: lowest-similarity docs to their centroid → topic -1
+        if self.outlier_quantile > 0:
+            sims = np.asarray(
+                jnp.sum(x * centroids[assign], axis=1)
+            )
+            thr = np.quantile(sims, self.outlier_quantile)
+            assign = np.where(sims < thr, -1, assign)
+
+        docs_per_topic: Dict[int, List[str]] = {}
+        for i, t in enumerate(assign):
+            docs_per_topic.setdefault(int(t), []).append(corpus[i])
+        words = class_tfidf(docs_per_topic, self.top_n_words)
+        sizes = {t: len(d) for t, d in docs_per_topic.items()}
+        return {
+            "assignments": assign,
+            "topics": words,
+            "sizes": sizes,
+            "centroids": np.asarray(centroids),
+        }
+
+    def reduce_topics(
+        self, result: dict, corpus: Sequence[str], target: int
+    ) -> dict:
+        """Merge least-frequent topics into their nearest topic by centroid
+        cosine (reference topic_modeling.py:129-151)."""
+        assign = np.array(result["assignments"])
+        centroids = np.array(result["centroids"])
+        alive = sorted(
+            {int(t) for t in np.unique(assign) if t >= 0},
+            key=lambda t: result["sizes"].get(t, 0),
+        )
+        while len(alive) > target:
+            smallest = alive.pop(0)
+            c = centroids[smallest]
+            sims = centroids[alive] @ c
+            tgt = alive[int(np.argmax(sims))]
+            n_s = np.sum(assign == smallest)
+            n_t = np.sum(assign == tgt)
+            centroids[tgt] = (centroids[tgt] * n_t + c * n_s) / max(n_s + n_t, 1)
+            assign[assign == smallest] = tgt
+        docs_per_topic: Dict[int, List[str]] = {}
+        for i, t in enumerate(assign):
+            docs_per_topic.setdefault(int(t), []).append(corpus[i])
+        return {
+            "assignments": assign,
+            "topics": class_tfidf(docs_per_topic, self.top_n_words),
+            "sizes": {t: len(d) for t, d in docs_per_topic.items()},
+            "centroids": centroids,
+        }
