@@ -1,0 +1,249 @@
+"""Compression tests: layer-drop distillation, theseus replacement,
+head/FFN pruning rewires, int8 quantization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_similarity_tpu.core.config import ARCH_PRESETS, TrainConfig
+from text_similarity_tpu.core.precision import FP32_PRECISION
+from text_similarity_tpu.models import init_params, encoder_forward
+from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+from text_similarity_tpu.data.tokenization import (
+    WordPieceTokenizer,
+    train_wordpiece_vocab,
+)
+
+ARCH = ARCH_PRESETS["tiny-test"].replace(
+    num_layers=4, hidden_dropout=0.0, attention_dropout=0.0
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast dark fox leaped over a sleepy dog",
+    "machine learning on tensor processing units",
+    "semantic similarity of sentences",
+    "the dog sleeps while the fox runs",
+    "investors worried about rising interest rates",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def teacher():
+    vocab = train_wordpiece_vocab(CORPUS, 512, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = ARCH.replace(vocab_size=tok.vocab_size)
+    params = init_params(jax.random.PRNGKey(0), arch)
+    return SentenceEncoder(params, arch, tokenizer=tok, precision=FP32_PRECISION)
+
+
+def test_extract_student_layers(teacher):
+    from text_similarity_tpu.compress.distill import (
+        extract_student_layers,
+        every_other_layers,
+    )
+
+    keep = every_other_layers(4, 2)
+    assert len(keep) == 2 and keep[-1] == 3
+    student = extract_student_layers(teacher.params, keep)
+    sw = np.asarray(student["layers"]["attn"]["q"]["w"])
+    tw = np.asarray(teacher.params["layers"]["attn"]["q"]["w"])
+    np.testing.assert_array_equal(sw[0], tw[keep[0]])
+    np.testing.assert_array_equal(sw[1], tw[keep[1]])
+
+
+def test_distillation_improves_mse(teacher):
+    from text_similarity_tpu.compress.distill import SentenceEncoderDistiller
+
+    distiller = SentenceEncoderDistiller(
+        teacher,
+        num_student_layers=2,
+        train_config=TrainConfig(
+            lr=5e-4, epochs=3, batch_size=8, bf16=False, warmup_ratio=0.0
+        ),
+    )
+    student = distiller.distill(CORPUS)
+    assert student.arch.num_layers == 2
+    t = teacher.encode(CORPUS[:6])
+    s = student.encode(CORPUS[:6])
+    # distilled student approximates teacher embeddings
+    cos = np.sum(t * s, axis=1)
+    assert cos.mean() > 0.5, cos
+
+
+def test_theseus_forward_rate_extremes(teacher):
+    from text_similarity_tpu.compress.theseus import (
+        theseus_encoder_forward,
+        init_successors_from_predecessors,
+    )
+
+    arch = teacher.arch
+    params = teacher.params
+    succ = init_successors_from_predecessors(params["layers"], 2)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(5, arch.vocab_size, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+
+    # rate 0 → pure predecessor == stock forward
+    out0 = theseus_encoder_forward(
+        params["layers"], succ, params["embeddings"], ids, mask,
+        arch=arch, replace_rate=0.0, rng=jax.random.PRNGKey(0),
+        precision=FP32_PRECISION,
+    )
+    ref = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION
+    ).last_hidden_state
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref), atol=1e-4)
+
+    # rate 1 → pure successor == 2-layer student forward
+    out1 = theseus_encoder_forward(
+        params["layers"], succ, params["embeddings"], ids, mask,
+        arch=arch, replace_rate=1.0, rng=jax.random.PRNGKey(0),
+        precision=FP32_PRECISION,
+    )
+    student_params = {"embeddings": params["embeddings"], "layers": succ}
+    ref1 = encoder_forward(
+        student_params, ids, mask,
+        arch=arch.replace(num_layers=2), precision=FP32_PRECISION,
+    ).last_hidden_state
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=1e-4)
+
+
+def test_replacement_scheduler():
+    from text_similarity_tpu.compress.theseus import ReplacementScheduler
+
+    s = ReplacementScheduler(0.3, 0.01)
+    assert s.rate(0) == 0.3
+    assert abs(s.rate(10) - 0.4) < 1e-9
+    assert s.rate(1000) == 1.0
+
+
+def test_prune_rewire_forward_and_importance(teacher):
+    from text_similarity_tpu.compress.prune import (
+        head_importance,
+        ffn_importance,
+        prune_rewire,
+        head_mask_from_importance,
+    )
+    from text_similarity_tpu.train.steps import (
+        classifier_forward,
+        init_classifier_head,
+    )
+
+    arch = teacher.arch
+    params = {
+        "encoder": teacher.params,
+        "head": init_classifier_head(jax.random.PRNGKey(3), arch.hidden_size, 2),
+    }
+    rng = np.random.RandomState(0)
+    batches = [
+        {
+            "ids": rng.randint(5, arch.vocab_size, (4, 16)).astype(np.int32),
+            "mask": np.ones((4, 16), np.int32),
+            "labels": rng.randint(0, 2, (4,)).astype(np.int32),
+            "valid": np.ones((4,), np.int32),
+        }
+        for _ in range(2)
+    ]
+    hi = head_importance(params, arch, batches)
+    fi = ffn_importance(params, arch, batches)
+    assert hi.shape == (4, 4) and (hi >= 0).all()
+    assert fi.shape == (4, arch.intermediate_size)
+
+    hm = head_mask_from_importance(hi, 0.5)
+    assert hm.sum() == 4 * 2
+
+    pruned, new_arch = prune_rewire(
+        teacher.params, arch, hi, fi, target_heads=2, target_ffn=64
+    )
+    assert new_arch.num_heads == 2 and new_arch.head_dim == arch.head_dim
+    out = encoder_forward(
+        pruned,
+        jnp.asarray(batches[0]["ids"]),
+        jnp.asarray(batches[0]["mask"]),
+        arch=new_arch,
+        precision=FP32_PRECISION,
+    )
+    assert out.last_hidden_state.shape == (4, 16, arch.hidden_size)
+    assert np.isfinite(np.asarray(out.last_hidden_state)).all()
+
+
+def test_prune_keeps_important_heads(teacher):
+    """Pruning to ALL heads/neurons must reproduce the original forward."""
+    from text_similarity_tpu.compress.prune import prune_rewire
+
+    arch = teacher.arch
+    l, nh, i = arch.num_layers, arch.num_heads, arch.intermediate_size
+    hi = np.random.RandomState(0).rand(l, nh)
+    fi = np.random.RandomState(1).rand(l, i)
+    pruned, new_arch = prune_rewire(
+        teacher.params, arch, hi, fi, target_heads=nh, target_ffn=i
+    )
+    ids = jnp.asarray(
+        np.random.RandomState(2).randint(5, arch.vocab_size, (2, 16)), jnp.int32
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    a = encoder_forward(
+        teacher.params, ids, mask, arch=arch, precision=FP32_PRECISION
+    ).last_hidden_state
+    b = encoder_forward(
+        pruned, ids, mask, arch=new_arch, precision=FP32_PRECISION
+    ).last_hidden_state
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_int8_quantization_roundtrip(teacher):
+    from text_similarity_tpu.compress.quantize import (
+        quantize_params_int8,
+        dequantize_params,
+    )
+
+    q = quantize_params_int8(teacher.params)
+    deq = dequantize_params(q, dtype=jnp.float32)
+    w = np.asarray(teacher.params["layers"]["attn"]["q"]["w"])
+    wd = np.asarray(deq["layers"]["attn"]["q"]["w"])
+    rel = np.abs(w - wd).max() / np.abs(w).max()
+    assert rel < 0.02  # int8 per-channel: <2% relative error
+    # biases untouched
+    np.testing.assert_array_equal(
+        np.asarray(teacher.params["layers"]["attn"]["q"]["b"]),
+        np.asarray(deq["layers"]["attn"]["q"]["b"]),
+    )
+
+
+def test_int8_encoder_embeddings_close(teacher):
+    from text_similarity_tpu.compress.quantize import (
+        quantize_params_int8,
+        dequantize_params,
+    )
+
+    q8 = dequantize_params(quantize_params_int8(teacher.params), jnp.float32)
+    enc8 = SentenceEncoder(
+        q8, teacher.arch, tokenizer=teacher.tokenizer, precision=FP32_PRECISION
+    )
+    a = teacher.encode(CORPUS[:4])
+    b = enc8.encode(CORPUS[:4])
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.98, cos
+
+
+def test_int8_search_scores(teacher):
+    from text_similarity_tpu.compress.quantize import (
+        quantize_embeddings_int8,
+        int8_matmul_scores,
+    )
+
+    rng = np.random.RandomState(0)
+    corpus = rng.randn(200, 32).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = corpus[:8]
+    cq, cs = quantize_embeddings_int8(jnp.asarray(corpus))
+    scores = np.asarray(int8_matmul_scores(jnp.asarray(q), cq, cs))
+    exact = q @ corpus.T
+    # ranking preserved: top-1 identical
+    np.testing.assert_array_equal(
+        np.argmax(scores, axis=1), np.argmax(exact, axis=1)
+    )
+    assert np.abs(scores - exact).max() < 0.05

@@ -1,0 +1,147 @@
+"""Distillation: layer-drop student init + embedding-matching training.
+
+Parity with the reference's ``SentenceEncoderDistiller``
+(src/modules/model_compression.py:1070-1186 — SBERT-style: initialize the
+student by keeping a subset of teacher layers, train with MSE to the
+teacher's sentence embeddings) and the multilingual teacher→student flow
+(src/training/make_multilingual.py:18-127 — teacher encodes the source
+side, the student learns to embed both sides to the teacher's vector).
+
+TPU-native notes: layers are stacked on a leading axis, so "keep layers
+[0, 2, 4]" is a single gather — no module surgery. Teacher targets are
+precomputed in one batched inference sweep (the reference recomputes
+teacher embeddings inside the train loop per step,
+dataset.py:242-245/modules.py:349-365; precomputation removes the teacher
+from the hot loop entirely)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EncoderArch, TrainConfig
+from ..core.precision import precision_for
+from ..data.pairs import build_distill_batches
+from ..train import (
+    make_optimizer,
+    make_bi_encoder_train_step,
+    init_train_state,
+)
+from ..utils.logging import get_logger
+
+logger = get_logger("distill")
+
+
+def extract_student_layers(
+    teacher_params: dict, keep_layers: Sequence[int]
+) -> dict:
+    """Student params = teacher with a subset of layers (stacked-axis
+    gather). Embeddings/pooler/projection are shared as-is."""
+    idx = jnp.asarray(list(keep_layers), jnp.int32)
+    # Copy non-layer leaves: the student will be trained with donated
+    # buffers, and sharing references with the live teacher would let
+    # donation delete the teacher's params out from under it.
+    student = {
+        k: jax.tree.map(jnp.array, v)
+        for k, v in teacher_params.items()
+        if k != "layers"
+    }
+    student["layers"] = jax.tree.map(
+        lambda p: p[idx], teacher_params["layers"]
+    )
+    return student
+
+
+def every_other_layers(num_layers: int, keep: int) -> List[int]:
+    """Evenly spaced layer subset, always keeping the last layer
+    (the reference keeps alternating layers, model_compression.py:1101-1113)."""
+    if keep >= num_layers:
+        return list(range(num_layers))
+    idx = np.linspace(0, num_layers - 1, keep)
+    return sorted({int(round(i)) for i in idx})
+
+
+class SentenceEncoderDistiller:
+    """Distill a SentenceEncoder teacher into a shallower student."""
+
+    def __init__(
+        self,
+        teacher,                       # SentenceEncoder
+        keep_layers: Optional[Sequence[int]] = None,
+        num_student_layers: Optional[int] = None,
+        train_config: TrainConfig = TrainConfig(lr=1e-4, epochs=1),
+    ):
+        self.teacher = teacher
+        if keep_layers is None:
+            keep_layers = every_other_layers(
+                teacher.arch.num_layers,
+                num_student_layers or teacher.arch.num_layers // 2,
+            )
+        self.keep_layers = list(keep_layers)
+        self.cfg = train_config
+        self.student_arch = teacher.arch.replace(
+            num_layers=len(self.keep_layers)
+        )
+
+    def distill(
+        self,
+        sentences: Sequence[str],
+        eval_fn: Optional[Callable] = None,
+        src_sentences: Optional[Sequence[str]] = None,
+        batch_size: Optional[int] = None,
+        max_len: int = 128,
+    ):
+        """Train the student to match teacher embeddings on ``sentences``.
+
+        Multilingual mode: pass ``src_sentences`` (teacher encodes these —
+        e.g. English sources) while the student embeds ``sentences`` (e.g.
+        target-language side). Returns a student SentenceEncoder."""
+        from ..models.sentence_encoder import SentenceEncoder
+
+        bs = batch_size or self.cfg.batch_size
+        teacher_inputs = list(src_sentences or sentences)
+        logger.info("computing teacher targets for %d sentences", len(teacher_inputs))
+        teacher_emb = self.teacher.encode(teacher_inputs, batch_size=bs)
+
+        batches = build_distill_batches(
+            self.teacher.tokenizer, list(sentences), teacher_emb,
+            batch_size=bs, max_len=max_len, seed=self.cfg.seed,
+        )
+
+        student_params = extract_student_layers(
+            self.teacher.params, self.keep_layers
+        )
+        params = {"encoder": student_params}
+        total_steps = len(batches) * self.cfg.epochs
+        tx = make_optimizer(self.cfg, total_steps, params_example=params)
+        state = init_train_state(params, tx, seed=self.cfg.seed)
+        step = make_bi_encoder_train_step(
+            self.student_arch, tx, loss_type="distill_mse",
+            pooling=self.teacher.pooling,
+            precision=precision_for(self.cfg.bf16),
+        )
+
+        for epoch in range(self.cfg.epochs):
+            pend = []
+            for b in batches:
+                state, m = step(state, jax.tree.map(jnp.asarray, b))
+                pend.append(m["loss"])
+            losses = [float(x) for x in jax.device_get(pend)]
+            logger.info(
+                "distill epoch %d: mse %.6f -> %.6f",
+                epoch, losses[0], np.mean(losses[-10:]),
+            )
+            if eval_fn is not None:
+                logger.info("eval: %s", eval_fn(state))
+
+        student = SentenceEncoder(
+            state.params["encoder"],
+            self.student_arch,
+            tokenizer=self.teacher.tokenizer,
+            pooling=self.teacher.pooling,
+            precision=self.teacher.precision,
+        )
+        return student

@@ -54,10 +54,13 @@ class EncoderArch:
     # Attention dropout / hidden dropout (train-time only).
     attention_dropout: float = 0.1
     hidden_dropout: float = 0.1
+    # Head-pruned models keep the original per-head width while num_heads
+    # shrinks; 0 = derive from hidden_size // num_heads.
+    head_dim_override: int = 0
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_heads
+        return self.head_dim_override or self.hidden_size // self.num_heads
 
     @property
     def embedding_size(self) -> int:

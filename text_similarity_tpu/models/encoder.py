@@ -160,6 +160,66 @@ def _dropout(x, rate, key, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+def transformer_layer(
+    hx: jax.Array,                 # (B, S, H)
+    lp: dict,                      # one layer's params (unstacked)
+    attention_mask: jax.Array,     # (B, S)
+    *,
+    arch: EncoderArch,
+    precision: Precision = DEFAULT_PRECISION,
+    head_mask: Optional[jax.Array] = None,   # (num_heads,)
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    attention_impl: str = "auto",
+) -> jax.Array:
+    """One post-LN transformer block: MHA + residual + LN, FFN + residual +
+    LN. Shared by the stock encoder scan, the theseus mixed stack
+    (compress/theseus.py), and pruning rewires."""
+    b, s, h = hx.shape
+    nh, hd = arch.num_heads, arch.head_dim
+    attn, mlp = lp["attn"], lp["mlp"]
+    act = _act(arch.hidden_act)
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
+
+    def dense(x_, wb):
+        return (
+            jnp.einsum(
+                "bsh,ho->bso", x_, wb["w"],
+                preferred_element_type=precision.accum_dtype,
+            ).astype(x_.dtype)
+            + wb["b"]
+        )
+
+    q = dense(hx, attn["q"]).reshape(b, s, nh, hd)
+    k = dense(hx, attn["k"]).reshape(b, s, nh, hd)
+    v = dense(hx, attn["v"]).reshape(b, s, nh, hd)
+    ctx = multi_head_attention(
+        q, k, v, mask=attention_mask, head_mask=head_mask,
+        impl=attention_impl,
+    ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
+    ctx = dense(ctx, attn["o"])
+    ctx = _dropout(
+        ctx, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 0),
+        deterministic,
+    )
+    hx1 = _layer_norm(
+        hx + ctx, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
+        arch.layer_norm_eps,
+    )
+    ff = dense(hx1, mlp["in"])
+    ff = act(ff.astype(jnp.float32)).astype(hx1.dtype)
+    ff = dense(ff, mlp["out"])
+    ff = _dropout(
+        ff, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 1),
+        deterministic,
+    )
+    return _layer_norm(
+        hx1 + ff, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
+        arch.layer_norm_eps,
+    )
+
+
 def encoder_forward(
     params: dict,
     input_ids: jax.Array,               # (B, S) int32
@@ -209,7 +269,6 @@ def encoder_forward(
     )
     x = x.astype(precision.compute_dtype)
 
-    act = _act(arch.hidden_act)
     l = arch.num_layers
     if head_mask is None:
         hm_stack = jnp.ones((l, nh), jnp.float32)
@@ -230,49 +289,13 @@ def encoder_forward(
     def layer_body(carry, scanned):
         hx = carry
         lp, hm, gate, layer_idx = scanned
-        attn, mlp = lp["attn"], lp["mlp"]
-
-        def dense(x_, wb):
-            return (
-                jnp.einsum(
-                    "bsh,ho->bso", x_, wb["w"],
-                    preferred_element_type=precision.accum_dtype,
-                ).astype(x_.dtype)
-                + wb["b"]
-            )
-
-        q = dense(hx, attn["q"]).reshape(b, s, nh, hd)
-        k = dense(hx, attn["k"]).reshape(b, s, nh, hd)
-        v = dense(hx, attn["v"]).reshape(b, s, nh, hd)
-        ctx = multi_head_attention(
-            q, k, v,
-            mask=attention_mask,
+        hx2 = transformer_layer(
+            hx, lp, attention_mask,
+            arch=arch, precision=precision,
             head_mask=hm if use_head_mask else None,
-            impl=attention_impl,
-        ).reshape(b, s, h)
-        ctx = dense(ctx, attn["o"])
-        ctx = _dropout(
-            ctx,
-            arch.hidden_dropout,
-            jax.random.fold_in(dropout_rng, layer_idx * 2),
-            deterministic,
-        )
-        hx1 = _layer_norm(
-            hx + ctx, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
-            arch.layer_norm_eps,
-        )
-        ff = dense(hx1, mlp["in"])
-        ff = act(ff.astype(jnp.float32)).astype(hx1.dtype)
-        ff = dense(ff, mlp["out"])
-        ff = _dropout(
-            ff,
-            arch.hidden_dropout,
-            jax.random.fold_in(dropout_rng, layer_idx * 2 + 1),
-            deterministic,
-        )
-        hx2 = _layer_norm(
-            hx1 + ff, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
-            arch.layer_norm_eps,
+            dropout_rng=jax.random.fold_in(dropout_rng, layer_idx),
+            deterministic=deterministic,
+            attention_impl=attention_impl,
         )
         out = gate * hx2 + (1.0 - gate) * hx
         out = out.astype(hx.dtype)
