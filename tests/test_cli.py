@@ -1,0 +1,106 @@
+"""CLI smoke tests: real end-to-end runs of the training/eval/search
+subcommands on tiny synthetic datasets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from text_similarity_tpu.cli.main import main
+
+SENTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast dark fox leaped over a sleepy dog",
+    "machine learning on tensor processing units",
+    "semantic similarity of sentences",
+    "the dog sleeps while the fox runs",
+    "investors worried about interest rates",
+    "the cat sat on the mat",
+    "a kitten rested on a rug",
+]
+
+
+@pytest.fixture()
+def sts_file(tmp_path):
+    p = tmp_path / "sts.tsv"
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(16):
+        a, b = SENTS[i % 8], SENTS[(i + 1) % 8]
+        lines.append(f"{a}\t{b}\t{rng.uniform(0, 5):.2f}")
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+def _base_args(tmp_path, extra):
+    return extra + [
+        "--arch", "tiny-test", "--vocab-size", "512", "--fp32",
+        "--save-path", str(tmp_path / "run"),
+        "--batch-size", "4", "--epochs", "1", "--max-len", "32",
+    ]
+
+
+def test_cli_train_and_eval_sts(tmp_path, sts_file, capsys):
+    main(_base_args(tmp_path, ["train-sts", "--data", sts_file, "--no-eval"]))
+    assert os.path.exists(tmp_path / "run" / "arch.json")
+    main([
+        "eval-sts", "--model", str(tmp_path / "run"), "--data", sts_file,
+        "--fp32", "--save-path", str(tmp_path / "x"),
+    ])
+    out = capsys.readouterr().out
+    # eval prints the full metric bundle as json
+    assert "spearman_cosine" in out and "pearson_dot" in out
+
+
+def test_cli_train_nli(tmp_path):
+    p = tmp_path / "nli.tsv"
+    lines = [
+        f"{SENTS[i % 8]}\t{SENTS[(i + 3) % 8]}\t{lab}"
+        for i, lab in enumerate(
+            ["entailment", "neutral", "contradiction"] * 4
+        )
+    ]
+    p.write_text("\n".join(lines))
+    main(_base_args(tmp_path, ["train-nli", "--data", str(p)]))
+    assert os.path.exists(tmp_path / "run" / "LATEST")
+
+
+def test_cli_search_and_mine(tmp_path, capsys):
+    # train a tiny model first so search can load it
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(SENTS))
+    main([
+        "search", "--model", str(tmp_path / "run"), "--corpus", str(corpus),
+        "--query", SENTS[0], "--top-k", "3", "--fp32",
+        "--save-path", str(tmp_path / "x"), "--clusters", "2", "--probes", "2",
+    ])
+    out = capsys.readouterr().out
+    assert SENTS[0] in out  # self-retrieval
+
+    main([
+        "mine", "--corpus", str(corpus), "--model", str(tmp_path / "run"),
+        "--min-score", "-1", "--fp32", "--save-path", str(tmp_path / "x"),
+    ])
+    out = capsys.readouterr().out
+    assert len(out.splitlines()) > 0
+
+
+def test_cli_quantize_and_export(tmp_path):
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    main([
+        "quantize", "--model", str(tmp_path / "run"), "--fp32",
+        "--save-path", str(tmp_path / "int8"),
+    ])
+    assert os.path.exists(tmp_path / "int8" / "LATEST")
+    main([
+        "export", "--model", str(tmp_path / "run"), "--fp32",
+        "--save-path", str(tmp_path / "bundle"),
+        "--batch-sizes", "2", "--seq-lens", "16",
+    ])
+    assert os.path.exists(tmp_path / "bundle" / "manifest.json")

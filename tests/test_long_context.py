@@ -1,0 +1,118 @@
+"""Performer linear attention + ring attention (context parallelism)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from text_similarity_tpu.core.mesh import make_mesh, SEQ_AXIS
+from text_similarity_tpu.ops.attention import attention_reference
+from text_similarity_tpu.ops.performer import (
+    orthogonal_random_features,
+    performer_attention,
+    performer_attention_causal,
+)
+from text_similarity_tpu.ops.ring_attention import ring_attention
+
+
+def _qkv(b=2, s=64, h=2, d=32, seed=0, scale=0.3):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, s, h, d) * scale, jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d) * scale, jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    return q, k, v
+
+
+def test_performer_approximates_softmax():
+    q, k, v = _qkv()
+    proj = orthogonal_random_features(jax.random.PRNGKey(0), 256, 32)
+    approx = np.asarray(performer_attention(q, k, v, proj))
+    exact = np.asarray(attention_reference(q, k, v))
+    # FAVOR+ is unbiased; with 256 features correlation should be high
+    corr = np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_performer_respects_mask():
+    q, k, v = _qkv(seed=1)
+    mask = np.ones((2, 64), np.int32)
+    mask[:, 40:] = 0
+    proj = orthogonal_random_features(jax.random.PRNGKey(0), 128, 32)
+    out_full = performer_attention(q, k, v, proj, jnp.asarray(mask))
+    # masked keys must not influence the output: change them, output same
+    k2 = k.at[:, 40:].set(99.0)
+    v2 = v.at[:, 40:].set(-99.0)
+    out_changed = performer_attention(q, k2, v2, proj, jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_changed), atol=1e-5
+    )
+
+
+def test_performer_causal_matches_exact_causal():
+    """Chunked causal FAVOR+ must equal the O(n²) masked linear attention
+    computed with the same features."""
+    q, k, v = _qkv(b=1, s=96, h=2, d=16, seed=2)
+    proj = orthogonal_random_features(jax.random.PRNGKey(1), 64, 16)
+    out = np.asarray(performer_attention_causal(q, k, v, proj, chunk=32))
+
+    # oracle: explicit causal-masked feature attention
+    from text_similarity_tpu.ops.performer import softmax_kernel_features
+
+    qf = np.asarray(softmax_kernel_features(q, proj, True))
+    kf = np.asarray(softmax_kernel_features(k, proj, False))
+    vn = np.asarray(v)
+    s = np.einsum("bchm,bkhm->bhck", qf, kf)
+    tri = np.tril(np.ones((96, 96)))
+    s = s * tri[None, None]
+    num = np.einsum("bhck,bkhd->bchd", s, vn)
+    den = np.maximum(s.sum(-1).transpose(0, 2, 1), 1e-9)
+    oracle = num / den[..., None]
+    np.testing.assert_allclose(out, oracle, atol=1e-4, rtol=1e-3)
+
+
+def test_performer_encoder_forward_runs():
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.models import init_params, encoder_forward
+
+    arch = ARCH_PRESETS["tiny-test"].replace(
+        attention_type="performer", performer_features=32
+    )
+    params = init_params(jax.random.PRNGKey(0), arch)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(5, arch.vocab_size, (2, 24)), jnp.int32
+    )
+    mask = jnp.ones((2, 24), jnp.int32)
+    out = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION
+    )
+    assert np.isfinite(np.asarray(out.last_hidden_state)).all()
+
+
+def test_ring_attention_matches_single_device(eight_devices):
+    mesh = make_mesh(data=1, model=1, seq=8, index=1)
+    b, s, h, d = 2, 128, 2, 16  # 16 tokens per device
+    q, k, v = _qkv(b=b, s=s, h=h, d=d, seed=3)
+    mask = np.ones((b, s), np.int32)
+    mask[0, 100:] = 0
+    m = jnp.asarray(mask)
+
+    ref = np.asarray(attention_reference(q, k, v, m))
+
+    fn = shard_map(
+        lambda q_, k_, v_, m_: ring_attention(q_, k_, v_, m_, SEQ_AXIS),
+        mesh=mesh,
+        in_specs=(
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS),
+        ),
+        out_specs=P(None, SEQ_AXIS, None, None),
+    )
+    out = np.asarray(jax.jit(fn)(q, k, v, m))
+    keep = mask.astype(bool)
+    np.testing.assert_allclose(out[keep], ref[keep], atol=1e-5)

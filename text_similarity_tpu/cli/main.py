@@ -1,0 +1,569 @@
+"""Unified CLI: ``python -m text_similarity_tpu.cli <command>``.
+
+One entry point with subcommands replacing the reference's per-task script
+zoo (every ``if __name__ == "__main__"`` + argparse under src/training,
+src/evaluation, src/compression, src/pipeline — SURVEY.md §2.3 "CLI" row):
+
+  train-sts            ← src/training/train_sts.py
+  train-nli            ← src/training/train_nli.py
+  train-paws           ← src/training/train_paws.py (+ quora via --format)
+  train-classification ← src/training/train_classification.py
+  train-wic            ← src/training/train_wic.py
+  train-ner            ← src/training/train_ner.py
+  distill              ← src/compression/distill.py + make_multilingual.py
+  theseus              ← src/compression/distill_paws.py / distill_theseus
+  prune                ← src/compression/prune.py
+  quantize / export    ← convert_to_onnx.py / quantize (TPU-native bundle)
+  eval-sts             ← src/evaluation/eval_sts.py
+  eval-paws            ← src/evaluation/eval_pawsx.py
+  eval-tatoeba         ← src/evaluation/eval_tatoeba.py
+  search               ← src/evaluation/eval_semantic_search.py
+  mine                 ← src/evaluation/eval_sentence_mining.py
+  cluster / topics     ← src/pipeline/clustering.py / topic_modeling.py
+  bench                ← repo bench.py wrapper
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _jax():
+    import jax
+
+    cache = os.environ.get("TS_TPU_CACHE", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def _tokenizer(args, texts=None):
+    from ..data.tokenization import WordPieceTokenizer, load_tokenizer, train_wordpiece_vocab
+
+    if getattr(args, "tokenizer", None):
+        return load_tokenizer(args.tokenizer)
+    if texts is None:
+        raise SystemExit("--tokenizer required (no training texts to fit one)")
+    vocab = train_wordpiece_vocab(texts, vocab_size=args.vocab_size)
+    return WordPieceTokenizer(vocab)
+
+
+def _encoder(args, tokenizer=None, texts=None):
+    """Load a SentenceEncoder from --model dir, or init from --arch."""
+    from ..models.sentence_encoder import SentenceEncoder
+
+    if getattr(args, "model", None) and os.path.isdir(args.model):
+        return SentenceEncoder.load(args.model, bf16=not args.fp32)
+    jax = _jax()
+    from ..core.config import ARCH_PRESETS
+    from ..core.precision import precision_for
+    from ..models import init_params
+
+    tok = tokenizer or _tokenizer(args, texts)
+    arch = ARCH_PRESETS[args.arch].replace(vocab_size=tok.vocab_size)
+    params = init_params(jax.random.PRNGKey(args.seed), arch)
+    return SentenceEncoder(
+        params, arch, tokenizer=tok, pooling=args.pooling,
+        precision=precision_for(not args.fp32),
+    )
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--model", help="model dir to load (else random init)")
+    p.add_argument("--tokenizer", help="tokenizer dir (vocab.txt/tokenizer.json)")
+    p.add_argument("--arch", default="minilm-l6")
+    p.add_argument("--pooling", default="mean", choices=["mean", "cls", "max"])
+    p.add_argument("--vocab-size", type=int, default=30522)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--save-path", default="checkpoints/run")
+
+
+def _train_common(p: argparse.ArgumentParser):
+    _common(p)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-len", type=int, default=128)
+    p.add_argument("--warmup-ratio", type=float, default=0.1)
+    p.add_argument("--grad-accum", type=int, default=1)
+
+
+def _train_cfg(args):
+    from ..core.config import TrainConfig
+
+    return TrainConfig(
+        lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        warmup_ratio=args.warmup_ratio, grad_accum_steps=args.grad_accum,
+        seed=args.seed, bf16=not args.fp32, max_seq_len=args.max_len,
+    )
+
+
+def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
+                             target_dtype=np.float32):
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..data.pairs import build_pair_batches
+    from ..train import (
+        make_optimizer, make_bi_encoder_train_step, init_train_state,
+    )
+    from ..train.trainer import Trainer
+    from ..core.precision import precision_for
+
+    texts = [p[0] for p in pairs] + [p[1] for p in pairs]
+    enc = _encoder(args, texts=texts)
+    batches = build_pair_batches(
+        enc.tokenizer, pairs, targets, batch_size=args.batch_size,
+        max_len=args.max_len, seed=args.seed, target_dtype=target_dtype,
+    )
+    cfg = _train_cfg(args)
+    total = len(batches) * cfg.epochs
+    params = {"encoder": enc.params}
+    if loss_type == "softmax":
+        from ..train.steps import init_classifier_head
+
+        params["head"] = init_classifier_head(
+            jax.random.PRNGKey(args.seed + 1),
+            3 * enc.arch.hidden_size, args.num_classes,
+        )
+    tx = make_optimizer(cfg, total, params_example=params)
+    state = init_train_state(params, tx, seed=args.seed)
+    step = make_bi_encoder_train_step(
+        enc.arch, tx, loss_type=loss_type, pooling=args.pooling,
+        precision=precision_for(cfg.bf16),
+    )
+    trainer = Trainer(
+        step, state, save_path=args.save_path, eval_fn=eval_fn,
+        tracked_metric=getattr(args, "metric", "loss"),
+        direction="max" if eval_fn else "min",
+    )
+    result = trainer.execute(
+        lambda epoch: (jax.tree.map(jnp.asarray, b) for b in batches),
+        epochs=cfg.epochs,
+    )
+    enc.params = result["state"].params["encoder"]
+    enc.save(args.save_path)
+    print(json.dumps({"best_metric": result["best_metric"]}))
+    return enc, result
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+def cmd_train_sts(args):
+    from ..data.datasets import load_sts
+    from ..evaluation.evaluators import ParaphraseEvaluator
+
+    rows = load_sts(args.data)
+    pairs = [(a, b) for a, b, _ in rows]
+    scores = [s for _, _, s in rows]
+    eval_rows = load_sts(args.eval_data) if args.eval_data else None
+
+    holder = {}
+
+    def eval_fn(state):
+        from ..models.sentence_encoder import SentenceEncoder
+
+        enc = holder["enc"]
+        enc.params = state.params["encoder"]
+        enc._jit_cache.clear()
+        ev = ParaphraseEvaluator(enc, mode="regression")
+        rows_ = eval_rows or rows[:512]
+        return ev.evaluate(
+            [r[0] for r in rows_], [r[1] for r in rows_],
+            [r[2] for r in rows_],
+        )
+
+    args.metric = "spearman_cosine"
+    enc, _ = _run_bi_encoder_training(
+        args, pairs, scores, "cosine_mse",
+        eval_fn=eval_fn if not args.no_eval else None,
+    )
+    holder["enc"] = enc
+
+
+def cmd_train_nli(args):
+    from ..data.datasets import load_nli
+
+    rows = load_nli(args.data)
+    args.num_classes = 3
+    _run_bi_encoder_training(
+        args, [(a, b) for a, b, _ in rows], [l for _, _, l in rows],
+        "softmax", target_dtype=np.int32,
+    )
+
+
+def cmd_train_paws(args):
+    from ..data.datasets import load_paws, load_quora
+
+    rows = load_quora(args.data) if args.format == "quora" else load_paws(args.data)
+    loss = args.loss
+    _run_bi_encoder_training(
+        args, [(a, b) for a, b, _ in rows], [l for _, _, l in rows],
+        loss, target_dtype=np.float32,
+    )
+
+
+def cmd_train_classification(args):
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..data.datasets import load_documents_json
+    from ..data.pairs import build_sequence_batches
+    from ..train import (
+        make_optimizer, make_classifier_train_step, init_train_state,
+    )
+    from ..train.steps import init_classifier_head
+    from ..train.trainer import Trainer
+    from ..core.precision import precision_for
+
+    docs = load_documents_json(args.data, max_paragraph_words=args.paragraph_words)
+    labels = sorted({d["label"] for d in docs})
+    lab2id = {l: i for i, l in enumerate(labels)}
+    texts = [d["text"] for d in docs]
+    y = [lab2id[d["label"]] for d in docs]
+    enc = _encoder(args, texts=texts)
+    batches = build_sequence_batches(
+        enc.tokenizer, texts, y, batch_size=args.batch_size,
+        max_len=args.max_len, seed=args.seed,
+    )
+    cfg = _train_cfg(args)
+    params = {
+        "encoder": enc.params,
+        "head": init_classifier_head(
+            jax.random.PRNGKey(1), enc.arch.hidden_size, len(labels)
+        ),
+    }
+    tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
+    state = init_train_state(params, tx, seed=args.seed)
+    step = make_classifier_train_step(
+        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16)
+    )
+    trainer = Trainer(step, state, save_path=args.save_path)
+    result = trainer.execute(
+        lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),
+        epochs=cfg.epochs,
+    )
+    print(json.dumps({"labels": labels, "best": result["best_metric"]}))
+
+
+def cmd_train_ner(args):
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..data.datasets import load_conll_ner
+    from ..train import make_optimizer, init_train_state
+    from ..train.steps import (
+        make_token_classifier_train_step, init_classifier_head,
+    )
+    from ..train.trainer import Trainer
+
+    sents = load_conll_ner(args.data)
+    tags = sorted({t for s in sents for t in s["tags"]})
+    tag2id = {t: i for i, t in enumerate(tags)}
+    enc = _encoder(args, texts=[" ".join(s["tokens"]) for s in sents])
+    tok = enc.tokenizer
+
+    # build token batches: first sub-token gets the tag, rest -100
+    rows, tag_rows = [], []
+    for s in sents:
+        ids = [tok.cls_id]
+        tg = [-100]
+        for w, t in zip(s["tokens"], s["tags"]):
+            pieces = tok._wordpiece(w.lower() if tok.lowercase else w)
+            ids.extend(pieces[: args.max_len - 2 - len(ids)])
+            tg.extend([tag2id[t]] + [-100] * (len(pieces) - 1))
+            tg = tg[: len(ids)]
+            if len(ids) >= args.max_len - 1:
+                break
+        ids.append(tok.sep_id)
+        tg.append(-100)
+        rows.append(ids)
+        tag_rows.append(tg)
+
+    from ..data.batching import pick_bucket
+
+    batches = []
+    bs = args.batch_size
+    order = np.argsort([len(r) for r in rows])
+    for st in range(0, len(order), bs):
+        g = order[st : st + bs]
+        L = pick_bucket(max(len(rows[i]) for i in g))
+        ids = np.full((bs, L), tok.pad_id, np.int32)
+        mask = np.zeros((bs, L), np.int32)
+        tg = np.full((bs, L), -100, np.int32)
+        for j, i in enumerate(g):
+            ids[j, : len(rows[i])] = rows[i]
+            mask[j, : len(rows[i])] = 1
+            tg[j, : len(tag_rows[i])] = tag_rows[i]
+        batches.append({"ids": ids, "mask": mask, "tags": tg})
+
+    cfg = _train_cfg(args)
+    params = {
+        "encoder": enc.params,
+        "head": init_classifier_head(
+            jax.random.PRNGKey(1), enc.arch.hidden_size, len(tags)
+        ),
+    }
+    tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
+    state = init_train_state(params, tx)
+    step = make_token_classifier_train_step(enc.arch, tx)
+    trainer = Trainer(step, state, save_path=args.save_path)
+    result = trainer.execute(
+        lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),
+        epochs=cfg.epochs,
+    )
+    print(json.dumps({"tags": tags, "best": result["best_metric"]}))
+
+
+def cmd_distill(args):
+    from ..compress.distill import SentenceEncoderDistiller
+    from ..data.datasets import load_sentence_pool, load_parallel
+    from ..core.config import TrainConfig
+    from ..models.sentence_encoder import SentenceEncoder
+
+    teacher = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    if args.parallel_data:
+        pairs = load_parallel(args.parallel_data, max_pairs=args.max_sentences)
+        sentences = [t for _, t in pairs]
+        src = [s for s, _ in pairs]
+    else:
+        sentences = load_sentence_pool(args.data, max_sentences=args.max_sentences)
+        src = None
+    distiller = SentenceEncoderDistiller(
+        teacher,
+        num_student_layers=args.student_layers,
+        train_config=TrainConfig(
+            lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+            bf16=not args.fp32,
+        ),
+    )
+    student = distiller.distill(sentences, src_sentences=src)
+    student.save(args.save_path)
+    print(json.dumps({
+        "student_layers": student.arch.num_layers,
+        "saved": args.save_path,
+    }))
+
+
+def cmd_quantize(args):
+    jax = _jax()
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..compress.quantize import save_quantized
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    save_quantized(args.save_path, enc.params)
+    with open(os.path.join(args.save_path, "arch.json"), "w") as f:
+        f.write(enc.arch.to_json())
+    print(json.dumps({"saved": args.save_path, "format": "int8"}))
+
+
+def cmd_export(args):
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..compress.export import export_encoder_stablehlo
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    manifest = export_encoder_stablehlo(
+        enc, args.save_path,
+        batch_sizes=tuple(args.batch_sizes), seq_lens=tuple(args.seq_lens),
+    )
+    print(json.dumps(manifest["functions"]))
+
+
+def cmd_eval_sts(args):
+    from ..data.datasets import load_sts
+    from ..evaluation.evaluators import ParaphraseEvaluator
+    from ..models.sentence_encoder import SentenceEncoder
+
+    rows = load_sts(args.data)
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    ev = ParaphraseEvaluator(enc, mode="regression")
+    out = ev.evaluate(
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]
+    )
+    print(json.dumps(out, indent=2))
+
+
+def cmd_eval_paws(args):
+    from ..data.datasets import load_paws
+    from ..evaluation.evaluators import ParaphraseEvaluator
+    from ..models.sentence_encoder import SentenceEncoder
+
+    rows = load_paws(args.data)
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    ev = ParaphraseEvaluator(enc, mode="binary")
+    out = ev.evaluate(
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]
+    )
+    print(json.dumps(out, indent=2))
+
+
+def cmd_eval_tatoeba(args):
+    from ..data.datasets import load_parallel
+    from ..evaluation.evaluators import RetrievalEvaluator
+    from ..models.sentence_encoder import SentenceEncoder
+
+    pairs = load_parallel(args.data, max_pairs=args.max_pairs)
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    out = RetrievalEvaluator(enc).evaluate(
+        [s for s, _ in pairs], [t for _, t in pairs]
+    )
+    print(json.dumps(out, indent=2))
+
+
+def cmd_search(args):
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..pipelines import SemanticSearchPipeline
+    from ..core.config import IndexConfig
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    with open(args.corpus, encoding="utf-8") as f:
+        corpus = [l.strip() for l in f if l.strip()]
+    pipe = SemanticSearchPipeline(
+        enc, corpus=corpus,
+        index_config=IndexConfig(
+            num_clusters=args.clusters, num_probes=args.probes
+        ),
+    )
+    if args.query:
+        for row in pipe([args.query], args.top_k)[0]:
+            print(f"{row[1]:.4f}\t{row[0]}")
+        return
+    print("interactive search — empty line to exit")
+    while True:
+        q = input("query> ").strip()
+        if not q:
+            break
+        for row in pipe([q], args.top_k)[0]:
+            print(f"{row[1]:.4f}\t{row[0]}")
+
+
+def cmd_mine(args):
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..pipelines import SentenceMiningPipeline
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    with open(args.corpus, encoding="utf-8") as f:
+        corpus = [l.strip() for l in f if l.strip()]
+    pairs = SentenceMiningPipeline(enc)(
+        corpus, k=args.top_k, min_score=args.min_score
+    )
+    for i, j, s in pairs[: args.max_pairs]:
+        print(f"{s:.4f}\t{corpus[i]}\t{corpus[j]}")
+
+
+def cmd_topics(args):
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..pipelines import TopicModelingPipeline
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    with open(args.corpus, encoding="utf-8") as f:
+        corpus = [l.strip() for l in f if l.strip()]
+    res = TopicModelingPipeline(enc, num_topics=args.num_topics)(corpus)
+    for t, words in sorted(res["topics"].items()):
+        print(t, res["sizes"].get(t, 0), [w for w, _ in words])
+
+
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="text_similarity_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-sts"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--eval-data")
+    p.add_argument("--no-eval", action="store_true")
+    p.set_defaults(fn=cmd_train_sts)
+
+    p = sub.add_parser("train-nli"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.set_defaults(fn=cmd_train_nli)
+
+    p = sub.add_parser("train-paws"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--format", default="paws", choices=["paws", "quora"])
+    p.add_argument(
+        "--loss", default="online_contrastive",
+        choices=["contrastive", "online_contrastive", "mnrl", "cosine_mse"],
+    )
+    p.set_defaults(fn=cmd_train_paws)
+
+    p = sub.add_parser("train-classification"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--paragraph-words", type=int, default=0)
+    p.set_defaults(fn=cmd_train_classification)
+
+    p = sub.add_parser("train-ner"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.set_defaults(fn=cmd_train_ner)
+
+    p = sub.add_parser("distill"); _train_common(p)
+    p.add_argument("--data")
+    p.add_argument("--parallel-data")
+    p.add_argument("--student-layers", type=int, default=4)
+    p.add_argument("--max-sentences", type=int, default=100000)
+    p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("quantize"); _common(p)
+    p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("export"); _common(p)
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[32])
+    p.add_argument("--seq-lens", type=int, nargs="+", default=[128])
+    p.set_defaults(fn=cmd_export)
+
+    for name, fn in [
+        ("eval-sts", cmd_eval_sts),
+        ("eval-paws", cmd_eval_paws),
+        ("eval-tatoeba", cmd_eval_tatoeba),
+    ]:
+        p = sub.add_parser(name); _common(p)
+        p.add_argument("--data", required=True)
+        p.add_argument("--max-pairs", type=int, default=5000)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("search"); _common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--query")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--clusters", type=int, default=1024)
+    p.add_argument("--probes", type=int, default=16)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("mine"); _common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--min-score", type=float, default=0.8)
+    p.add_argument("--max-pairs", type=int, default=100)
+    p.set_defaults(fn=cmd_mine)
+
+    p = sub.add_parser("topics"); _common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--num-topics", type=int, default=10)
+    p.set_defaults(fn=cmd_topics)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,12 @@ class EncoderArch:
     # Head-pruned models keep the original per-head width while num_heads
     # shrinks; 0 = derive from hidden_size // num_heads.
     head_dim_override: int = 0
+    # Attention flavor: "softmax" (exact; flash kernel on TPU) or
+    # "performer" (FAVOR+ linear attention for long context — the
+    # reference's Performer-BERT capability, SURVEY.md §5.7).
+    attention_type: str = "softmax"
+    # Number of random features for performer attention (0 = head_dim).
+    performer_features: int = 0
 
     @property
     def head_dim(self) -> int:

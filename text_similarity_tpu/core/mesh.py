@@ -22,35 +22,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 INDEX_AXIS = "index"
 
 
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    seq: int = 1,
     index: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a 3-axis mesh over the given (default: all) devices.
+    """Build a 4-axis mesh over the given (default: all) devices.
 
-    ``data=-1`` absorbs whatever devices remain after model/index axes.
-    Axis order is (data, model, index): model-parallel groups stay on
-    adjacent devices so TP collectives ride the fastest ICI links.
+    ``data=-1`` absorbs whatever devices remain after the other axes.
+    Axis order is (data, model, seq, index): model-parallel groups stay on
+    adjacent devices so TP collectives ride the fastest ICI links; the seq
+    (context-parallel ring) axis sits next so ring ppermutes stay local.
     """
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
+    rest = model * seq * index
     if data == -1:
-        if n % (model * index) != 0:
+        if n % rest != 0:
             raise ValueError(
-                f"{n} devices not divisible by model*index={model * index}"
+                f"{n} devices not divisible by model*seq*index={rest}"
             )
-        data = n // (model * index)
-    if data * model * index != n:
-        raise ValueError(
-            f"mesh {data}x{model}x{index} != {n} devices"
-        )
-    arr = np.asarray(devs).reshape(data, model, index)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, INDEX_AXIS))
+        data = n // rest
+    if data * rest != n:
+        raise ValueError(f"mesh {data}x{model}x{seq}x{index} != {n} devices")
+    arr = np.asarray(devs).reshape(data, model, seq, index)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS, INDEX_AXIS))
 
 
 def local_mesh() -> Mesh:

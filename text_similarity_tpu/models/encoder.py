@@ -171,6 +171,7 @@ def transformer_layer(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     attention_impl: str = "auto",
+    performer_proj: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One post-LN transformer block: MHA + residual + LN, FFN + residual +
     LN. Shared by the stock encoder scan, the theseus mixed stack
@@ -196,7 +197,7 @@ def transformer_layer(
     v = dense(hx, attn["v"]).reshape(b, s, nh, hd)
     ctx = multi_head_attention(
         q, k, v, mask=attention_mask, head_mask=head_mask,
-        impl=attention_impl,
+        impl=attention_impl, performer_proj=performer_proj,
     ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
     ctx = dense(ctx, attn["o"])
     ctx = _dropout(
@@ -286,6 +287,16 @@ def encoder_forward(
         params["layers"],
     )
 
+    performer_proj = None
+    if arch.attention_type == "performer":
+        from ..ops.performer import orthogonal_random_features
+
+        m = arch.performer_features or arch.head_dim
+        performer_proj = orthogonal_random_features(
+            jax.random.PRNGKey(42), m, arch.head_dim
+        )
+        attention_impl = "performer"
+
     def layer_body(carry, scanned):
         hx = carry
         lp, hm, gate, layer_idx = scanned
@@ -296,6 +307,7 @@ def encoder_forward(
             dropout_rng=jax.random.fold_in(dropout_rng, layer_idx),
             deterministic=deterministic,
             attention_impl=attention_impl,
+            performer_proj=performer_proj,
         )
         out = gate * hx2 + (1.0 - gate) * hx
         out = out.astype(hx.dtype)

@@ -164,11 +164,27 @@ def multi_head_attention(
     mask: Optional[jax.Array] = None,
     head_mask: Optional[jax.Array] = None,
     impl: str = "auto",
+    performer_proj: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
-    """Dispatching MHA. impl: auto | flash | reference.
+    """Dispatching MHA. impl: auto | flash | reference | performer.
 
     ``flash`` requires no head_mask (pruning paths use ``reference``, which
-    exposes attention probabilities to the head-mask gradient)."""
+    exposes attention probabilities to the head-mask gradient).
+    ``performer`` needs a (m, head_dim) random-feature matrix."""
+    if impl == "performer":
+        from .performer import performer_attention, performer_attention_causal
+
+        if performer_proj is None:
+            raise ValueError("performer impl needs performer_proj features")
+        out = (
+            performer_attention_causal(q, k, v, performer_proj, mask)
+            if causal
+            else performer_attention(q, k, v, performer_proj, mask)
+        )
+        if head_mask is not None:
+            out = out * head_mask[None, None, :, None].astype(out.dtype)
+        return out
     if impl == "auto":
         # Flash pays off when the S×S score tensor is the memory hot spot;
         # at short encoder lengths XLA's fused attention is already optimal.

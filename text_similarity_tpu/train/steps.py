@@ -244,3 +244,59 @@ def make_classifier_train_step(
         )
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Token classification (NER) — reference src/training/train_ner.py:81-180
+# ---------------------------------------------------------------------------
+
+def token_classifier_forward(
+    params, ids, mask, *, arch, precision, rng=None, deterministic=True,
+):
+    """Encoder → per-token linear head → (B, S, num_tags) logits."""
+    out = encoder_forward(
+        params["encoder"], ids, mask, arch=arch, precision=precision,
+        deterministic=deterministic, dropout_rng=rng,
+    )
+    head = params["head"]
+    h = out.last_hidden_state.astype(jnp.float32)
+    return jnp.einsum("bsh,ht->bst", h, head["w"]) + head["b"]
+
+
+def make_token_classifier_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    precision: Precision = DEFAULT_PRECISION,
+) -> Callable:
+    """batch: ids, mask, tags (B, S) with -100 = ignored position (sub-word
+    continuations / padding, the standard NER labeling scheme)."""
+
+    def loss_fn(params, batch, rng):
+        logits = token_classifier_forward(
+            params, batch["ids"], batch["mask"], arch=arch,
+            precision=precision, rng=rng, deterministic=False,
+        )
+        tags = batch["tags"]
+        valid = (tags >= 0) & (batch["mask"] > 0)
+        safe_tags = jnp.maximum(tags, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe_tags[..., None], axis=-1)[..., 0]
+        w = valid.astype(jnp.float32)
+        loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        pred = jnp.argmax(logits, axis=-1)
+        acc = jnp.sum((pred == tags) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, {"accuracy": acc}
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
