@@ -1,19 +1,18 @@
-"""Benchmark: the north-star search path on one TPU chip.
+"""Benchmark: the north-star ANN path on one TPU chip (BASELINE.json).
 
-Measures fused cosine top-10 query throughput (Pallas matmul+top-k kernel)
-over a 1M×384 HBM-resident corpus — the TPU-native replacement for the
-reference's brute-force search (reference: src/pipeline/search_pipeline.py:
-73-88 — per-query F.cosine_similarity + torch.topk on CPU/GPU).
+Builds an IVF index over a 1M×384 corpus ON DEVICE (k-means assign/update
+kernels), checks recall@10 ≥ 0.95 against the exact brute-force oracle
+(also on device), then measures query throughput of the Pallas IVF kernel
+and of the fused brute-force matmul+top-k kernel.
 
-Prints ONE JSON line:
-  {"metric": "search_qps_1chip", "value": QPS, "unit": "queries/sec",
-   "vs_baseline": QPS / reference-path QPS measured on this host's CPU}
+Prints ONE JSON line with the IVF QPS as the headline:
+  {"metric": "ivf_query_qps_1chip", "value": QPS, "unit": ...,
+   "vs_baseline": QPS / torch-CPU-brute-force QPS}
+(extra diagnostics go to stderr; recall gate is asserted inline).
 
-Notes:
-- timings force host readback of results (this environment's device relay
-  can return from block_until_ready early);
-- correctness is asserted inline: TPU top-10 indices must match numpy
-  exactly on sampled queries.
+The reference path being compared: per-query cosine matmul + topk on host
+(reference: src/pipeline/search_pipeline.py:73-88, src/utils/metrics.py:
+81-101 — its ANN layer, hnswlib, is CPU-bound C++ either way).
 """
 
 import json
@@ -35,7 +34,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from text_similarity_tpu.ops.topk import cosine_topk, l2_normalize  # noqa: E402
+from text_similarity_tpu.core.config import IndexConfig  # noqa: E402
+from text_similarity_tpu.index.ivf import IVFIndex  # noqa: E402
+from text_similarity_tpu.ops.topk import (  # noqa: E402
+    cosine_topk_pallas,
+    cosine_topk_xla,
+    l2_normalize,
+)
 
 N_CORPUS = 1_000_000
 DIM = 384
@@ -44,45 +49,79 @@ K = 10
 ITERS = 20
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
-    # Build corpus on device (no host transfer of 1.5 GB).
+    t_start = time.time()
     key = jax.random.PRNGKey(0)
-    kc, kq = jax.random.split(key)
+    kc, kq, kn = jax.random.split(key, 3)
+    # clustered corpus (IVF-meaningful): 4096 gaussian centers on device
+    centers = jax.random.normal(kc, (4096, DIM), jnp.float32)
+    assign = jax.random.randint(kn, (N_CORPUS,), 0, 4096)
     corpus = l2_normalize(
-        jax.random.normal(kc, (N_CORPUS, DIM), jnp.float32)
+        centers[assign] * 3.0
+        + jax.random.normal(jax.random.fold_in(kc, 1), (N_CORPUS, DIM))
     )
+    # queries: perturbed corpus rows (realistic near-duplicate queries)
     queries = l2_normalize(
-        jax.random.normal(kq, (N_QUERIES, DIM), jnp.float32)
+        corpus[:N_QUERIES]
+        + 0.1 * jax.random.normal(kq, (N_QUERIES, DIM), jnp.float32)
     )
     corpus.block_until_ready()
+    log(f"corpus built on device: {time.time() - t_start:.1f}s")
 
-    # Warm (compile)
-    s, i = cosine_topk(queries, corpus, k=K)
-    i_h = np.asarray(i)
+    # exact oracle (on device)
+    t0 = time.time()
+    _, oracle_i = cosine_topk_xla(queries, corpus, k=K)
+    oracle_i = np.asarray(oracle_i)
+    log(f"brute-force oracle: {time.time() - t0:.1f}s")
 
-    # Correctness spot-check: fused pallas kernel vs chunked-XLA oracle on
-    # device (avoids a 1.5 GB corpus fetch through the device tunnel).
-    from text_similarity_tpu.ops.topk import cosine_topk_xla
+    # IVF build on device
+    cfg = IndexConfig(num_clusters=1024, num_probes=24, kmeans_iters=8)
+    t0 = time.time()
+    ivf = IVFIndex.build(corpus, cfg, key=jax.random.PRNGKey(7))
+    build_s = time.time() - t0
+    log(
+        f"IVF build: {build_s:.1f}s "
+        f"({ivf.num_base_clusters} clusters +{ivf.num_overflow} overflow, "
+        f"Mc={ivf.data_padded.shape[1]})"
+    )
 
-    _, i_ref = cosine_topk_xla(queries[:8], corpus, k=K)
-    i_ref_h = np.asarray(i_ref)
-    if not np.array_equal(i_h[:8], i_ref_h):
-        overlap = np.mean([
-            len(set(i_h[r]) & set(i_ref_h[r])) / K for r in range(8)
-        ])
-        assert overlap >= 0.95, f"top-k overlap vs oracle too low: {overlap}"
+    # recall gate + warm the query kernel
+    t0 = time.time()
+    _, ivf_i = ivf.query(queries, k=K)
+    ivf_i = np.asarray(ivf_i)
+    log(f"IVF query compile+run: {time.time() - t0:.1f}s")
+    recall = np.mean([
+        len(set(ivf_i[r]) & set(oracle_i[r])) / K for r in range(N_QUERIES)
+    ])
+    log(f"recall@10 vs brute force: {recall:.4f}")
+    assert recall >= 0.95, f"recall gate failed: {recall}"
 
-    # Timed: force host readback each iteration.
+    # timed IVF queries (force host readback)
     t0 = time.time()
     for _ in range(ITERS):
-        s, i = cosine_topk(queries, corpus, k=K)
+        _, i = ivf.query(queries, k=K)
         np.asarray(i)
-    dt = time.time() - t0
-    qps = N_QUERIES * ITERS / dt
+    ivf_dt = (time.time() - t0) / ITERS
+    ivf_qps = N_QUERIES / ivf_dt
 
-    # Reference-path baseline: torch CPU cos_sim matmul + topk (the exact
-    # math of reference metrics.py:81-101 + search_pipeline.py:73-88), on a
-    # host-generated corpus of identical shape/stats (no tunnel transfer).
+    # timed brute force for comparison
+    s, i = cosine_topk_pallas(queries, corpus, k=K)
+    np.asarray(i)
+    t0 = time.time()
+    for _ in range(ITERS):
+        _, i = cosine_topk_pallas(queries, corpus, k=K)
+        np.asarray(i)
+    bf_dt = (time.time() - t0) / ITERS
+    log(
+        f"IVF: {ivf_dt * 1e3:.1f}ms/batch ({ivf_qps:.0f} QPS) | "
+        f"brute: {bf_dt * 1e3:.1f}ms/batch ({N_QUERIES / bf_dt:.0f} QPS)"
+    )
+
+    # reference-path CPU baseline (host-generated corpus, same shapes)
     try:
         import torch
 
@@ -90,22 +129,23 @@ def main():
         c_h = rng.randn(N_CORPUS, DIM).astype(np.float32)
         c_h /= np.linalg.norm(c_h, axis=1, keepdims=True)
         q_h = rng.randn(32, DIM).astype(np.float32)
-        q_h /= np.linalg.norm(q_h, axis=1, keepdims=True)
-        tq = torch.from_numpy(q_h)
-        tc = torch.from_numpy(c_h)
+        tq, tc = torch.from_numpy(q_h), torch.from_numpy(c_h)
         t0 = time.time()
-        sim = tq @ tc.T
-        torch.topk(sim, K, dim=1)
-        cpu_dt = time.time() - t0
-        cpu_qps = 32 / cpu_dt
-    except Exception:
+        torch.topk(tq @ tc.T, K, dim=1)
+        cpu_qps = 32 / (time.time() - t0)
+        log(f"torch-CPU reference path: {cpu_qps:.0f} QPS")
+    except Exception as e:  # pragma: no cover
+        log(f"cpu baseline failed: {e}")
         cpu_qps = float("nan")
 
     print(json.dumps({
-        "metric": "search_qps_1chip",
-        "value": round(qps, 1),
-        "unit": "queries/sec (top-10, 1M x 384 corpus)",
-        "vs_baseline": round(qps / cpu_qps, 2) if np.isfinite(cpu_qps) else None,
+        "metric": "ivf_query_qps_1chip",
+        "value": round(ivf_qps, 1),
+        "unit": (
+            f"queries/sec (top-10, 1M x 384, recall@10={recall:.3f} "
+            f"vs brute force)"
+        ),
+        "vs_baseline": round(ivf_qps / cpu_qps, 2) if np.isfinite(cpu_qps) else None,
     }))
 
 

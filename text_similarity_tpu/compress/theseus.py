@@ -147,13 +147,14 @@ class TheseusDistiller:
 
     def make_train_step(self, tx, num_classes: int, pooling: str = "mean"):
         """Bi-encoder softmax/classification theseus train step: trainable
-        = successor layers + head; rate enters as a batch scalar."""
+        = successor layers + head; rate enters as a batch scalar. The frozen
+        predecessor/embedding params are explicit step arguments — closure
+        capture would bake them into the HLO as constants (GBs per compile).
+        Call: step(state, batch, rate, pred_layers, embeddings)."""
         arch = self.arch
         precision = precision_for(self.cfg.bf16)
-        pred_layers = self.teacher_params["layers"]
-        embeddings = self.teacher_params["embeddings"]
 
-        def embed(succ, ids, mask, rate, rng):
+        def embed(succ, pred_layers, embeddings, ids, mask, rate, rng):
             h = theseus_encoder_forward(
                 pred_layers, succ, embeddings, ids, mask,
                 arch=arch, replace_rate=rate, rng=rng, precision=precision,
@@ -162,10 +163,12 @@ class TheseusDistiller:
 
         from ..models import losses as L
 
-        def loss_fn(params, batch, rate, rng):
+        def loss_fn(params, batch, rate, rng, pred_layers, embeddings):
             r1, r2 = jax.random.split(rng)
-            u = embed(params["succ"], batch["ids_a"], batch["mask_a"], rate, r1)
-            v = embed(params["succ"], batch["ids_b"], batch["mask_b"], rate, r2)
+            u = embed(params["succ"], pred_layers, embeddings,
+                      batch["ids_a"], batch["mask_a"], rate, r1)
+            v = embed(params["succ"], pred_layers, embeddings,
+                      batch["ids_b"], batch["mask_b"], rate, r2)
             head = params["head"]
             loss, logits = L.softmax_loss(
                 u, v, head["w"], head["b"], batch["target"], batch.get("valid")
@@ -174,10 +177,10 @@ class TheseusDistiller:
 
         import optax
 
-        def step(state, batch, rate):
+        def step(state, batch, rate, pred_layers, embeddings):
             rng, sub = jax.random.split(state.rng)
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, rate, sub
+                state.params, batch, rate, sub, pred_layers, embeddings
             )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)

@@ -84,31 +84,47 @@ class WordEncoder:
         self.precision = precision
         self._jit = {}
 
-    def _word_vec(self, ids, mask, span):
-        v = contextual_word_embedding(
-            self.enc_params, ids, mask, span,
-            arch=self.arch, precision=self.precision,
-            last_k_layers=self.last_k_layers,
-        )
-        if self.sense_bank is not None:
-            sense = match_sense(v, self.sense_bank)
-            v = jnp.concatenate([v, sense.astype(v.dtype)], axis=-1)
-        return v
-
     def score_tokens(self, batch) -> np.ndarray:
-        """Cosine similarity of the two target-word vectors per pair."""
+        """Cosine similarity of the two target-word vectors per pair.
+
+        Params and sense bank are jit ARGUMENTS (closure capture would bake
+        them into the compiled HLO as constants)."""
         key = batch["ids_a"].shape
         if key not in self._jit:
-            def fn(ids_a, mask_a, span_a, ids_b, mask_b, span_b):
-                u = self._word_vec(ids_a, mask_a, span_a).astype(jnp.float32)
-                v = self._word_vec(ids_b, mask_b, span_b).astype(jnp.float32)
+            arch = self.arch
+            precision = self.precision
+            last_k = self.last_k_layers
+            use_senses = self.sense_bank is not None
+
+            def word_vec(enc_params, sense_bank, ids, mask, span):
+                v = contextual_word_embedding(
+                    enc_params, ids, mask, span,
+                    arch=arch, precision=precision, last_k_layers=last_k,
+                )
+                if use_senses:
+                    sense = match_sense(v, sense_bank)
+                    v = jnp.concatenate([v, sense.astype(v.dtype)], axis=-1)
+                return v
+
+            def fn(enc_params, sense_bank,
+                   ids_a, mask_a, span_a, ids_b, mask_b, span_b):
+                u = word_vec(enc_params, sense_bank, ids_a, mask_a, span_a)
+                v = word_vec(enc_params, sense_bank, ids_b, mask_b, span_b)
+                u = u.astype(jnp.float32)
+                v = v.astype(jnp.float32)
                 un = jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-12)
                 vn = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-12)
                 return jnp.sum(u * v, axis=-1) / (un * vn)
 
             self._jit[key] = jax.jit(fn)
+        sense_bank = (
+            self.sense_bank
+            if self.sense_bank is not None
+            else jnp.zeros((1, 1), jnp.float32)
+        )
         return np.asarray(
             self._jit[key](
+                self.enc_params, sense_bank,
                 jnp.asarray(batch["ids_a"]), jnp.asarray(batch["mask_a"]),
                 jnp.asarray(batch["span_a"]), jnp.asarray(batch["ids_b"]),
                 jnp.asarray(batch["mask_b"]), jnp.asarray(batch["span_b"]),

@@ -56,6 +56,23 @@ def _update_centroids(
     return sums, counts
 
 
+@functools.partial(jax.jit, static_argnames=("num_clusters", "chunk"))
+def _kmeans_iter(data, centroids, reseed_key, num_clusters: int, chunk: int):
+    # NOTE: data must be an ARGUMENT, not a closure capture — captured
+    # arrays bake into the HLO as constants (GBs shipped per compile).
+    c, n = num_clusters, data.shape[0]
+    assign = assign_clusters(data, centroids, chunk=chunk)
+    sums, counts = _update_centroids(data, assign, c, chunk=chunk)
+    new = sums / jnp.maximum(counts[:, None], 1.0)
+    # re-seed empties from random data rows
+    rand_rows = data[
+        jax.random.randint(reseed_key, (c,), 0, n)
+    ].astype(jnp.float32)
+    new = jnp.where(counts[:, None] > 0, new, rand_rows)
+    norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+    return new / jnp.maximum(norm, 1e-12)
+
+
 def kmeans(
     data: jax.Array,        # (N, D) L2-normalized
     num_clusters: int,
@@ -72,21 +89,8 @@ def kmeans(
     init_idx = jax.random.choice(key, n, (c,), replace=False)
     centroids = data[init_idx].astype(jnp.float32)
 
-    @jax.jit
-    def one_iter(centroids, reseed_key):
-        assign = assign_clusters(data, centroids, chunk=chunk)
-        sums, counts = _update_centroids(data, assign, c, chunk=chunk)
-        new = sums / jnp.maximum(counts[:, None], 1.0)
-        # re-seed empties from random data rows
-        rand_rows = data[
-            jax.random.randint(reseed_key, (c,), 0, n)
-        ].astype(jnp.float32)
-        new = jnp.where(counts[:, None] > 0, new, rand_rows)
-        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
-        return new / jnp.maximum(norm, 1e-12)
-
     for i in range(iters):
         key, sub = jax.random.split(key)
-        centroids = one_iter(centroids, sub)
+        centroids = _kmeans_iter(data, centroids, sub, c, chunk)
     assign = assign_clusters(data, centroids, chunk=chunk)
     return centroids, assign
