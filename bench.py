@@ -44,7 +44,8 @@ from text_similarity_tpu.ops.topk import (  # noqa: E402
 
 N_CORPUS = 1_000_000
 DIM = 384
-N_QUERIES = 256
+N_QUERIES = 2048   # large per-call batch amortizes dispatch/readback
+N_RECALL = 256     # recall oracle over a subset (oracle cost is O(Q*N))
 K = 10
 ITERS = 20
 
@@ -72,9 +73,9 @@ def main():
     corpus.block_until_ready()
     log(f"corpus built on device: {time.time() - t_start:.1f}s")
 
-    # exact oracle (on device)
+    # exact oracle (on device; subset of queries)
     t0 = time.time()
-    _, oracle_i = cosine_topk_xla(queries, corpus, k=K)
+    _, oracle_i = cosine_topk_xla(queries[:N_RECALL], corpus, k=K)
     oracle_i = np.asarray(oracle_i)
     log(f"brute-force oracle: {time.time() - t0:.1f}s")
 
@@ -95,29 +96,36 @@ def main():
     ivf_i = np.asarray(ivf_i)
     log(f"IVF query compile+run: {time.time() - t0:.1f}s")
     recall = np.mean([
-        len(set(ivf_i[r]) & set(oracle_i[r])) / K for r in range(N_QUERIES)
+        len(set(ivf_i[r]) & set(oracle_i[r])) / K for r in range(N_RECALL)
     ])
     log(f"recall@10 vs brute force: {recall:.4f}")
     assert recall >= 0.95, f"recall gate failed: {recall}"
 
-    # timed IVF queries (force host readback)
+    # Sustained throughput: pipeline ITERS batches in flight, force host
+    # readback of every result at the end (all work really executes; the
+    # relay's per-call round trip amortizes as it would in a server).
+    def timed(fn):
+        t0 = time.time()
+        outs = [fn() for _ in range(ITERS)]
+        for _, i in outs:
+            np.asarray(i)
+        return (time.time() - t0) / ITERS
+
+    ivf_dt = timed(lambda: ivf.query(queries, k=K))
+    ivf_qps = N_QUERIES / ivf_dt
+    # single-call (sync) latency for the record
     t0 = time.time()
-    for _ in range(ITERS):
+    for _ in range(5):
         _, i = ivf.query(queries, k=K)
         np.asarray(i)
-    ivf_dt = (time.time() - t0) / ITERS
-    ivf_qps = N_QUERIES / ivf_dt
+    ivf_lat = (time.time() - t0) / 5
 
-    # timed brute force for comparison
     s, i = cosine_topk_pallas(queries, corpus, k=K)
     np.asarray(i)
-    t0 = time.time()
-    for _ in range(ITERS):
-        _, i = cosine_topk_pallas(queries, corpus, k=K)
-        np.asarray(i)
-    bf_dt = (time.time() - t0) / ITERS
+    bf_dt = timed(lambda: cosine_topk_pallas(queries, corpus, k=K))
     log(
-        f"IVF: {ivf_dt * 1e3:.1f}ms/batch ({ivf_qps:.0f} QPS) | "
+        f"IVF: {ivf_dt * 1e3:.1f}ms/batch sustained ({ivf_qps:.0f} QPS), "
+        f"{ivf_lat * 1e3:.1f}ms sync latency | "
         f"brute: {bf_dt * 1e3:.1f}ms/batch ({N_QUERIES / bf_dt:.0f} QPS)"
     )
 

@@ -106,3 +106,65 @@ def test_benchmark_fn():
     x = jnp.ones((64, 64))
     res = benchmark_fn(f, x, warmup=1, iters=3, items_per_call=64)
     assert res["mean_ms"] > 0 and "throughput_per_sec" in res
+
+
+def test_extend_positions():
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.models.hf_convert import extend_positions
+
+    arch = ARCH_PRESETS["tiny-test"]
+    params = init_params(jax.random.PRNGKey(0), arch)
+    new_params, new_arch = extend_positions(params, arch, 300)
+    assert new_arch.max_position == 300
+    emb = np.asarray(params["embeddings"]["position"])
+    new = np.asarray(new_params["embeddings"]["position"])
+    assert new.shape[0] == 300
+    np.testing.assert_array_equal(new[: emb.shape[0]], emb)  # prefix kept
+    np.testing.assert_array_equal(new[emb.shape[0] : 2 * emb.shape[0]], emb)
+
+
+def test_activations():
+    from text_similarity_tpu.models.encoder import _act
+
+    x = jnp.linspace(-3, 3, 7)
+    for name in ("mish", "swish", "penalized_tanh", "gelu", "gelu_new", "relu"):
+        y = np.asarray(_act(name)(x))
+        assert np.isfinite(y).all()
+    # penalized tanh: negative side scaled by 0.25
+    pt = np.asarray(_act("penalized_tanh")(jnp.asarray([-1.0, 1.0])))
+    assert pt[0] == pytest.approx(0.25 * np.tanh(-1.0))
+    assert pt[1] == pytest.approx(np.tanh(1.0))
+
+
+def test_wic_word_encoder_scores():
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.models.word_encoder import WordEncoder
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.data.pairs import build_word_batches
+
+    corpus = ["the bank closed early", "the river bank flooded",
+              "a quick fox runs", "money in the bank"]
+    tok = WordPieceTokenizer(train_wordpiece_vocab(corpus, 512, min_freq=1))
+    arch = ARCH_PRESETS["tiny-test"].replace(vocab_size=tok.vocab_size)
+    enc = WordEncoder(
+        init_params(jax.random.PRNGKey(0), arch), arch, tokenizer=tok,
+        precision=FP32_PRECISION,
+    )
+    examples = [
+        {"word": "bank", "idx1": 1, "idx2": 2,
+         "sent1": "the bank closed early", "sent2": "the river bank flooded",
+         "label": 0},
+        {"word": "bank", "idx1": 1, "idx2": 3,
+         "sent1": "the bank closed early", "sent2": "money in the bank",
+         "label": 1},
+    ]
+    batches = build_word_batches(tok, examples, batch_size=2)
+    res = enc.evaluate_wic(batches)
+    assert 0.0 <= res["accuracy"] <= 1.0
+    g = enc.evaluate_gwsc(batches, [0.2, 0.9])
+    assert -1.0 <= g["spearman"] <= 1.0

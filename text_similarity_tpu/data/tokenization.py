@@ -48,13 +48,18 @@ def _basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
 
 
 class WordPieceTokenizer:
-    """Greedy longest-match-first WordPiece (BERT semantics)."""
+    """Greedy longest-match-first WordPiece (BERT semantics).
+
+    The matcher inner loop runs in C when a compiler is available
+    (text_similarity_tpu.native — the host data-loader hot path); falls
+    back to pure Python with identical output."""
 
     def __init__(
         self,
         vocab: Dict[str, int],
         lowercase: bool = True,
         max_word_chars: int = 100,
+        use_native: bool = True,
     ):
         self.vocab = dict(vocab)
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
@@ -64,6 +69,18 @@ class WordPieceTokenizer:
         self.unk_id = self.vocab[UNK]
         self.cls_id = self.vocab[CLS]
         self.sep_id = self.vocab[SEP]
+        self._native = None
+        if use_native:
+            try:
+                from ..native import NativeWordPiece
+
+                # C side limits by bytes; words over the char limit are
+                # unk'd in Python first, so give C 4× headroom for utf-8.
+                self._native = NativeWordPiece(
+                    self.vocab, self.unk_id, max_word_chars * 4
+                )
+            except Exception:
+                self._native = None
 
     @property
     def vocab_size(self) -> int:
@@ -104,10 +121,51 @@ class WordPieceTokenizer:
         return ids
 
     def tokenize_to_ids(self, text: str) -> List[int]:
+        words = _basic_tokenize(text, self.lowercase)
+        if self._native is not None:
+            safe = [
+                w if len(w) <= self.max_word_chars else UNK for w in words
+            ]
+            return self._native.encode_flat(safe)
         ids: List[int] = []
-        for w in _basic_tokenize(text, self.lowercase):
+        for w in words:
             ids.extend(self._wordpiece(w))
         return ids
+
+    def tokenize_many(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batch tokenization — one native call for the whole corpus (the
+        ctypes marshalling amortizes over all texts; this is the path the
+        batch builders and encode() use)."""
+        split = [_basic_tokenize(t, self.lowercase) for t in texts]
+        if self._native is None:
+            return [
+                [i for w in words for i in self._wordpiece(w)]
+                for words in split
+            ]
+        all_words: List[str] = []
+        counts = []
+        for words in split:
+            for w in words:
+                all_words.append(
+                    w if len(w) <= self.max_word_chars else UNK
+                )
+            counts.append(len(words))
+        ids, word_ends = self._native.encode_joined(
+            "\n".join(all_words), len(all_words)
+        )
+        # regroup once per TEXT (not per word): text t's ids end at
+        # word_ends[last word of t]
+        out: List[List[int]] = []
+        wpos, prev_end = 0, 0
+        for c in counts:
+            if c == 0:
+                out.append([])
+                continue
+            end = int(word_ends[wpos + c - 1])
+            out.append(ids[prev_end:end].tolist())
+            prev_end = end
+            wpos += c
+        return out
 
     # ------------------------------------------------------------------
     # Batch APIs (numpy, padded)

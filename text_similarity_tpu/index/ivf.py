@@ -131,30 +131,6 @@ class IVFIndex:
         _, ids = jax.lax.top_k(scores, probes)
         return ids.astype(jnp.int32)
 
-    def _block_probe_union(
-        self, queries: jax.Array, probes: int, block_q: int, union: int
-    ) -> jax.Array:
-        """(B/block_q, union + overflow) probe list per query block: top-U
-        clusters by block-max centroid score, then the overflow clusters."""
-        b = queries.shape[0]
-        scores = jnp.einsum(
-            "bd,cd->bc", queries, self.centroids,
-            preferred_element_type=jnp.float32,
-        ).reshape(b // block_q, block_q, -1)
-        block_scores = jnp.max(scores, axis=1)  # (nblocks, C)
-        _, ids = jax.lax.top_k(block_scores, union)
-        if self.num_overflow:
-            over = jnp.tile(
-                jnp.arange(
-                    self.num_base_clusters,
-                    self.num_base_clusters + self.num_overflow,
-                    dtype=jnp.int32,
-                )[None, :],
-                (ids.shape[0], 1),
-            )
-            ids = jnp.concatenate([ids.astype(jnp.int32), over], axis=1)
-        return ids.astype(jnp.int32)
-
     # ------------------------------------------------------------------
     # Query — XLA path (oracle / CPU / building block for sharded)
     # ------------------------------------------------------------------
@@ -178,8 +154,11 @@ class IVFIndex:
 
     def query(
         self, queries, k: int = 10, probes: Optional[int] = None,
-        block_q: int = 8, union_factor: int = 2, impl: str = "auto",
+        block_q: int = 16, union_factor: int = 3, impl: str = "auto",
     ) -> Tuple[jax.Array, jax.Array]:
+        """One fused jitted call: normalize → probe-union → Pallas scan.
+        (Eager intermediate ops would each cost a device round trip —
+        measured 10× QPS loss through a remote-device relay.)"""
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "xla":
@@ -187,19 +166,16 @@ class IVFIndex:
         probes = min(
             probes or self.config.num_probes, self.num_base_clusters
         )
-        q = l2_normalize(jnp.asarray(queries)).astype(jnp.float32)
-        b, d = q.shape
+        q = jnp.asarray(queries)
+        b = q.shape[0]
         block_q = min(block_q, b)
-        pad_b = _round_up(b, block_q)
-        if pad_b != b:
-            q = jnp.pad(q, ((0, pad_b - b), (0, 0)))
         union = min(
             _round_up(probes * union_factor, 8), self.num_base_clusters
         )
-        probe_list = self._block_probe_union(q, probes, block_q, union)
-        s, i = _ivf_query_pallas(
-            q, probe_list, self.data_padded, self.ids_padded, k, block_q,
-            interpret=jax.default_backend() != "tpu",
+        s, i = _ivf_query_fused(
+            q, self.centroids, self.data_padded, self.ids_padded,
+            self.num_base_clusters, k, probes, block_q, union,
+            jax.default_backend() != "tpu",
         )
         return s[:b], i[:b]
 
@@ -234,6 +210,40 @@ class IVFIndex:
                 num_base_clusters=int(z["num_base_clusters"]),
                 config=cfg,
             )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_base", "k", "probes", "block_q", "union", "interpret"),
+)
+def _ivf_query_fused(
+    queries, centroids, data_padded, ids_padded,
+    num_base: int, k: int, probes: int, block_q: int, union: int,
+    interpret: bool,
+):
+    """normalize → block-probe-union → pallas scan, as ONE compiled call."""
+    q = l2_normalize(queries).astype(jnp.float32)
+    b, d = q.shape
+    pad_b = _round_up(b, block_q)
+    if pad_b != b:
+        q = jnp.pad(q, ((0, pad_b - b), (0, 0)))
+    scores = jnp.einsum(
+        "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
+    ).reshape(pad_b // block_q, block_q, -1)
+    block_scores = jnp.max(scores, axis=1)
+    _, probe_ids = jax.lax.top_k(block_scores, union)
+    probe_ids = probe_ids.astype(jnp.int32)
+    n_overflow = data_padded.shape[0] - num_base
+    if n_overflow:
+        over = jnp.tile(
+            jnp.arange(num_base, data_padded.shape[0], dtype=jnp.int32)[None],
+            (probe_ids.shape[0], 1),
+        )
+        probe_ids = jnp.concatenate([probe_ids, over], axis=1)
+    return _ivf_query_pallas(
+        q, probe_ids, data_padded, ids_padded, k, block_q,
+        interpret=interpret,
+    )
 
 
 # ---------------------------------------------------------------------------

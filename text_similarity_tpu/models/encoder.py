@@ -150,6 +150,13 @@ def _act(name: str):
         return lambda x: jax.nn.gelu(x, approximate=True)
     if name == "relu":
         return jax.nn.relu
+    # reference src/utils/activations.py:5-18
+    if name == "mish":
+        return lambda x: x * jnp.tanh(jax.nn.softplus(x))
+    if name == "swish":
+        return jax.nn.silu
+    if name == "penalized_tanh":
+        return lambda x: jnp.where(x > 0, jnp.tanh(x), 0.25 * jnp.tanh(x))
     raise ValueError(f"unknown activation {name}")
 
 

@@ -187,6 +187,25 @@ def convert_state_dict(
     return params
 
 
+def extend_positions(params: dict, arch: EncoderArch, new_max: int) -> Tuple[dict, EncoderArch]:
+    """Long-context conversion: tile the learned position embeddings out to
+    ``new_max`` positions (the reference's Longformer conversion trick,
+    make_long_transformer.py:47-54 — copy the position table k times). The
+    first positions (incl. RoBERTa's offset rows) are preserved exactly."""
+    emb = params["embeddings"]["position"]
+    old_max, h = emb.shape
+    if new_max <= old_max:
+        return params, arch
+    reps = -(-new_max // old_max)
+    offset = arch.position_offset
+    body = emb[offset:]
+    tiled = jnp.concatenate([emb[:offset]] + [body] * reps, axis=0)[:new_max]
+    new_params = dict(params)
+    new_params["embeddings"] = dict(params["embeddings"])
+    new_params["embeddings"]["position"] = tiled
+    return new_params, arch.replace(max_position=new_max)
+
+
 def convert_hf_model(hf_model) -> Tuple[dict, EncoderArch]:
     """Convert a live transformers model (BertModel/DistilBertModel/
     RobertaModel) into (params, arch)."""

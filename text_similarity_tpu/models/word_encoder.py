@@ -150,3 +150,21 @@ class WordEncoder:
         """GWSC: graded word-similarity-in-context scores (cosine change),
         reference word_encoder.py:53-144."""
         return np.concatenate([self.score_tokens(b) for b in batches])
+
+    def evaluate_gwsc(self, batches, gold_scores) -> dict:
+        """Graded word similarity in context: Pearson/Spearman between the
+        model's cosine scores and human graded similarity change
+        (reference experiments/eval_gwsc.py:10-45)."""
+        from scipy.stats import pearsonr, spearmanr
+
+        scores, keep = [], []
+        for b in batches:
+            s = self.score_tokens(b)
+            v = np.asarray(b["valid"]).astype(bool)
+            scores.append(s[v])
+        scores = np.concatenate(scores)
+        gold = np.asarray(gold_scores, np.float64)[: len(scores)]
+        return {
+            "pearson": float(pearsonr(gold, scores[: len(gold)])[0]),
+            "spearman": float(spearmanr(gold, scores[: len(gold)])[0]),
+        }
