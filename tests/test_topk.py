@@ -63,3 +63,21 @@ def test_topk_merge():
     order = np.argsort(-flat_s)[:8]
     np.testing.assert_allclose(np.asarray(ms), flat_s[order], atol=1e-7)
     np.testing.assert_array_equal(np.asarray(mi), flat_i[order])
+
+
+def test_pallas_topk_int8_close_to_exact():
+    from text_similarity_tpu.compress.quantize import quantize_embeddings_int8
+    from text_similarity_tpu.ops.topk import cosine_topk_pallas_int8
+
+    q, c = _data(q=6, n=640, d=128, seed=4)
+    cq, cs = quantize_embeddings_int8(c)
+    s, i = cosine_topk_pallas_int8(
+        q, cq, cs, k=10, block_q=8, block_c=128, interpret=True
+    )
+    ns, ni = _numpy_topk(q, c, 10)
+    # int8 rounding can flip near-ties; require >= 90% overlap and top-1 hit
+    overlap = np.mean([
+        len(set(np.asarray(i)[r]) & set(ni[r])) / 10 for r in range(6)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], ni[:, 0])

@@ -34,17 +34,34 @@ class BruteForceIndex:
     def query(
         self, queries, k: int = 10, impl: str = "auto"
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """→ (scores (Q, k), ids (Q, k)). Tombstoned rows never returned."""
+        """→ (scores (Q, k), ids (Q, k)). Tombstoned rows never returned.
+
+        Over-fetches 2k then host-filters tombstones (dead rows are rare;
+        a fully-masked kernel pass isn't worth the extra HBM read)."""
         q = l2_normalize(jnp.asarray(queries))
-        corpus = self.store.view
+        kk = min(k * 2, self.store.size)
+        if self.store.quantized:
+            from ..ops.topk import cosine_topk_pallas_int8
+            from ..compress.quantize import int8_matmul_scores
+
+            if impl == "auto":
+                impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "xla"
+                )
+            if impl == "pallas":
+                s, i = cosine_topk_pallas_int8(
+                    q.astype(jnp.float32), self.store.view,
+                    self.store.scales_view, k=kk,
+                )
+            else:
+                scores = int8_matmul_scores(
+                    q.astype(jnp.float32), self.store.view,
+                    self.store.scales_view,
+                )
+                s, i = jax.lax.top_k(scores, kk)
+        else:
+            s, i = cosine_topk(q, self.store.view, k=kk, impl=impl)
         alive = self.store.alive_view
-        # dead rows → zero vector → score 0; mask instead by scanning a
-        # corpus with dead rows zeroed and biasing their score to -2
-        # (below min cosine), implemented by zeroing + a -2 offset trick:
-        # simpler: query then filter is wrong when many dead; we zero dead
-        # rows and rely on score 0 < any real match only when scores > 0.
-        # Correct + simple: add -2 to dead scores via a second pass below.
-        s, i = cosine_topk(q, corpus, k=min(k * 2, corpus.shape[0]), impl=impl)
         s_h, i_h = np.asarray(s), np.asarray(i)
         alive_h = np.asarray(alive)
         if not alive_h.all():

@@ -34,13 +34,24 @@ def _write_mask(mask, value, offset, count):
 class EmbeddingStore:
     """Append-only (plus tombstones) embedding matrix in HBM.
 
-    Rows are L2-normalized fp32 or bf16. ``alive`` masks tombstoned rows out
-    of search (scores forced to -inf by the query path)."""
+    Rows are L2-normalized fp32/bf16, or **int8 with per-row scales**
+    (``quantized=True``): 4× the corpus per chip, scored by the int8
+    Pallas kernel (ops.topk.cosine_topk_pallas_int8). ``alive`` masks
+    tombstoned rows out of search."""
 
-    def __init__(self, capacity: int, dim: int, dtype=jnp.float32):
+    def __init__(
+        self, capacity: int, dim: int, dtype=jnp.float32,
+        quantized: bool = False,
+    ):
         self.capacity = capacity
         self.dim = dim
-        self.data = jnp.zeros((capacity, dim), dtype)
+        self.quantized = quantized
+        self.data = jnp.zeros(
+            (capacity, dim), jnp.int8 if quantized else dtype
+        )
+        self.scales = (
+            jnp.ones((capacity,), jnp.float32) if quantized else None
+        )
         self.alive = jnp.zeros((capacity,), jnp.bool_)
         self.size = 0
 
@@ -53,7 +64,14 @@ class EmbeddingStore:
                 f"store full: {self.size}+{n} > {self.capacity}; "
                 "create with larger capacity or grow()"
             )
-        self.data = _write_rows(self.data, rows, self.size)
+        if self.quantized:
+            from ..compress.quantize import quantize_embeddings_int8
+
+            q, s = quantize_embeddings_int8(rows)
+            self.data = _write_rows(self.data, q, self.size)
+            self.scales = self.scales.at[self.size : self.size + n].set(s)
+        else:
+            self.data = _write_rows(self.data, rows, self.size)
         self.alive = _write_mask(self.alive, True, self.size, n)
         ids = np.arange(self.size, self.size + n)
         self.size += n
@@ -71,7 +89,15 @@ class EmbeddingStore:
         pad = new_capacity - self.capacity
         self.data = jnp.pad(self.data, ((0, pad), (0, 0)))
         self.alive = jnp.pad(self.alive, ((0, pad),))
+        if self.scales is not None:
+            self.scales = jnp.pad(
+                self.scales, ((0, pad),), constant_values=1.0
+            )
         self.capacity = new_capacity
+
+    @property
+    def scales_view(self):
+        return self.scales[: self.size] if self.scales is not None else None
 
     @property
     def view(self) -> jax.Array:

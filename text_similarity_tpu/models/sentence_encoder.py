@@ -106,6 +106,46 @@ class SentenceEncoder:
         mask = jnp.asarray(mask, jnp.int32)
         return self._jitted(ids.shape)(self.params, ids, mask)
 
+    # batches per fused call: fixed so the compiled (STACK, B, L) shape is
+    # reused for any corpus size (the stack length is part of the program).
+    STACK = 16
+
+    def _jitted_many(self, shape):
+        """(STACK, B, L) stacked batches → (STACK, B, D) in ONE compiled
+        call (lax.map over the stack: no per-batch dispatch)."""
+        key = ("many", shape)
+        if key not in self._jit_cache:
+            fn = self._embed_fn()
+
+            def many(params, ids, mask):
+                return jax.lax.map(
+                    lambda im: fn(params, im[0], im[1]), (ids, mask)
+                )
+
+            self._jit_cache[key] = jax.jit(many)
+        return self._jit_cache[key]
+
+    def embed_token_stack(self, ids, mask) -> jax.Array:
+        """Embed an (n, B, L) stack of batches → (n, B, D). Internally runs
+        fixed-size chunks of STACK batches (zero-padded tail) so each
+        (B, L) bucket compiles exactly once regardless of corpus size."""
+        ids = np.asarray(ids, np.int32)
+        mask = np.asarray(mask, np.int32)
+        n, b, l = ids.shape
+        outs = []
+        for st in range(0, n, self.STACK):
+            chunk_ids = ids[st : st + self.STACK]
+            chunk_mask = mask[st : st + self.STACK]
+            pad = self.STACK - chunk_ids.shape[0]
+            if pad:
+                chunk_ids = np.pad(chunk_ids, ((0, pad), (0, 0), (0, 0)))
+                chunk_mask = np.pad(chunk_mask, ((0, pad), (0, 0), (0, 0)))
+            emb = self._jitted_many(chunk_ids.shape)(
+                self.params, jnp.asarray(chunk_ids), jnp.asarray(chunk_mask)
+            )
+            outs.append(emb[: self.STACK - pad if pad else self.STACK])
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
     # ------------------------------------------------------------------
     # Text API
     # ------------------------------------------------------------------
@@ -117,23 +157,33 @@ class SentenceEncoder:
         max_len: int = 256,
         buckets: Sequence[int] = BUCKETS,
         show_progress: bool = False,
+        device_output: bool = False,
     ) -> np.ndarray:
-        """Encode texts → (N, D) float32 normalized embeddings (host).
+        """Encode texts → (N, D) float32 normalized embeddings.
 
         Mirrors reference ``encode_text`` (sentence_encoder.py:133-173):
         length-sorted batches, per-batch padding (to a bucket), unsorted
-        back to input order."""
+        back to input order. With ``device_output=True`` the result stays
+        in HBM (feeding the embedding store / index without a host round
+        trip — the reference always bounces GPU→numpy,
+        search_pipeline.py:114)."""
         if self.tokenizer is None:
             raise ValueError("encoder has no tokenizer; use embed_tokens")
-        row_ids = [
-            [self.tokenizer.cls_id]
-            + self.tokenizer.tokenize_to_ids(t)[: max_len - 2]
-            + [self.tokenizer.sep_id]
-            if hasattr(self.tokenizer, "tokenize_to_ids")
-            else None
-            for t in texts
-        ]
-        if row_ids and row_ids[0] is None:
+        if hasattr(self.tokenizer, "tokenize_many"):
+            # batched native tokenization (one C call for the corpus)
+            body = self.tokenizer.tokenize_many(texts)
+            row_ids = [
+                [self.tokenizer.cls_id] + r[: max_len - 2] + [self.tokenizer.sep_id]
+                for r in body
+            ]
+        elif hasattr(self.tokenizer, "tokenize_to_ids"):
+            row_ids = [
+                [self.tokenizer.cls_id]
+                + self.tokenizer.tokenize_to_ids(t)[: max_len - 2]
+                + [self.tokenizer.sep_id]
+                for t in texts
+            ]
+        else:
             # HF adapter path: tokenize whole corpus at once
             ids_all, mask_all = self.tokenizer.encode_batch(texts, max_len)
             row_ids = [
@@ -143,12 +193,29 @@ class SentenceEncoder:
         batcher = LengthBucketBatcher(
             batch_size, buckets=buckets, shuffle_batches=False
         )
+        # Dispatch every batch asynchronously (jit calls return immediately;
+        # the device queue pipelines them), then synchronize ONCE at the
+        # end — per-batch host syncs would serialize on dispatch latency.
+        pending = []
+        for batch in batcher.batches(row_ids, pad_id=self.tokenizer.pad_id):
+            emb = self.embed_tokens(batch["ids"], batch["mask"])
+            pending.append((batch, emb))
+
+        if device_output:
+            out_dev = jnp.zeros(
+                (len(texts), self.embedding_dim), jnp.float32
+            )
+            for b, emb in pending:
+                idx = np.where(b["index"] >= 0, b["index"], len(texts))
+                # invalid rows scatter to the (dropped) out-of-range slot
+                out_dev = out_dev.at[jnp.asarray(idx)].set(emb, mode="drop")
+            return out_dev
+
         out = np.zeros((len(texts), self.embedding_dim), np.float32)
-        it = batcher.batches(row_ids, pad_id=self.tokenizer.pad_id)
-        for batch in it:
-            emb = np.asarray(self.embed_tokens(batch["ids"], batch["mask"]))
-            sel = batch["valid"]
-            out[batch["index"][sel]] = emb[sel]
+        for b, emb in pending:
+            emb_h = np.asarray(emb)
+            sel = b["valid"]
+            out[b["index"][sel]] = emb_h[sel]
         return out
 
     @property

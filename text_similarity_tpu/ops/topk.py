@@ -241,3 +241,127 @@ def topk_merge(
     ms, mloc = jax.lax.top_k(flat_s, k)
     mi = jnp.take_along_axis(flat_i, mloc, axis=-1)
     return ms, mi
+
+
+# ---------------------------------------------------------------------------
+# Int8-corpus variant: corpus stored int8 (+ per-row scales) in HBM — 4×
+# less memory/bandwidth; dequantization happens on-chip in the kernel.
+# Backs the int8 serving path (reference's onnxruntime int8 engine,
+# SURVEY.md §2.1) at kernel level.
+# ---------------------------------------------------------------------------
+
+def _topk_int8_kernel(
+    q_ref,       # (block_q, D) f32
+    c_ref,       # (block_c, D) int8
+    scale_ref,   # (1, block_c) f32 per-row scales
+    out_s_ref, out_i_ref,
+    acc_s, acc_i,
+    *,
+    k: int,
+    block_c: int,
+    n_total: int,
+):
+    j = pl.program_id(1)
+    n_c_blocks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+        acc_i[...] = jnp.zeros_like(acc_i)
+
+    q = q_ref[...].astype(jnp.float32)
+    c = c_ref[...].astype(jnp.float32)          # on-chip dequant (VPU)
+    s = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale_ref[0][None, :]
+    block_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_c), 1)
+    global_idx = j * block_c + col
+    s = jnp.where(global_idx < n_total, s, -jnp.inf)
+
+    cand_s = jnp.concatenate([acc_s[...], s], axis=1)
+    cand_i = jnp.concatenate([acc_i[...], global_idx], axis=1)
+    width = k + block_c
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, width), 1)
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
+
+    def round_fn(i, carry):
+        cand, new_s, new_i = carry
+        m = jnp.max(cand, axis=1)
+        am = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        hit = cols == am[:, None]
+        picked_i = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, dtype=jnp.int32)
+        sel = kcols == i
+        new_s = jnp.where(sel, m[:, None], new_s)
+        new_i = jnp.where(sel, picked_i[:, None], new_i)
+        cand = jnp.where(hit, -jnp.inf, cand)
+        return cand, new_s, new_i
+
+    init = (
+        cand_s,
+        jnp.zeros((block_q, k), jnp.float32),
+        jnp.zeros((block_q, k), jnp.int32),
+    )
+    _, new_s, new_i = jax.lax.fori_loop(0, k, round_fn, init)
+    acc_s[...] = new_s
+    acc_i[...] = new_i
+
+    @pl.when(j == n_c_blocks - 1)
+    def _flush():
+        out_s_ref[...] = acc_s[...]
+        out_i_ref[...] = acc_i[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_c", "interpret")
+)
+def cosine_topk_pallas_int8(
+    queries: jax.Array,        # (Q, D) f32 L2-normalized
+    corpus_q: jax.Array,       # (N, D) int8
+    corpus_scale: jax.Array,   # (N,) f32 per-row scale
+    k: int = 10,
+    block_q: int = 128,
+    block_c: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    q_n, d = queries.shape
+    n = corpus_q.shape[0]
+    block_q = min(block_q, _round_up(q_n, 8))
+    pad_q = _round_up(q_n, block_q)
+    pad_n = _round_up(n, block_c)
+    if pad_q != q_n:
+        queries = jnp.pad(queries, ((0, pad_q - q_n), (0, 0)))
+    if pad_n != n:
+        corpus_q = jnp.pad(corpus_q, ((0, pad_n - n), (0, 0)))
+        corpus_scale = jnp.pad(corpus_scale, ((0, pad_n - n),))
+    scales2d = corpus_scale.reshape(1, pad_n)
+
+    grid = (pad_q // block_q, pad_n // block_c)
+    out_s, out_i = pl.pallas_call(
+        functools.partial(
+            _topk_int8_kernel, k=k, block_c=block_c, n_total=n
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_c, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_q, k), jnp.float32),
+            jax.ShapeDtypeStruct((pad_q, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(queries, corpus_q, scales2d)
+    return out_s[:q_n], out_i[:q_n]

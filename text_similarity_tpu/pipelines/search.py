@@ -64,9 +64,11 @@ class SemanticSearchPipeline:
 
     def add_documents(self, texts: Sequence[str]) -> np.ndarray:
         """Encode + append to the store (hnswlib add_items analogue,
-        reference search_pipeline.py:154-160). Invalidates the IVF layout
-        (rebuilt lazily on next query)."""
-        emb = self.encoder.encode(texts, batch_size=self.batch_size)
+        reference search_pipeline.py:154-160). Embeddings stay on device
+        end-to-end. Invalidates the IVF layout (rebuilt lazily)."""
+        emb = self.encoder.encode(
+            texts, batch_size=self.batch_size, device_output=True
+        )
         self._ensure_store(len(texts))
         while self.store.size + len(texts) > self.store.capacity:
             self.store.grow(self.store.capacity * 2)
@@ -109,7 +111,9 @@ class SemanticSearchPipeline:
         self, queries: Sequence[str], max_num_results: int = 10
     ) -> List[List[Tuple[str, float, int]]]:
         """→ per query: [(document, score, corpus_id), ...] best-first."""
-        q_emb = self.encoder.encode(queries, batch_size=self.batch_size)
+        q_emb = self.encoder.encode(
+            queries, batch_size=self.batch_size, device_output=True
+        )
         if self._want_ivf():
             if self.ivf is None:
                 self._build_ivf()
