@@ -129,6 +129,32 @@ def main():
         f"brute: {bf_dt * 1e3:.1f}ms/batch ({N_QUERIES / bf_dt:.0f} QPS)"
     )
 
+    # encode throughput (BASELINE.md: "encode sentences/sec measured &
+    # reported"): random-token batches through the MiniLM-class encoder,
+    # async dispatch + one final sync, on-device output.
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.models import init_params, encoder_forward, mean_pool
+
+    arch = ARCH_PRESETS["minilm-l6"]
+    enc_params = init_params(jax.random.PRNGKey(1), arch)
+
+    @jax.jit
+    def embed(p, ids, mask):
+        out = encoder_forward(p, ids, mask, arch=arch)
+        return l2_normalize(mean_pool(out.last_hidden_state, mask))
+
+    eb, es = 256, 128
+    ids = jax.random.randint(jax.random.PRNGKey(2), (eb, es), 5, arch.vocab_size)
+    msk = jnp.ones((eb, es), jnp.int32)
+    np.asarray(embed(enc_params, ids, msk))  # warm
+    t0 = time.time()
+    outs = [embed(enc_params, ids, msk) for _ in range(ITERS)]
+    for o in outs:
+        o.block_until_ready()
+    float(outs[-1][0, 0])
+    enc_rate = eb * ITERS / (time.time() - t0)
+    log(f"encode: {enc_rate:.0f} sentences/sec (b={eb}, s={es})")
+
     # reference-path CPU baseline (host-generated corpus, same shapes)
     try:
         import torch
@@ -151,7 +177,7 @@ def main():
         "value": round(ivf_qps, 1),
         "unit": (
             f"queries/sec (top-10, 1M x 384, recall@10={recall:.3f} "
-            f"vs brute force)"
+            f"vs brute force; encode {enc_rate:.0f} sent/s)"
         ),
         "vs_baseline": round(ivf_qps / cpu_qps, 2) if np.isfinite(cpu_qps) else None,
     }))

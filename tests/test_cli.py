@@ -104,3 +104,77 @@ def test_cli_quantize_and_export(tmp_path):
         "--batch-sizes", "2", "--seq-lens", "16",
     ])
     assert os.path.exists(tmp_path / "bundle" / "manifest.json")
+
+
+def test_cli_theseus(tmp_path):
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    paws = tmp_path / "paws.tsv"
+    paws.write_text(
+        "id\tsentence1\tsentence2\tlabel\n"
+        + "\n".join(
+            f"{i}\t{SENTS[i % 8]}\t{SENTS[(i + 1) % 8]}\t{i % 2}"
+            for i in range(16)
+        )
+    )
+    main([
+        "theseus", "--model", str(tmp_path / "run"), "--data", str(paws),
+        "--slots", "1", "--fp32", "--batch-size", "4", "--epochs", "1",
+        "--max-len", "32", "--save-path", str(tmp_path / "theseus"),
+    ])
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+    student = SentenceEncoder.load(str(tmp_path / "theseus"))
+    assert student.arch.num_layers == 1
+    emb = student.encode(list(SENTS[:2]))
+    assert emb.shape == (2, student.arch.hidden_size)
+
+
+def test_cli_classification_then_prune(tmp_path):
+    import json as _json
+
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text(
+        "\n".join(
+            _json.dumps({"text": s, "label": ["a", "b"][i % 2]})
+            for i, s in enumerate(SENTS * 2)
+        )
+    )
+    main(_base_args(tmp_path, ["train-classification", "--data", str(docs)]))
+    main([
+        "prune", "--model", str(tmp_path / "run"), "--data", str(docs),
+        "--target-heads", "2", "--target-ffn", "64", "--fp32",
+        "--batch-size", "4", "--epochs", "1", "--max-len", "32",
+        "--save-path", str(tmp_path / "pruned"),
+    ])
+    import os as _os
+
+    assert _os.path.exists(tmp_path / "pruned" / "arch.json")
+    from text_similarity_tpu.core.config import EncoderArch
+
+    with open(tmp_path / "pruned" / "arch.json") as f:
+        arch = EncoderArch.from_json(f.read())
+    assert arch.num_heads == 2 and arch.intermediate_size == 64
+
+
+def test_cli_quantized_model_loads(tmp_path):
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    main([
+        "quantize", "--model", str(tmp_path / "run"), "--fp32",
+        "--save-path", str(tmp_path / "int8"),
+    ])
+    # vocab must ride along for the loaded model to encode
+    import shutil
+
+    shutil.copy(tmp_path / "run" / "vocab.txt", tmp_path / "int8" / "vocab.txt")
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+    enc8 = SentenceEncoder.load(str(tmp_path / "int8"), bf16=False)
+    enc = SentenceEncoder.load(str(tmp_path / "run"), bf16=False)
+    a = enc.encode(list(SENTS[:3]))
+    b = enc8.encode(list(SENTS[:3]))
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.98

@@ -258,6 +258,12 @@ def cmd_train_classification(args):
         lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),
         epochs=cfg.epochs,
     )
+    with open(os.path.join(args.save_path, "arch.json"), "w") as f:
+        f.write(enc.arch.to_json())
+    if hasattr(enc.tokenizer, "save_vocab"):
+        enc.tokenizer.save_vocab(os.path.join(args.save_path, "vocab.txt"))
+    with open(os.path.join(args.save_path, "labels.json"), "w") as f:
+        json.dump(labels, f)
     print(json.dumps({"labels": labels, "best": result["best_metric"]}))
 
 
@@ -360,6 +366,119 @@ def cmd_distill(args):
     }))
 
 
+def cmd_theseus(args):
+    """Theseus-compress a bi-encoder on a labeled pair dataset
+    (reference distill_theseus / distill_paws flow)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..compress.theseus import TheseusDistiller, ReplacementScheduler
+    from ..data.datasets import load_paws, load_nli
+    from ..data.pairs import build_pair_batches
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..train import make_optimizer, init_train_state
+    from ..train.steps import init_classifier_head
+
+    teacher = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    rows = (
+        load_nli(args.data) if args.format == "nli" else load_paws(args.data)
+    )
+    num_classes = 3 if args.format == "nli" else 2
+    pairs = [(a, b) for a, b, _ in rows]
+    labels = [l for _, _, l in rows]
+    batches = build_pair_batches(
+        teacher.tokenizer, pairs, labels, batch_size=args.batch_size,
+        max_len=args.max_len, target_dtype=np.int32, seed=args.seed,
+    )
+    cfg = _train_cfg(args)
+    distiller = TheseusDistiller(
+        teacher.params, teacher.arch, num_slots=args.slots,
+        scheduler=ReplacementScheduler(args.base_rate, args.rate_k),
+        train_config=cfg,
+    )
+    params = {
+        "succ": distiller.succ,
+        "head": init_classifier_head(
+            jax.random.PRNGKey(args.seed + 1),
+            3 * teacher.arch.hidden_size, num_classes,
+        ),
+    }
+    tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
+    state = init_train_state(params, tx, seed=args.seed)
+    step = distiller.make_train_step(tx, num_classes=num_classes)
+    pred_layers = teacher.params["layers"]
+    embeddings = teacher.params["embeddings"]
+    for epoch in range(cfg.epochs):
+        losses = []
+        for b in batches:
+            rate = distiller.scheduler.rate(int(jax.device_get(state.step)))
+            state, m = step(
+                state, jax.tree.map(jnp.asarray, b), rate,
+                pred_layers, embeddings,
+            )
+            losses.append(m["loss"])
+        losses = [float(x) for x in jax.device_get(losses)]
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f}", file=sys.stderr)
+    student = SentenceEncoder(
+        distiller.compressed_params(state.params["succ"]),
+        distiller.compressed_arch,
+        tokenizer=teacher.tokenizer,
+        pooling=teacher.pooling,
+        precision=teacher.precision,
+    )
+    student.save(args.save_path)
+    print(json.dumps({
+        "layers": distiller.compressed_arch.num_layers,
+        "saved": args.save_path,
+    }))
+
+
+def cmd_prune(args):
+    """Head/FFN importance pruning of a classifier checkpoint produced by
+    train-classification (reference prune_rewire flow)."""
+    jax = _jax()
+    from ..compress.prune import head_importance, ffn_importance, prune_rewire
+    from ..core.config import EncoderArch
+    from ..core import checkpoint as ckpt
+    from ..data.datasets import load_documents_json
+    from ..data.pairs import build_sequence_batches
+    from ..data.tokenization import load_tokenizer
+
+    with open(os.path.join(args.model, "arch.json")) as f:
+        arch = EncoderArch.from_json(f.read())
+    cdir = ckpt.latest_checkpoint(args.model)
+    params, _, _ = ckpt.restore_checkpoint_raw(cdir)
+    tok = load_tokenizer(args.model)
+
+    docs = load_documents_json(args.data)
+    labels = sorted({d["label"] for d in docs})
+    lab2id = {l: i for i, l in enumerate(labels)}
+    batches = build_sequence_batches(
+        tok, [d["text"] for d in docs], [lab2id[d["label"]] for d in docs],
+        batch_size=args.batch_size, max_len=args.max_len, shuffle=False,
+    )[: args.importance_batches]
+    hi = head_importance(params, arch, batches)
+    fi = ffn_importance(params, arch, batches)
+    new_enc, new_arch = prune_rewire(
+        params["encoder"], arch, hi, fi,
+        target_heads=args.target_heads, target_ffn=args.target_ffn,
+    )
+    os.makedirs(args.save_path, exist_ok=True)
+    ckpt.save_checkpoint(
+        args.save_path, {"encoder": new_enc, "head": params["head"]},
+        step=0, meta={"pruned": True},
+    )
+    with open(os.path.join(args.save_path, "arch.json"), "w") as f:
+        f.write(new_arch.to_json())
+    if hasattr(tok, "save_vocab"):
+        tok.save_vocab(os.path.join(args.save_path, "vocab.txt"))
+    print(json.dumps({
+        "heads": new_arch.num_heads,
+        "ffn": new_arch.intermediate_size,
+        "saved": args.save_path,
+    }))
+
+
 def cmd_quantize(args):
     jax = _jax()
     from ..models.sentence_encoder import SentenceEncoder
@@ -369,6 +488,8 @@ def cmd_quantize(args):
     save_quantized(args.save_path, enc.params)
     with open(os.path.join(args.save_path, "arch.json"), "w") as f:
         f.write(enc.arch.to_json())
+    if enc.tokenizer is not None and hasattr(enc.tokenizer, "save_vocab"):
+        enc.tokenizer.save_vocab(os.path.join(args.save_path, "vocab.txt"))
     print(json.dumps({"saved": args.save_path, "format": "int8"}))
 
 
@@ -518,6 +639,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--student-layers", type=int, default=4)
     p.add_argument("--max-sentences", type=int, default=100000)
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("theseus"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--format", default="paws", choices=["paws", "nli"])
+    p.add_argument("--slots", type=int, default=2)
+    p.add_argument("--base-rate", type=float, default=0.3)
+    p.add_argument("--rate-k", type=float, default=1e-3)
+    p.set_defaults(fn=cmd_theseus)
+
+    p = sub.add_parser("prune"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--target-heads", type=int, required=True)
+    p.add_argument("--target-ffn", type=int, required=True)
+    p.add_argument("--importance-batches", type=int, default=8)
+    p.set_defaults(fn=cmd_prune)
 
     p = sub.add_parser("quantize"); _common(p)
     p.set_defaults(fn=cmd_quantize)

@@ -115,3 +115,21 @@ def restore_checkpoint(
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         info = json.load(f)
     return params, opt_state, info["step"], info.get("meta", {})
+
+
+def restore_checkpoint_raw(ckpt_dir: str) -> Tuple[dict, int, Dict[str, Any]]:
+    """Template-free restore: rebuild the nested pytree from the flat key
+    paths alone (used for artifacts whose structure the caller doesn't know
+    statically, e.g. int8-quantized params with {q, s} leaf dicts)."""
+    with np.load(os.path.join(ckpt_dir, "params.npz")) as z:
+        flat = {k: z[k] for k in z.files}
+    tree: dict = {}
+    for key, arr in flat.items():
+        parts = key.split(_SEP)
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(arr)
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        info = json.load(f)
+    return tree, info["step"], info.get("meta", {})

@@ -241,9 +241,14 @@ class SentenceEncoder:
 
         with open(os.path.join(path, "arch.json")) as f:
             arch = EncoderArch.from_json(f.read())
-        template = init_params(jax.random.PRNGKey(0), arch)
         cdir = ckpt.latest_checkpoint(path)
-        params, _, _, meta = ckpt.restore_checkpoint(cdir, template)
+        params, _, meta = ckpt.restore_checkpoint_raw(cdir)
+        if meta.get("format") == "int8" or meta.get("int8"):
+            from ..compress.quantize import dequantize_params
+
+            params = dequantize_params(
+                params, jnp.bfloat16 if bf16 else jnp.float32
+            )
         try:
             tok = load_tokenizer(path)
         except FileNotFoundError:

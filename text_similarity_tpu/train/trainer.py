@@ -137,7 +137,17 @@ class Trainer:
         fetched = jax.device_get(pending)
         for m in fetched:
             for k, v in m.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
+                v = float(v)
+                if k == "loss" and not np.isfinite(v):
+                    # NaN guard (the framework's failure-detection hook,
+                    # SURVEY.md §5.2-5.3): fail loudly with context instead
+                    # of silently training on garbage.
+                    raise FloatingPointError(
+                        f"non-finite loss at step "
+                        f"{int(jax.device_get(self.state.step))}; enable "
+                        f"jax.config.debug_nans to localize"
+                    )
+                acc[k] = acc.get(k, 0.0) + v
         return acc
 
     def _save(self, step: int, tag: Optional[str]):
