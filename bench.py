@@ -82,7 +82,9 @@ def main():
     # IVF build on device
     cfg = IndexConfig(num_clusters=1024, num_probes=24, kmeans_iters=8)
     t0 = time.time()
-    ivf = IVFIndex.build(corpus, cfg, key=jax.random.PRNGKey(7))
+    ivf = IVFIndex.build(
+        corpus, cfg, key=jax.random.PRNGKey(7), data_dtype=jnp.bfloat16
+    )
     build_s = time.time() - t0
     log(
         f"IVF build: {build_s:.1f}s "

@@ -178,3 +178,20 @@ def test_cli_quantized_model_loads(tmp_path):
     b = enc8.encode(list(SENTS[:3]))
     cos = np.sum(a * b, axis=1)
     assert cos.min() > 0.98
+
+
+def test_cli_train_wic(tmp_path):
+    wic = tmp_path / "wic.tsv"
+    wic.write_text(
+        "fox\tN\t3-2\tthe quick brown fox jumps\ta fast dark fox leaped\n"
+        "cat\tN\t1-1\tthe cat sat quietly\tthe cat rested calmly\n"
+        "dog\tN\t2-4\tthe lazy dog slept\tthe fox ran from a dog\n"
+        "mat\tN\t5-3\tthe cat sat on a mat\ta soft mat lay there\n"
+    )
+    gold = tmp_path / "gold.txt"
+    gold.write_text("T\nT\nF\nT\n")
+    main(_base_args(tmp_path, [
+        "train-wic", "--data", str(wic), "--gold", str(gold),
+    ]))
+    out = json.loads(open(tmp_path / "run" / "results.jsonl").readline())
+    assert "train" in out

@@ -267,6 +267,48 @@ def cmd_train_classification(args):
     print(json.dumps({"labels": labels, "best": result["best_metric"]}))
 
 
+def cmd_train_wic(args):
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..data.datasets import load_wic
+    from ..data.pairs import build_word_batches
+    from ..train import make_optimizer, init_train_state
+    from ..train.steps import make_word_encoder_train_step
+    from ..train.trainer import Trainer
+    from ..models.word_encoder import WordEncoder
+    from ..core.precision import precision_for
+
+    rows = load_wic(args.data, args.gold)
+    texts = [r["sent1"] for r in rows] + [r["sent2"] for r in rows]
+    enc = _encoder(args, texts=texts)
+    batches = build_word_batches(
+        enc.tokenizer, rows, batch_size=args.batch_size,
+        max_len=args.max_len, seed=args.seed,
+    )
+    cfg = _train_cfg(args)
+    params = {"encoder": enc.params}
+    tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
+    state = init_train_state(params, tx, seed=args.seed)
+    step = make_word_encoder_train_step(
+        enc.arch, tx, precision=precision_for(cfg.bf16)
+    )
+    trainer = Trainer(step, state, save_path=args.save_path)
+    result = trainer.execute(
+        lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),
+        epochs=cfg.epochs,
+    )
+    # best-threshold WiC accuracy with the trained encoder
+    word_enc = WordEncoder(
+        result["state"].params["encoder"], enc.arch,
+        tokenizer=enc.tokenizer, precision=precision_for(cfg.bf16),
+    )
+    metrics = word_enc.evaluate_wic(batches)
+    enc.params = result["state"].params["encoder"]
+    enc.save(args.save_path)
+    print(json.dumps({"wic": metrics, "best": result["best_metric"]}))
+
+
 def cmd_train_ner(args):
     jax = _jax()
     import jax.numpy as jnp
@@ -628,6 +670,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", required=True)
     p.add_argument("--paragraph-words", type=int, default=0)
     p.set_defaults(fn=cmd_train_classification)
+
+    p = sub.add_parser("train-wic"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--gold")
+    p.set_defaults(fn=cmd_train_wic)
 
     p = sub.add_parser("train-ner"); _train_common(p)
     p.add_argument("--data", required=True)

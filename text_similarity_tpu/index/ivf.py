@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import IndexConfig
-from ..ops.kmeans import kmeans, assign_clusters
+from ..ops.kmeans import kmeans, assign_clusters, assign_clusters_topk
 from ..ops.topk import l2_normalize, topk_merge
 
 
@@ -69,42 +69,62 @@ class IVFIndex:
         config: IndexConfig = IndexConfig(),
         key: Optional[jax.Array] = None,
         data_dtype=jnp.float32,
+        spill_choices: int = 3,
     ) -> "IVFIndex":
+        """Build with a spill-balanced layout: rows overflowing their
+        cluster's Mc slots go to their 2nd/3rd nearest centroid's free
+        slots (probes usually cover those too); only the residue lands in
+        always-scanned overflow clusters. The default cap (4× the mean
+        cluster size) makes spills rare — recall stays at the pure-
+        assignment level; set ``max_cluster_size`` lower to trade a little
+        recall for a tighter (less HBM per probe) layout."""
         corpus = jnp.asarray(corpus)
         n, d = corpus.shape
         c = min(config.num_clusters, max(n // 32, 1))
-        centroids, assign = kmeans(
-            corpus, c, iters=config.kmeans_iters, key=key
-        )
+        centroids, _ = kmeans(corpus, c, iters=config.kmeans_iters, key=key)
+        spill_choices = min(spill_choices, c)
+        choices = np.asarray(
+            assign_clusters_topk(corpus, centroids, topk=spill_choices)
+        )  # (N, spill_choices)
 
-        counts = np.bincount(np.asarray(assign), minlength=c)
         mean_sz = max(int(np.ceil(n / c)), 1)
+        first_counts = np.bincount(choices[:, 0], minlength=c)
         mc = config.max_cluster_size or min(
-            int(counts.max()), 4 * mean_sz
+            int(first_counts.max()), 4 * mean_sz
         )
         mc = _round_up(max(mc, 8), 8)
 
-        # Slot computation on host (ids only — the vectors stay on device).
-        assign_h = np.asarray(assign)
-        order = np.argsort(assign_h, kind="stable")
-        sorted_assign = assign_h[order]
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        rank = np.arange(n) - starts[sorted_assign]
+        # Greedy balanced placement on host (ids only; vectors stay on
+        # device): pass 1 fills first choices up to cap, later passes
+        # spill capped rows to their next-best cluster with space.
+        slot_of_row = np.full(n, -1, np.int64)
+        fill = np.zeros(c, np.int64)
+        for col in range(spill_choices):
+            todo = np.nonzero(slot_of_row < 0)[0]
+            if todo.size == 0:
+                break
+            cand = choices[todo, col]
+            order = np.argsort(cand, kind="stable")
+            rows_sorted = todo[order]
+            cand_sorted = cand[order]
+            # rank of each row within its candidate cluster group
+            starts = np.searchsorted(cand_sorted, np.arange(c))
+            rank = np.arange(cand_sorted.size) - starts[cand_sorted]
+            space = mc - fill[cand_sorted]
+            take = rank < space
+            taken_rows = rows_sorted[take]
+            taken_cl = cand_sorted[take]
+            slot_of_row[taken_rows] = taken_cl * mc + fill[taken_cl] + rank[take]
+            fill += np.bincount(taken_cl, minlength=c)
 
-        in_cap = rank < mc
-        slot = np.empty(n, np.int64)
-        slot[in_cap] = sorted_assign[in_cap] * mc + rank[in_cap]
-        n_over = int((~in_cap).sum())
+        leftover = np.nonzero(slot_of_row < 0)[0]
+        n_over = leftover.size
         e = (n_over + mc - 1) // mc if n_over else 0
         if e:
-            over_rank = np.arange(n_over)
-            slot[~in_cap] = c * mc + over_rank
+            slot_of_row[leftover] = c * mc + np.arange(n_over)
         c_tot = c + e
 
-        slot_of_row = np.empty(n, np.int64)
-        slot_of_row[order] = slot
         slot_dev = jnp.asarray(slot_of_row, jnp.int32)
-
         flat = jnp.zeros((c_tot * mc, d), data_dtype)
         flat = flat.at[slot_dev].set(corpus.astype(data_dtype))
         ids_flat = np.full((c_tot * mc,), -1, np.int32)

@@ -42,6 +42,32 @@ def assign_clusters(
     return out[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "chunk"))
+def assign_clusters_topk(
+    data: jax.Array,
+    centroids: jax.Array,
+    topk: int = 3,
+    chunk: int = 65536,
+) -> jax.Array:
+    """Per row, the ids of its ``topk`` nearest centroids (used by the
+    balanced IVF layout to spill capped rows to their next-best cluster)."""
+    n, d = data.shape
+    pad = (-n) % chunk
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    chunks = data_p.reshape(-1, chunk, d)
+
+    def one(chunk_rows):
+        scores = jnp.einsum(
+            "nd,cd->nc", chunk_rows, centroids,
+            preferred_element_type=jnp.float32,
+        )
+        _, ids = jax.lax.top_k(scores, topk)
+        return ids.astype(jnp.int32)
+
+    out = jax.lax.map(one, chunks).reshape(-1, topk)
+    return out[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("num_clusters", "chunk"))
 def _update_centroids(
     data: jax.Array, assign: jax.Array, num_clusters: int, chunk: int = 65536

@@ -300,3 +300,56 @@ def make_token_classifier_train_step(
         )
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Word-in-context (WiC) training — reference src/training/train_wic.py:19-110
+# (WordEncoderModel twin towers over target-word spans)
+# ---------------------------------------------------------------------------
+
+def make_word_encoder_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    precision: Precision = DEFAULT_PRECISION,
+    margin: float = 0.5,
+    loss_type: str = "contrastive",
+) -> Callable:
+    """batch: ids_a/mask_a/span_a, ids_b/mask_b/span_b, target (0/1),
+    valid. Towers share the encoder; each side pools the target word's
+    sub-token span; contrastive loss on the word-vector cosine."""
+    from ..models.pooling import word_span_pool
+
+    def word_vec(enc, ids, mask, span, rng):
+        out = encoder_forward(
+            enc, ids, mask, arch=arch, precision=precision,
+            deterministic=False, dropout_rng=rng,
+        )
+        return word_span_pool(out.last_hidden_state, span)
+
+    def loss_fn(params, batch, rng):
+        enc = params["encoder"]
+        r1, r2 = jax.random.split(rng)
+        u = word_vec(enc, batch["ids_a"], batch["mask_a"], batch["span_a"], r1)
+        v = word_vec(enc, batch["ids_b"], batch["mask_b"], batch["span_b"], r2)
+        valid = batch.get("valid")
+        if loss_type == "online_contrastive":
+            loss, _ = L.online_contrastive_loss(
+                u, v, batch["target"], margin, valid
+            )
+        else:
+            loss, _ = L.contrastive_loss(u, v, batch["target"], margin, valid)
+        return loss, {}
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
