@@ -1,0 +1,99 @@
+"""Trainer: epoch loop, best-metric checkpointing, resume, NaN guard."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_similarity_tpu.core.config import ARCH_PRESETS, TrainConfig
+from text_similarity_tpu.core.precision import FP32_PRECISION
+from text_similarity_tpu.models import init_params
+from text_similarity_tpu.train import (
+    make_optimizer,
+    make_bi_encoder_train_step,
+    init_train_state,
+    TrainState,
+)
+from text_similarity_tpu.train.trainer import Trainer
+
+ARCH = ARCH_PRESETS["tiny-test"].replace(
+    hidden_dropout=0.0, attention_dropout=0.0
+)
+
+
+def _setup(lr=1e-3):
+    cfg = TrainConfig(lr=lr, batch_size=4, warmup_ratio=0.0, bf16=False)
+    params = {"encoder": init_params(jax.random.PRNGKey(0), ARCH)}
+    tx = make_optimizer(cfg, 100, params_example=params)
+    state = init_train_state(params, tx)
+    step = make_bi_encoder_train_step(
+        ARCH, tx, loss_type="cosine_mse", precision=FP32_PRECISION
+    )
+    rng = np.random.RandomState(0)
+    b, s = 4, 8
+    batch = {
+        "ids_a": jnp.asarray(rng.randint(5, ARCH.vocab_size, (b, s)), jnp.int32),
+        "mask_a": jnp.ones((b, s), jnp.int32),
+        "ids_b": jnp.asarray(rng.randint(5, ARCH.vocab_size, (b, s)), jnp.int32),
+        "mask_b": jnp.ones((b, s), jnp.int32),
+        "target": jnp.asarray(rng.rand(b), jnp.float32),
+        "valid": jnp.ones((b,), jnp.int32),
+    }
+    return cfg, tx, state, step, batch
+
+
+def test_trainer_saves_best_and_results(tmp_path):
+    cfg, tx, state, step, batch = _setup()
+    calls = {"n": 0}
+
+    def eval_fn(state):
+        calls["n"] += 1
+        return {"metric": float(calls["n"])}  # strictly improving
+
+    tr = Trainer(
+        step, state, save_path=str(tmp_path), eval_fn=eval_fn,
+        tracked_metric="metric", direction="max", log_every=2,
+    )
+    result = tr.execute(lambda e: iter([batch] * 5), epochs=3)
+    assert result["best_metric"] == 3.0
+    assert os.path.exists(tmp_path / "BEST")
+    assert os.path.exists(tmp_path / "FINAL")
+    assert os.path.exists(tmp_path / "results.jsonl")
+    assert len(result["history"]) == 3
+    assert result["history"][0]["train"]["loss"] > 0
+
+
+def test_trainer_resume_restores_step(tmp_path):
+    cfg, tx, state, step, batch = _setup()
+    tr = Trainer(step, state, save_path=str(tmp_path))
+    tr.execute(lambda e: iter([batch] * 4), epochs=2)
+
+    # fresh trainer resumes from latest checkpoint
+    params2 = {"encoder": init_params(jax.random.PRNGKey(1), ARCH)}
+    state2 = init_train_state(params2, tx)
+    tr2 = Trainer(step, state2, save_path=str(tmp_path))
+    assert tr2.resume(params2, state2.opt_state)
+    assert int(jax.device_get(tr2.state.step)) == 8
+    # resumed params equal the saved ones, not the fresh init
+    saved_leaf = np.asarray(
+        jax.device_get(tr.state.params["encoder"]["embeddings"]["word"])
+    )
+    resumed_leaf = np.asarray(
+        jax.device_get(tr2.state.params["encoder"]["embeddings"]["word"])
+    )
+    np.testing.assert_allclose(saved_leaf, resumed_leaf, atol=1e-7)
+
+
+def test_trainer_nan_guard(tmp_path):
+    cfg, tx, state, step, batch = _setup(lr=1e-3)
+
+    def bad_step(state, b):
+        new = TrainState(state.params, state.opt_state, state.step + 1, state.rng)
+        return new, {"loss": jnp.float32(jnp.nan)}
+
+    tr = Trainer(bad_step, state, log_every=1)
+    with pytest.raises(FloatingPointError):
+        tr.execute(lambda e: iter([batch]), epochs=1)
