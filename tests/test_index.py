@@ -153,3 +153,41 @@ def test_int8_store_pallas_interpret():
     )
     # self-retrieval survives quantization
     np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(4))
+
+
+def test_ivf_int8_recall():
+    """int8 IVF (quantized cluster storage + on-chip dequant) keeps recall."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(
+        num_clusters=32, num_probes=8, kmeans_iters=10, quantize_int8=True
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    assert ivf.data_padded.dtype == jnp.int8
+    assert ivf.scales_padded is not None
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+    for impl in ("xla", "pallas"):
+        _, ivf_i = ivf.query(queries, k=10, impl=impl)
+        ivf_i = np.asarray(ivf_i)
+        recall = np.mean([
+            len(set(ivf_i[r]) & set(true_i[r])) / 10 for r in range(64)
+        ])
+        assert recall >= 0.93, f"{impl} int8 recall {recall}"
+
+
+def test_ivf_int8_save_load(tmp_path):
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(
+        num_clusters=16, num_probes=4, kmeans_iters=5, quantize_int8=True
+    )
+    ivf = IVFIndex.build(x, cfg)
+    p = str(tmp_path / "ivf8.npz")
+    ivf.save(p)
+    loaded = IVFIndex.load(p)
+    assert loaded.scales_padded is not None
+    s1, i1 = ivf.query_xla(x[:8], k=5)
+    s2, i2 = loaded.query_xla(x[:8], k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

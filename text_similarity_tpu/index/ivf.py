@@ -50,10 +50,13 @@ class IVFIndex:
         ids_padded: jax.Array,    # (C_tot, Mc) int32, -1 = pad
         num_base_clusters: int,
         config: IndexConfig,
+        scales_padded: Optional[jax.Array] = None,  # (C_tot, Mc) f32 when
+                                                    # data_padded is int8
     ):
         self.centroids = centroids
         self.data_padded = data_padded
         self.ids_padded = ids_padded
+        self.scales_padded = scales_padded
         self.num_base_clusters = num_base_clusters
         self.num_overflow = data_padded.shape[0] - num_base_clusters
         self.config = config
@@ -125,8 +128,19 @@ class IVFIndex:
         c_tot = c + e
 
         slot_dev = jnp.asarray(slot_of_row, jnp.int32)
-        flat = jnp.zeros((c_tot * mc, d), data_dtype)
-        flat = flat.at[slot_dev].set(corpus.astype(data_dtype))
+        scales_padded = None
+        if config.quantize_int8 or data_dtype == jnp.int8:
+            from ..compress.quantize import quantize_embeddings_int8
+
+            q, s = quantize_embeddings_int8(corpus)
+            flat = jnp.zeros((c_tot * mc, d), jnp.int8)
+            flat = flat.at[slot_dev].set(q)
+            sflat = jnp.zeros((c_tot * mc,), jnp.float32)
+            sflat = sflat.at[slot_dev].set(s)
+            scales_padded = sflat.reshape(c_tot, mc)
+        else:
+            flat = jnp.zeros((c_tot * mc, d), data_dtype)
+            flat = flat.at[slot_dev].set(corpus.astype(data_dtype))
         ids_flat = np.full((c_tot * mc,), -1, np.int32)
         ids_flat[slot_of_row] = np.arange(n, dtype=np.int32)
 
@@ -136,6 +150,7 @@ class IVFIndex:
             ids_padded=jnp.asarray(ids_flat.reshape(c_tot, mc)),
             num_base_clusters=c,
             config=config,
+            scales_padded=scales_padded,
         )
 
     # ------------------------------------------------------------------
@@ -165,7 +180,7 @@ class IVFIndex:
         q = l2_normalize(jnp.asarray(queries))
         return _ivf_query_xla(
             q, self.centroids, self.data_padded, self.ids_padded,
-            self.num_base_clusters, k, probes, chunk_q,
+            self.scales_padded, self.num_base_clusters, k, probes, chunk_q,
         )
 
     # ------------------------------------------------------------------
@@ -194,6 +209,7 @@ class IVFIndex:
         )
         s, i = _ivf_query_fused(
             q, self.centroids, self.data_padded, self.ids_padded,
+            self.scales_padded,
             self.num_base_clusters, k, probes, block_q, union,
             jax.default_backend() != "tpu",
         )
@@ -206,6 +222,11 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if self.scales_padded is not None:
+            extra["scales_padded"] = np.asarray(
+                jax.device_get(self.scales_padded)
+            )
         np.savez(
             path,
             centroids=np.asarray(jax.device_get(self.centroids)),
@@ -214,6 +235,7 @@ class IVFIndex:
             num_base_clusters=self.num_base_clusters,
             num_clusters=self.config.num_clusters,
             num_probes=self.config.num_probes,
+            **extra,
         )
 
     @classmethod
@@ -229,6 +251,10 @@ class IVFIndex:
                 ids_padded=jnp.asarray(z["ids_padded"]),
                 num_base_clusters=int(z["num_base_clusters"]),
                 config=cfg,
+                scales_padded=(
+                    jnp.asarray(z["scales_padded"])
+                    if "scales_padded" in z.files else None
+                ),
             )
 
 
@@ -237,7 +263,7 @@ class IVFIndex:
     static_argnames=("num_base", "k", "probes", "block_q", "union", "interpret"),
 )
 def _ivf_query_fused(
-    queries, centroids, data_padded, ids_padded,
+    queries, centroids, data_padded, ids_padded, scales_padded,
     num_base: int, k: int, probes: int, block_q: int, union: int,
     interpret: bool,
 ):
@@ -261,7 +287,7 @@ def _ivf_query_fused(
         )
         probe_ids = jnp.concatenate([probe_ids, over], axis=1)
     return _ivf_query_pallas(
-        q, probe_ids, data_padded, ids_padded, k, block_q,
+        q, probe_ids, data_padded, ids_padded, scales_padded, k, block_q,
         interpret=interpret,
     )
 
@@ -274,7 +300,8 @@ def _ivf_query_fused(
     jax.jit, static_argnames=("num_base", "k", "probes", "chunk_q")
 )
 def _ivf_query_xla(
-    q, centroids, data_padded, ids_padded, num_base, k, probes, chunk_q
+    q, centroids, data_padded, ids_padded, scales_padded, num_base, k,
+    probes, chunk_q,
 ):
     b, d = q.shape
     c_tot, mc, _ = data_padded.shape
@@ -303,6 +330,8 @@ def _ivf_query_xla(
             "qd,qpmd->qpm", qc, cand.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if scales_padded is not None:
+            s = s * scales_padded[pc]   # int8 per-row dequant
         s = jnp.where(cand_ids >= 0, s, -jnp.inf)
         s = s.reshape(qc.shape[0], -1)
         cand_ids = cand_ids.reshape(qc.shape[0], -1)
@@ -320,18 +349,15 @@ def _ivf_query_xla(
 # Pallas query kernel
 # ---------------------------------------------------------------------------
 
-def _ivf_kernel(
-    probes_ref,   # scalar-prefetch (n_blocks, U) int32
-    q_ref,        # (block_q, D)
-    data_ref,     # (1, Mc, D) — cluster block selected by index_map
-    ids_ref,      # (1, 1, Mc) int32 (middle singleton keeps Mosaic's
-                  #  block-tiling rule satisfied: block dims == array dims)
-    out_s_ref,    # (block_q, k)
-    out_i_ref,    # (block_q, k)
-    acc_s, acc_i,  # VMEM scratch (block_q, k)
-    *,
-    k: int,
+def _ivf_body(
+    q_ref, data_ref, ids_ref, scales_ref, out_s_ref, out_i_ref,
+    acc_s, acc_i, k: int,
 ):
+    """Shared body: one (query-block, probed-cluster) step of the scan.
+
+    Block shapes: q (block_q, D); data (1, Mc, D) — f32/bf16, or int8 with
+    per-row dequant scales (1, 1, Mc); ids (1, 1, Mc) int32 (middle
+    singleton keeps Mosaic's block-tiling rule satisfied)."""
     u = pl.program_id(1)
     n_u = pl.num_programs(1)
 
@@ -341,7 +367,7 @@ def _ivf_kernel(
         acc_i[...] = jnp.full_like(acc_i, -1)
 
     q = q_ref[...].astype(jnp.float32)          # (block_q, D)
-    data = data_ref[0].astype(jnp.float32)      # (Mc, D)
+    data = data_ref[0].astype(jnp.float32)      # (Mc, D); int8 dequants on-chip
     ids = ids_ref[0, 0]                          # (Mc,)
     mc = data.shape[0]
     block_q = q.shape[0]
@@ -349,6 +375,8 @@ def _ivf_kernel(
     s = jax.lax.dot_general(
         q, data, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, Mc)
+    if scales_ref is not None:
+        s = s * scales_ref[0, 0][None, :]
     ids_b = jnp.broadcast_to(ids[None, :], (block_q, mc))
     s = jnp.where(ids_b >= 0, s, -jnp.inf)
 
@@ -385,12 +413,25 @@ def _ivf_kernel(
         out_i_ref[...] = acc_i[...]
 
 
+def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,
+                out_s_ref, out_i_ref, acc_s, acc_i, *, k: int):
+    _ivf_body(q_ref, data_ref, ids_ref, None,
+              out_s_ref, out_i_ref, acc_s, acc_i, k)
+
+
+def _ivf_kernel_int8(probes_ref, q_ref, data_ref, ids_ref, scales_ref,
+                     out_s_ref, out_i_ref, acc_s, acc_i, *, k: int):
+    _ivf_body(q_ref, data_ref, ids_ref, scales_ref,
+              out_s_ref, out_i_ref, acc_s, acc_i, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
 def _ivf_query_pallas(
     q,            # (B, D) padded to block_q
     probe_list,   # (B/block_q, U) int32
-    data_padded,  # (C_tot, Mc, D)
+    data_padded,  # (C_tot, Mc, D) — f32/bf16, or int8 with scales
     ids_padded,   # (C_tot, Mc)
+    scales_padded,  # (C_tot, Mc) f32 or None
     k: int,
     block_q: int,
     interpret: bool = False,
@@ -399,16 +440,24 @@ def _ivf_query_pallas(
     n_blocks, u_tot = probe_list.shape
     c_tot, mc, _ = data_padded.shape
 
+    in_specs = [
+        pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
+        pl.BlockSpec((1, mc, d), lambda i, j, probes: (probes[i, j], 0, 0)),
+        pl.BlockSpec((1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0)),
+    ]
+    operands = [probe_list, q, data_padded, ids_padded[:, None, :]]
+    kernel = functools.partial(_ivf_kernel, k=k)
+    if scales_padded is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0))
+        )
+        operands.append(scales_padded[:, None, :])
+        kernel = functools.partial(_ivf_kernel_int8, k=k)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks, u_tot),
-        in_specs=[
-            pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
-            pl.BlockSpec((1, mc, d), lambda i, j, probes: (probes[i, j], 0, 0)),
-            pl.BlockSpec(
-                (1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
             pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
@@ -419,7 +468,7 @@ def _ivf_query_pallas(
         ],
     )
     out_s, out_i = pl.pallas_call(
-        functools.partial(_ivf_kernel, k=k),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, k), jnp.float32),
@@ -429,5 +478,5 @@ def _ivf_query_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(probe_list, q, data_padded, ids_padded[:, None, :])
+    )(*operands)
     return out_s, out_i
