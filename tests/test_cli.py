@@ -195,3 +195,23 @@ def test_cli_train_wic(tmp_path):
     ]))
     out = json.loads(open(tmp_path / "run" / "results.jsonl").readline())
     assert "train" in out
+
+
+def test_cli_train_cross_encoder_and_rerank(tmp_path):
+    paws = tmp_path / "paws.tsv"
+    paws.write_text(
+        "id\ts1\ts2\tlabel\n"
+        + "\n".join(
+            f"{i}\t{SENTS[i % 8]}\t{SENTS[(i + 1) % 8]}\t{i % 2}"
+            for i in range(16)
+        )
+    )
+    main(_base_args(tmp_path, [
+        "train-cross-encoder", "--data", str(paws),
+    ]))
+    from text_similarity_tpu.models.cross_encoder import CrossEncoder
+
+    ce = CrossEncoder.load(str(tmp_path / "run"), bf16=False)
+    scores = ce.predict([(SENTS[0], SENTS[1]), (SENTS[2], SENTS[3])])
+    assert scores.shape == (2,)
+    assert np.isfinite(scores).all()

@@ -197,3 +197,39 @@ def test_layer_gate_identity():
         np.asarray(off.hidden_states[0]),
         atol=1e-6,
     )
+
+
+def test_sentence_encoder_from_hf():
+    """SentenceEncoder.from_hf + encode end-to-end from a torch model."""
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+
+    corpus = ["a quick brown fox", "machine learning is fun"]
+    tok = WordPieceTokenizer(train_wordpiece_vocab(corpus, 512, min_freq=1))
+    cfg = transformers.BertConfig(
+        vocab_size=tok.vocab_size, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg).eval()
+    enc = SentenceEncoder.from_hf(model, tokenizer=tok, precision=FP32_PRECISION)
+    emb = enc.encode(corpus)
+    assert emb.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+    # parity with direct torch mean-pool of the same tokens
+    ids, mask = tok.encode_batch(corpus, max_len=16)
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    m = mask[..., None].astype(np.float32)
+    pooled = (out * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+    pooled /= np.linalg.norm(pooled, axis=1, keepdims=True)
+    got = np.asarray(enc.embed_tokens(ids, mask))
+    np.testing.assert_allclose(got, pooled, atol=5e-4, rtol=1e-2)

@@ -267,6 +267,62 @@ def cmd_train_classification(args):
     print(json.dumps({"labels": labels, "best": result["best_metric"]}))
 
 
+def cmd_train_cross_encoder(args):
+    """Train a cross-encoder pair classifier (the reranker model;
+    reference TransformerWrapper training, modeling.py:90-146)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..data.datasets import load_paws, load_nli, load_sts
+    from ..data.pairs import build_pair_batches
+    from ..train import (
+        make_optimizer, make_classifier_train_step, init_train_state,
+    )
+    from ..train.steps import init_classifier_head
+    from ..train.trainer import Trainer
+    from ..models.cross_encoder import CrossEncoder
+    from ..core.precision import precision_for
+
+    if args.format == "nli":
+        rows = load_nli(args.data)
+        num_classes = 3
+    else:
+        rows = load_paws(args.data)
+        num_classes = 2
+    texts = [a for a, _, _ in rows] + [b for _, b, _ in rows]
+    enc = _encoder(args, texts=texts)
+    batches = build_pair_batches(
+        enc.tokenizer, [(a, b) for a, b, _ in rows],
+        [l for _, _, l in rows], batch_size=args.batch_size,
+        max_len=args.max_len, mode="cross", target_dtype=np.int32,
+        seed=args.seed,
+    )
+    cfg = _train_cfg(args)
+    params = {
+        "encoder": enc.params,
+        "head": init_classifier_head(
+            jax.random.PRNGKey(args.seed + 1), enc.arch.hidden_size,
+            num_classes,
+        ),
+    }
+    tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
+    state = init_train_state(params, tx, seed=args.seed)
+    step = make_classifier_train_step(
+        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16)
+    )
+    trainer = Trainer(step, state, save_path=args.save_path)
+    result = trainer.execute(
+        lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),
+        epochs=cfg.epochs,
+    )
+    ce = CrossEncoder(
+        result["state"].params, enc.arch, tokenizer=enc.tokenizer,
+        num_classes=num_classes, precision=precision_for(cfg.bf16),
+    )
+    ce.save(args.save_path)
+    print(json.dumps({"num_classes": num_classes, "best": result["best_metric"]}))
+
+
 def cmd_train_wic(args):
     jax = _jax()
     import jax.numpy as jnp
@@ -670,6 +726,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", required=True)
     p.add_argument("--paragraph-words", type=int, default=0)
     p.set_defaults(fn=cmd_train_classification)
+
+    p = sub.add_parser("train-cross-encoder"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--format", default="paws", choices=["paws", "nli"])
+    p.set_defaults(fn=cmd_train_cross_encoder)
 
     p = sub.add_parser("train-wic"); _train_common(p)
     p.add_argument("--data", required=True)
