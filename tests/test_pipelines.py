@@ -134,3 +134,24 @@ def test_topic_pipeline(encoder):
     reduced = pipe.reduce_topics(res, CORPUS, target=2)
     alive = {t for t in np.unique(reduced["assignments"]) if t >= 0}
     assert len(alive) <= 2
+
+
+def test_compare_models_overlap(encoder):
+    from text_similarity_tpu.pipelines.search import compare_models
+
+    # identical models → overlap 1.0
+    res = compare_models(encoder, encoder, CORPUS, CORPUS[:4], k=5)
+    assert res["mean_topk_overlap"] == 1.0
+
+    # different random model → lower overlap
+    import jax
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+
+    other = SentenceEncoder(
+        init_params(jax.random.PRNGKey(99), encoder.arch), encoder.arch,
+        tokenizer=encoder.tokenizer, precision=FP32_PRECISION,
+    )
+    res2 = compare_models(encoder, other, CORPUS, CORPUS[:4], k=5)
+    assert res2["mean_topk_overlap"] <= 1.0

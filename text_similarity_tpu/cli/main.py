@@ -685,6 +685,24 @@ def cmd_mine(args):
         print(f"{s:.4f}\t{corpus[i]}\t{corpus[j]}")
 
 
+def cmd_compare_models(args):
+    """Teacher vs compressed-student retrieval overlap (reference
+    eval_sentence_mining.py compare_models)."""
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..pipelines.search import compare_models
+
+    teacher = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    student = SentenceEncoder.load(args.student, bf16=not args.fp32)
+    if student.tokenizer is None:
+        student.tokenizer = teacher.tokenizer
+    with open(args.corpus, encoding="utf-8") as f:
+        corpus = [l.strip() for l in f if l.strip()]
+    queries = corpus[: args.num_queries]
+    print(json.dumps(
+        compare_models(teacher, student, corpus, queries, k=args.top_k)
+    ))
+
+
 def cmd_topics(args):
     from ..models.sentence_encoder import SentenceEncoder
     from ..pipelines import TopicModelingPipeline
@@ -795,6 +813,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-score", type=float, default=0.8)
     p.add_argument("--max-pairs", type=int, default=100)
     p.set_defaults(fn=cmd_mine)
+
+    p = sub.add_parser("compare-models"); _common(p)
+    p.add_argument("--student", required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--num-queries", type=int, default=100)
+    p.set_defaults(fn=cmd_compare_models)
 
     p = sub.add_parser("topics"); _common(p)
     p.add_argument("--corpus", required=True)

@@ -63,6 +63,8 @@ class EncoderArch:
     attention_type: str = "softmax"
     # Number of random features for performer attention (0 = head_dim).
     performer_features: int = 0
+    # Sliding-window (Longformer-style local) attention radius; 0 = full.
+    attention_window: int = 0
 
     @property
     def head_dim(self) -> int:

@@ -205,6 +205,7 @@ def transformer_layer(
     ctx = multi_head_attention(
         q, k, v, mask=attention_mask, head_mask=head_mask,
         impl=attention_impl, performer_proj=performer_proj,
+        window=arch.attention_window,
     ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
     ctx = dense(ctx, attn["o"])
     ctx = _dropout(

@@ -31,9 +31,14 @@ def attention_reference(
     v: jax.Array,  # (B, S, H, D)
     mask: Optional[jax.Array] = None,  # (B, S) 1=keep
     head_mask: Optional[jax.Array] = None,  # (H,) multiplier per head
+    window: int = 0,  # >0: banded (local) attention, |i-j| <= window
+    global_cls: bool = True,
 ) -> jax.Array:
-    """Exact softmax attention; softmax in fp32."""
-    *_, d = q.shape
+    """Exact softmax attention; softmax in fp32. ``window`` gives the
+    Longformer-style sliding-window variant (the reference converts models
+    with LongformerSelfAttention, make_long_transformer.py:56-68); with
+    ``global_cls`` position 0 keeps global attention in both directions."""
+    *_, s, h, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -41,6 +46,13 @@ def attention_reference(
     if mask is not None:
         bias = jnp.where(mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
         logits = logits + bias
+    if window > 0:
+        qi = jnp.arange(s)[:, None]
+        kj = jnp.arange(s)[None, :]
+        keep = jnp.abs(qi - kj) <= window
+        if global_cls:  # CLS attends/attended globally
+            keep = keep | (qi == 0) | (kj == 0)
+        logits = jnp.where(keep[None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     if head_mask is not None:
         probs = probs * head_mask[None, :, None, None].astype(probs.dtype)
@@ -55,7 +67,7 @@ def attention_reference(
 # Pallas flash attention (non-causal, padding-masked) for encoders.
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, len_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+def _flash_kernel(q_ref, len_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float, window: int = 0):
     """One (batch*head, q-block) program: stream K/V blocks, online softmax.
 
     Block shapes inside the kernel (leading 1 = folded batch*head dim):
@@ -68,6 +80,7 @@ def _flash_kernel(q_ref, len_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale
     seq_len = k_ref.shape[1]
     block_q, d = q.shape
     valid_len = len_ref[pl.program_id(0), 0]
+    q_start = pl.program_id(1) * block_q
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
@@ -81,6 +94,11 @@ def _flash_kernel(q_ref, len_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale
             preferred_element_type=jnp.float32,
         )  # (block_q, block_k)
         s = jnp.where(key_pos < valid_len, s, NEG_INF)
+        if window > 0:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
+            )
+            s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
@@ -92,16 +110,27 @@ def _flash_kernel(q_ref, len_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale
         return acc, m_new, l_new
 
     n_blocks = seq_len // block_k
+    if window > 0:
+        # visit only k-blocks intersecting the band of this q-block —
+        # DMA volume scales with the window, not the sequence
+        lo = jnp.maximum((q_start - window) // block_k, 0)
+        hi = jnp.minimum(
+            (q_start + block_q - 1 + window) // block_k + 1, n_blocks
+        )
+    else:
+        lo, hi = 0, n_blocks
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    acc, _, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
     # Fully-masked rows (padding queries) have l == 0 → output 0.
     l = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "window")
+)
 def flash_attention(
     q: jax.Array,  # (B, S, H, D)
     k: jax.Array,
@@ -110,6 +139,7 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
+    window: int = 0,   # >0: sliding-window (banded) attention
 ) -> jax.Array:
     """Blockwise exact attention. S must be a multiple of block sizes
     (callers pad to length buckets — which encode() does anyway, mirroring
@@ -137,7 +167,8 @@ def flash_attention(
     grid = (b * h, s // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, block_k=block_k, sm_scale=1.0 / (d ** 0.5)
+            _flash_kernel, block_k=block_k, sm_scale=1.0 / (d ** 0.5),
+            window=window,
         ),
         grid=grid,
         in_specs=[
@@ -166,6 +197,7 @@ def multi_head_attention(
     impl: str = "auto",
     performer_proj: Optional[jax.Array] = None,
     causal: bool = False,
+    window: int = 0,
 ) -> jax.Array:
     """Dispatching MHA. impl: auto | flash | reference | performer.
 
@@ -198,5 +230,9 @@ def multi_head_attention(
     if impl == "flash":
         if head_mask is not None:
             raise ValueError("flash attention does not support head_mask")
-        return flash_attention(q, k, v, mask, interpret=not _on_tpu())
-    return attention_reference(q, k, v, mask, head_mask)
+        return flash_attention(
+            q, k, v, mask, interpret=not _on_tpu(), window=window
+        )
+    return attention_reference(
+        q, k, v, mask, head_mask, window=window, global_cls=False
+    )

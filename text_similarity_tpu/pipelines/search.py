@@ -192,3 +192,31 @@ class SentenceMiningPipeline:
             ]
             for r in range(len(queries))
         ]
+
+
+def compare_models(
+    teacher_encoder,
+    student_encoder,
+    corpus: Sequence[str],
+    queries: Sequence[str],
+    k: int = 10,
+) -> dict:
+    """Teacher/student retrieval consistency: mean top-k overlap of the two
+    models' search results over the same corpus — the compression
+    acceptance metric of the reference (eval_sentence_mining.py:11-34,
+    eval_semantic_search.py:12-35), and exactly the recall-vs-reference
+    family of the north star."""
+    t_pipe = SemanticSearchPipeline(teacher_encoder, corpus=list(corpus), use_ivf=False)
+    s_pipe = SemanticSearchPipeline(student_encoder, corpus=list(corpus), use_ivf=False)
+    t_res = t_pipe(list(queries), max_num_results=k)
+    s_res = s_pipe(list(queries), max_num_results=k)
+    overlaps = []
+    for tr, sr in zip(t_res, s_res):
+        t_ids = {cid for _, _, cid in tr}
+        s_ids = {cid for _, _, cid in sr}
+        overlaps.append(len(t_ids & s_ids) / max(len(t_ids), 1))
+    return {
+        "mean_topk_overlap": float(np.mean(overlaps)),
+        "min_topk_overlap": float(np.min(overlaps)),
+        "k": k,
+    }
