@@ -112,7 +112,7 @@ def _train_cfg(args):
 
 
 def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
-                             target_dtype=np.float32):
+                             target_dtype=np.float32, encoder=None):
     jax = _jax()
     import jax.numpy as jnp
 
@@ -124,7 +124,7 @@ def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
     from ..core.precision import precision_for
 
     texts = [p[0] for p in pairs] + [p[1] for p in pairs]
-    enc = _encoder(args, texts=texts)
+    enc = encoder or _encoder(args, texts=texts)
     batches = build_pair_batches(
         enc.tokenizer, pairs, targets, batch_size=args.batch_size,
         max_len=args.max_len, seed=args.seed, target_dtype=target_dtype,
@@ -173,27 +173,28 @@ def cmd_train_sts(args):
     scores = [s for _, _, s in rows]
     eval_rows = load_sts(args.eval_data) if args.eval_data else None
 
-    holder = {}
+    # encoder built up front so the eval closure can re-wrap the live
+    # train-state params each epoch
+    enc = _encoder(args, texts=[a for a, _ in pairs] + [b for _, b in pairs])
 
     def eval_fn(state):
-        from ..models.sentence_encoder import SentenceEncoder
-
-        enc = holder["enc"]
+        # params are jit ARGUMENTS — the compiled encode fns can be reused
+        # across param updates, no cache clearing needed
         enc.params = state.params["encoder"]
-        enc._jit_cache.clear()
         ev = ParaphraseEvaluator(enc, mode="regression")
         rows_ = eval_rows or rows[:512]
-        return ev.evaluate(
+        out = ev.evaluate(
             [r[0] for r in rows_], [r[1] for r in rows_],
             [r[2] for r in rows_],
         )
+        return out
 
     args.metric = "spearman_cosine"
-    enc, _ = _run_bi_encoder_training(
+    _run_bi_encoder_training(
         args, pairs, scores, "cosine_mse",
         eval_fn=eval_fn if not args.no_eval else None,
+        encoder=enc,
     )
-    holder["enc"] = enc
 
 
 def cmd_train_nli(args):

@@ -202,14 +202,16 @@ class SentenceEncoder:
             pending.append((batch, emb))
 
         if device_output:
+            # one extra in-bounds trash row absorbs padding-row embeddings —
+            # OOB "drop" scatters are clamped (not dropped) on some TPU
+            # backends, which would clobber row 0 with a pad embedding
             out_dev = jnp.zeros(
-                (len(texts), self.embedding_dim), jnp.float32
+                (len(texts) + 1, self.embedding_dim), jnp.float32
             )
             for b, emb in pending:
                 idx = np.where(b["index"] >= 0, b["index"], len(texts))
-                # invalid rows scatter to the (dropped) out-of-range slot
-                out_dev = out_dev.at[jnp.asarray(idx)].set(emb, mode="drop")
-            return out_dev
+                out_dev = out_dev.at[jnp.asarray(idx)].set(emb)
+            return out_dev[: len(texts)]
 
         out = np.zeros((len(texts), self.embedding_dim), np.float32)
         for b, emb in pending:
