@@ -155,3 +155,20 @@ def test_compare_models_overlap(encoder):
     )
     res2 = compare_models(encoder, other, CORPUS, CORPUS[:4], k=5)
     assert res2["mean_topk_overlap"] <= 1.0
+
+
+def test_bf16_serving_params(encoder):
+    import copy
+    import jax.numpy as jnp
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+    from text_similarity_tpu.core.precision import DEFAULT_PRECISION
+
+    enc16 = SentenceEncoder(
+        jax.tree.map(lambda x: x, encoder.params), encoder.arch,
+        tokenizer=encoder.tokenizer, precision=DEFAULT_PRECISION,
+    ).to_bf16()
+    assert enc16.params["layers"]["attn"]["q"]["w"].dtype == jnp.bfloat16
+    a = encoder.encode(CORPUS[:4])
+    b = enc16.encode(CORPUS[:4])
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.99, cos
