@@ -179,3 +179,16 @@ def test_word_batches_span_points_at_word(tok):
     span = [p for p in b["span_a"][0] if p >= 0]
     toks = [tok.ids_to_tokens[int(ids[p])] for p in span]
     assert "".join(toks).replace("##", "") == "bank"
+
+
+def test_load_gwsc(tmp_path):
+    p = tmp_path / "gwsc.tsv"
+    p.write_text(
+        "bank\t1\t3\tthe bank closed early\tmoney in the bank\t3.5\n"
+        "fox\tthe quick fox runs\ta fox slept today\t1.25\n"
+    )
+    rows = D.load_gwsc(str(p))
+    assert len(rows) == 2
+    assert rows[0]["idx1"] == 1 and rows[0]["score"] == 3.5
+    # 4-column variant finds the word position by match
+    assert rows[1]["idx1"] == 2 and rows[1]["idx2"] == 1

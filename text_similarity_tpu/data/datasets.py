@@ -246,3 +246,43 @@ def stratified_kfold(
         train = [ex for j in range(k) if j != i for ex in folds[j]]
         rng.shuffle(train)
         yield train, valid
+
+
+def load_gwsc(path: str) -> List[Dict]:
+    """Graded word similarity in context (GWSC / CoSimLex-style;
+    reference src/dataset/gwsc_dataset.py + experiments/eval_gwsc.py):
+    tsv rows ``word <tab> idx1 <tab> idx2 <tab> context1 <tab> context2
+    <tab> score``; also accepts the 4-column variant where the word's
+    position is found by string match."""
+    rows = []
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 6:
+                w, i1, i2, c1, c2, sc = parts[:6]
+                try:
+                    rows.append({
+                        "word": w, "idx1": int(i1), "idx2": int(i2),
+                        "sent1": c1, "sent2": c2, "score": float(sc),
+                        "label": None,
+                    })
+                except ValueError:
+                    continue
+            elif len(parts) >= 4:
+                w, c1, c2, sc = parts[:4]
+                try:
+                    score = float(sc)
+                except ValueError:
+                    continue
+                def _pos(ctx):
+                    toks = ctx.lower().split()
+                    wl = w.lower()
+                    for i, t in enumerate(toks):
+                        if t.strip(".,!?;:'\"") == wl:
+                            return i
+                    return 0
+                rows.append({
+                    "word": w, "idx1": _pos(c1), "idx2": _pos(c2),
+                    "sent1": c1, "sent2": c2, "score": score, "label": None,
+                })
+    return rows

@@ -344,3 +344,42 @@ def encoder_forward(
 
 def num_params(params) -> int:
     return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def fsdp_param_pspecs(arch: EncoderArch, data_axis: str = "data") -> dict:
+    """ZeRO-3/FSDP-style parameter sharding: every stacked layer kernel
+    shards its largest feature dim over the DATA axis; XLA inserts the
+    all-gather before use and reduce-scatters gradients (GSPMD). Combine
+    with batch sharding over the same axis for memory-scaled data
+    parallelism — params + optimizer state per device shrink by the DP
+    degree (the reference has no distributed training at all, SURVEY §5.8).
+    """
+    d = data_axis
+    specs = {
+        "embeddings": {
+            "word": P(d, None),          # vocab dim shards cleanly
+            "position": P(None, None),
+            "ln": {"scale": P(None), "bias": P(None)},
+        },
+        "layers": {
+            "attn": {
+                "q": {"w": P(None, None, d), "b": P(None, d)},
+                "k": {"w": P(None, None, d), "b": P(None, d)},
+                "v": {"w": P(None, None, d), "b": P(None, d)},
+                "o": {"w": P(None, d, None), "b": P(None, None)},
+            },
+            "attn_ln": {"scale": P(None, None), "bias": P(None, None)},
+            "mlp": {
+                "in": {"w": P(None, None, d), "b": P(None, d)},
+                "out": {"w": P(None, d, None), "b": P(None, None)},
+            },
+            "mlp_ln": {"scale": P(None, None), "bias": P(None, None)},
+        },
+    }
+    if arch.has_token_type:
+        specs["embeddings"]["token_type"] = P(None, None)
+    if arch.has_pooler:
+        specs["pooler"] = {"w": P(None, d), "b": P(d)}
+    if arch.projection_dim:
+        specs["projection"] = {"w": P(None, d), "b": P(d)}
+    return specs
