@@ -191,3 +191,38 @@ def test_ivf_int8_save_load(tmp_path):
     s1, i1 = ivf.query_xla(x[:8], k=5)
     s2, i2 = loaded.query_xla(x[:8], k=5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_incremental_add():
+    """add() inserts into the built index without rebuild; new rows are
+    retrievable and old recall is unchanged."""
+    x = _clustered_corpus(n=2000, d=64, n_clusters=10)
+    cfg = IndexConfig(num_clusters=16, num_probes=8, kmeans_iters=8)
+    ivf = IVFIndex.build(x[:1500], cfg, key=jax.random.PRNGKey(0))
+    new_ids = ivf.add(x[1500:], start_id=1500)
+    np.testing.assert_array_equal(new_ids, np.arange(1500, 2000))
+
+    # new rows are retrievable (self-query returns their global id)
+    q = x[1500:1532]
+    _, i = ivf.query_xla(q, k=1)
+    hit = np.mean(np.asarray(i)[:, 0] == np.arange(1500, 1532))
+    assert hit >= 0.9, hit
+
+    # old rows still retrievable
+    _, i_old = ivf.query_xla(x[:32], k=1)
+    assert np.mean(np.asarray(i_old)[:, 0] == np.arange(32)) >= 0.9
+
+
+def test_ivf_incremental_add_overflow_growth():
+    """Adding more rows than free slots grows overflow clusters."""
+    x = _clustered_corpus(n=400, d=32, n_clusters=4)
+    cfg = IndexConfig(
+        num_clusters=4, num_probes=4, kmeans_iters=5, max_cluster_size=64
+    )
+    ivf = IVFIndex.build(x[:250], cfg)
+    before = ivf.data_padded.shape[0]
+    ivf.add(x[250:], start_id=250)
+    # 4*64=256 slots < 400 rows → overflow clusters must have grown
+    assert ivf.data_padded.shape[0] > before or ivf.num_overflow > 0
+    _, i = ivf.query_xla(x[250:258], k=1)
+    assert np.mean(np.asarray(i)[:, 0] == np.arange(250, 258)) >= 0.9

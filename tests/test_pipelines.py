@@ -172,3 +172,18 @@ def test_bf16_serving_params(encoder):
     b = enc16.encode(CORPUS[:4])
     cos = np.sum(a * b, axis=1)
     assert cos.min() > 0.99, cos
+
+
+def test_search_pipeline_incremental_ivf_add(encoder):
+    pipe = SemanticSearchPipeline(
+        encoder, corpus=CORPUS,
+        index_config=IndexConfig(num_clusters=4, num_probes=4, kmeans_iters=4),
+        use_ivf=True,
+    )
+    pipe([CORPUS[0]], 1)  # force IVF build
+    assert pipe.ivf is not None
+    built = pipe.ivf
+    pipe.add_documents(["a brand new document about volcanoes"])
+    assert pipe.ivf is built  # no rebuild — incremental insert
+    res = pipe(["a brand new document about volcanoes"], 1)
+    assert res[0][0][0] == "a brand new document about volcanoes"

@@ -216,6 +216,101 @@ class IVFIndex:
         return s[:b], i[:b]
 
     # ------------------------------------------------------------------
+    # Incremental insert (hnswlib add_items on a built index,
+    # reference search_pipeline.py:154-160)
+    # ------------------------------------------------------------------
+
+    def add(self, rows, start_id: int) -> np.ndarray:
+        """Insert new (already normalized) rows into the built index
+        without a rebuild: each row goes to its nearest centroid's free
+        slot (2nd/3rd choice on overflow); the residue appends fresh
+        overflow clusters. Returns the assigned global ids
+        (start_id ... start_id + n - 1)."""
+        rows = jnp.asarray(rows)
+        n, d = rows.shape
+        c_tot, mc, _ = self.data_padded.shape
+        c = self.num_base_clusters
+        topk = min(3, c)
+        choices = np.asarray(assign_clusters_topk(rows, self.centroids, topk=topk))
+
+        ids_h = np.asarray(jax.device_get(self.ids_padded))
+        fill = (ids_h[:c] >= 0).sum(axis=1).astype(np.int64)
+
+        slot = np.full(n, -1, np.int64)
+        for col in range(topk):
+            todo = np.nonzero(slot < 0)[0]
+            if todo.size == 0:
+                break
+            cand = choices[todo, col]
+            order = np.argsort(cand, kind="stable")
+            rows_sorted = todo[order]
+            cand_sorted = cand[order]
+            starts = np.searchsorted(cand_sorted, np.arange(c))
+            rank = np.arange(cand_sorted.size) - starts[cand_sorted]
+            take = rank < (mc - fill[cand_sorted])
+            taken_rows = rows_sorted[take]
+            taken_cl = cand_sorted[take]
+            slot[taken_rows] = taken_cl * mc + fill[taken_cl] + rank[take]
+            fill += np.bincount(taken_cl, minlength=c)
+
+        leftover = np.nonzero(slot < 0)[0]
+        extra = 0
+        if leftover.size:
+            # fill existing overflow clusters' free slots first
+            over_flat_ids = ids_h[c:].reshape(-1) if c_tot > c else np.empty(0)
+            free = np.nonzero(over_flat_ids < 0)[0] if over_flat_ids.size else np.empty(0, np.int64)
+            take_n = min(free.size, leftover.size)
+            slot[leftover[:take_n]] = c * mc + free[:take_n]
+            leftover = leftover[take_n:]
+            if leftover.size:
+                extra = (leftover.size + mc - 1) // mc
+                slot[leftover] = c_tot * mc + np.arange(leftover.size)
+
+        if extra:
+            pad_rows = extra * mc
+            self.data_padded = jnp.concatenate(
+                [
+                    self.data_padded.reshape(-1, d),
+                    jnp.zeros((pad_rows, d), self.data_padded.dtype),
+                ]
+            ).reshape(c_tot + extra, mc, d)
+            self.ids_padded = jnp.concatenate(
+                [
+                    self.ids_padded.reshape(-1),
+                    jnp.full((pad_rows,), -1, jnp.int32),
+                ]
+            ).reshape(c_tot + extra, mc)
+            if self.scales_padded is not None:
+                self.scales_padded = jnp.concatenate(
+                    [
+                        self.scales_padded.reshape(-1),
+                        jnp.zeros((pad_rows,), jnp.float32),
+                    ]
+                ).reshape(c_tot + extra, mc)
+            c_tot += extra
+            self.num_overflow = c_tot - c
+
+        slot_dev = jnp.asarray(slot, jnp.int32)
+        if self.scales_padded is not None:
+            from ..compress.quantize import quantize_embeddings_int8
+
+            q, s = quantize_embeddings_int8(rows)
+            flat = self.data_padded.reshape(-1, d).at[slot_dev].set(q)
+            sflat = self.scales_padded.reshape(-1).at[slot_dev].set(s)
+            self.scales_padded = sflat.reshape(c_tot, mc)
+        else:
+            flat = self.data_padded.reshape(-1, d).at[slot_dev].set(
+                rows.astype(self.data_padded.dtype)
+            )
+        self.data_padded = flat.reshape(c_tot, mc, d)
+        new_ids = np.arange(start_id, start_id + n, dtype=np.int32)
+        ids_flat = self.ids_padded.reshape(-1).at[slot_dev].set(
+            jnp.asarray(new_ids)
+        )
+        self.ids_padded = ids_flat.reshape(c_tot, mc)
+        return new_ids
+
+    # ------------------------------------------------------------------
     # Persistence (analogue of hnswlib save_index/load_index,
     # reference search_pipeline.py:106,122)
     # ------------------------------------------------------------------

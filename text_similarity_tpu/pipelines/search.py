@@ -65,7 +65,8 @@ class SemanticSearchPipeline:
     def add_documents(self, texts: Sequence[str]) -> np.ndarray:
         """Encode + append to the store (hnswlib add_items analogue,
         reference search_pipeline.py:154-160). Embeddings stay on device
-        end-to-end. Invalidates the IVF layout (rebuilt lazily)."""
+        end-to-end; a built IVF index absorbs the new rows incrementally
+        (no rebuild) as long as it has no tombstone remap."""
         emb = self.encoder.encode(
             texts, batch_size=self.batch_size, device_output=True
         )
@@ -74,7 +75,10 @@ class SemanticSearchPipeline:
             self.store.grow(self.store.capacity * 2)
         ids = self.store.add(emb)
         self.corpus.extend(texts)
-        self.ivf = None
+        if self.ivf is not None and getattr(self, "_id_remap", None) is None:
+            self.ivf.add(emb, start_id=int(ids[0]))
+        else:
+            self.ivf = None
         return ids
 
     def remove_documents(self, ids: Sequence[int]) -> None:
