@@ -145,7 +145,7 @@ def main():
         out = encoder_forward(p, ids, mask, arch=arch)
         return l2_normalize(mean_pool(out.last_hidden_state, mask))
 
-    eb, es = 256, 128
+    eb, es = 1024, 128  # large batches amortize relay dispatch (3.4x vs 256)
     ids = jax.random.randint(jax.random.PRNGKey(2), (eb, es), 5, arch.vocab_size)
     msk = jnp.ones((eb, es), jnp.int32)
     np.asarray(embed(enc_params, ids, msk))  # warm

@@ -53,3 +53,31 @@ def test_sharded_ivf_recall(eight_devices):
     assert recall >= 0.9, recall
     # ids are valid and unique per row
     assert (i >= 0).all() and (i < 4000).all()
+
+
+def test_sharded_ivf_pallas_kernel_path(eight_devices):
+    """The Pallas IVF kernel (interpret mode on CPU) inside shard_map:
+    must match the XLA gather path's recall."""
+    mesh = make_mesh(data=1, model=1, index=8)
+    x = _corpus(4000, 64)
+    q = l2_normalize(x[:32] + 0.01)
+
+    cfg = IndexConfig(num_clusters=64, num_probes=8, kmeans_iters=6)
+    sharded = ShardedIVFIndex.build(mesh, x, cfg)
+    # force pallas impl in the query fn
+    fn = sharded._make_query(10, 8, impl="pallas")
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    qd = _jax.device_put(q, NamedSharding(mesh, P()))
+    s, i = fn(qd, sharded.centroids, sharded.data_padded, sharded.ids_padded)
+    i = np.asarray(_jax.device_get(i))
+
+    from text_similarity_tpu.index import BruteForceIndex
+
+    oracle = BruteForceIndex.from_embeddings(x)
+    _, oi = oracle.query(q, k=10, impl="xla")
+    recall = np.mean([
+        len(set(i[r]) & set(oi[r])) / 10 for r in range(len(q))
+    ])
+    assert recall >= 0.9, recall

@@ -177,35 +177,50 @@ class ShardedIVFIndex:
             num_probes=config.num_probes,
         )
 
-    def _make_query(self, k: int, probes: int):
+    def _make_query(self, k: int, probes: int, impl: str = "auto"):
         mesh = self.mesh
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
         def local_query(q, cent, data, ids):
-            cs = jnp.einsum(
-                "bd,cd->bc", q, cent, preferred_element_type=jnp.float32
-            )
-            _, probe = jax.lax.top_k(cs, min(probes, cent.shape[0]))
-            # also scan local overflow clusters (ids beyond base count) —
-            # here all clusters beyond centroid count
             n_base = cent.shape[0]
             c_tot = data.shape[0]
-            if c_tot > n_base:
-                over = jnp.tile(
-                    jnp.arange(n_base, c_tot, dtype=probe.dtype)[None, :],
-                    (q.shape[0], 1),
+            p = min(probes, n_base)
+            if impl == "pallas":
+                # the same fused probe-union + Pallas scan as the
+                # single-device index, per shard inside shard_map
+                from .ivf import _ivf_query_fused, _round_up
+
+                block_q = min(16, q.shape[0])
+                union = min(_round_up(p * 3, 8), n_base)
+                ts, ti = _ivf_query_fused(
+                    q, cent, data, ids, None, n_base, k, p, block_q,
+                    union, jax.default_backend() != "tpu",
                 )
-                probe = jnp.concatenate([probe, over], axis=1)
-            cand = data[probe]            # (Q, P, Mc, D)
-            cand_ids = ids[probe]         # (Q, P, Mc)
-            s = jnp.einsum(
-                "qd,qpmd->qpm", q, cand.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            s = jnp.where(cand_ids >= 0, s, -jnp.inf)
-            ts, tl = jax.lax.top_k(s.reshape(q.shape[0], -1), k)
-            ti = jnp.take_along_axis(
-                cand_ids.reshape(q.shape[0], -1), tl, axis=1
-            )
+            else:
+                cs = jnp.einsum(
+                    "bd,cd->bc", q, cent, preferred_element_type=jnp.float32
+                )
+                _, probe = jax.lax.top_k(cs, p)
+                # also scan local overflow clusters (beyond centroid count)
+                if c_tot > n_base:
+                    over = jnp.tile(
+                        jnp.arange(n_base, c_tot, dtype=probe.dtype)[None, :],
+                        (q.shape[0], 1),
+                    )
+                    probe = jnp.concatenate([probe, over], axis=1)
+                cand = data[probe]            # (Q, P, Mc, D)
+                cand_ids = ids[probe]         # (Q, P, Mc)
+                s = jnp.einsum(
+                    "qd,qpmd->qpm", q, cand.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                s = jnp.where(cand_ids >= 0, s, -jnp.inf)
+                ts, tl = jax.lax.top_k(s.reshape(q.shape[0], -1), k)
+                ti = jnp.take_along_axis(
+                    cand_ids.reshape(q.shape[0], -1), tl, axis=1
+                )
+            # padded/empty candidates carry id -1 with -inf scores; merge
             s_all = jax.lax.all_gather(ts, INDEX_AXIS)
             i_all = jax.lax.all_gather(ti, INDEX_AXIS)
             return topk_merge(
