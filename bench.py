@@ -97,7 +97,7 @@ def main():
 
     # recall gate + warm the query kernel
     t0 = time.time()
-    _, ivf_i = ivf.query(queries, k=K, union_factor=2)
+    _, ivf_i = ivf.query(queries, k=K, union_factor=1)
     ivf_i = np.asarray(ivf_i)
     log(f"IVF query compile+run: {time.time() - t0:.1f}s")
     recall = np.mean([
@@ -116,12 +116,12 @@ def main():
             np.asarray(i)
         return (time.time() - t0) / ITERS
 
-    ivf_dt = timed(lambda: ivf.query(queries, k=K, union_factor=2))
+    ivf_dt = timed(lambda: ivf.query(queries, k=K, union_factor=1))
     ivf_qps = N_QUERIES / ivf_dt
     # single-call (sync) latency for the record
     t0 = time.time()
     for _ in range(5):
-        _, i = ivf.query(queries, k=K, union_factor=2)
+        _, i = ivf.query(queries, k=K, union_factor=1)
         np.asarray(i)
     ivf_lat = (time.time() - t0) / 5
 

@@ -362,15 +362,26 @@ def _ivf_query_fused(
     num_base: int, k: int, probes: int, block_q: int, union: int,
     interpret: bool,
 ):
-    """normalize → block-probe-union → pallas scan, as ONE compiled call."""
+    """normalize → sort queries by nearest centroid → block-probe-union →
+    pallas scan → unsort, as ONE compiled call.
+
+    Sorting groups similar queries into the same block, so the shared
+    block-union probe list covers each member's own top probes much better
+    (higher recall at the same union width)."""
     q = l2_normalize(queries).astype(jnp.float32)
     b, d = q.shape
     pad_b = _round_up(b, block_q)
     if pad_b != b:
         q = jnp.pad(q, ((0, pad_b - b), (0, 0)))
-    scores = jnp.einsum(
+    scores_flat = jnp.einsum(
         "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
-    ).reshape(pad_b // block_q, block_q, -1)
+    )  # (pad_b, C)
+    # group queries by their top-1 centroid (padding rows sort last: their
+    # scores are all 0 against unit centroids → argmax 0, fine either way)
+    top1 = jnp.argmax(scores_flat, axis=1)
+    order = jnp.argsort(top1)
+    q = q[order]
+    scores = scores_flat[order].reshape(pad_b // block_q, block_q, -1)
     block_scores = jnp.max(scores, axis=1)
     _, probe_ids = jax.lax.top_k(block_scores, union)
     probe_ids = probe_ids.astype(jnp.int32)
@@ -381,10 +392,12 @@ def _ivf_query_fused(
             (probe_ids.shape[0], 1),
         )
         probe_ids = jnp.concatenate([probe_ids, over], axis=1)
-    return _ivf_query_pallas(
+    s, i = _ivf_query_pallas(
         q, probe_ids, data_padded, ids_padded, scales_padded, k, block_q,
         interpret=interpret,
     )
+    inv = jnp.argsort(order)
+    return s[inv], i[inv]
 
 
 # ---------------------------------------------------------------------------
