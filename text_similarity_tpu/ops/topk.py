@@ -169,7 +169,9 @@ def cosine_topk_pallas(
     corpus: jax.Array,   # (N, D) L2-normalized
     k: int = 10,
     block_q: int = 128,
-    block_c: int = 1024,
+    # wide corpus blocks amortize the running-top-k merge (cost ∝ 1/block_c:
+    # 4096 measured 1.75x faster than 1024 at 1M x 384); VMEM caps ~4-8k.
+    block_c: int = 4096,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
@@ -321,7 +323,7 @@ def cosine_topk_pallas_int8(
     corpus_scale: jax.Array,   # (N,) f32 per-row scale
     k: int = 10,
     block_q: int = 128,
-    block_c: int = 1024,
+    block_c: int = 4096,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
