@@ -88,3 +88,64 @@ def test_encoder_with_attention_window():
         np.asarray(o2.last_hidden_state[:, 0]),
         atol=1e-5,
     )
+
+
+def test_flash_grad_matches_reference():
+    """custom_vjp backward kernels (interpret) vs jax.grad of the oracle."""
+    q, k, v = _qkv(b=2, s=128, h=2, d=32, seed=4)
+    mask = np.ones((2, 128), np.int32)
+    mask[1, 96:] = 0
+    m = jnp.asarray(mask)
+
+    def loss_ref(q_, k_, v_):
+        o = attention_reference(q_, k_, v_, m)
+        return jnp.sum(jnp.sin(o) * jnp.cos(o * 0.5))
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(
+            q_, k_, v_, m, block_q=64, block_k=64, interpret=True
+        )
+        return jnp.sum(jnp.sin(o) * jnp.cos(o * 0.5))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fl, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_flash_grad_windowed():
+    q, k, v = _qkv(b=1, s=128, h=2, d=32, seed=5)
+
+    def loss_ref(q_, k_, v_):
+        o = attention_reference(q_, k_, v_, window=24, global_cls=False)
+        return jnp.sum(o * o)
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(
+            q_, k_, v_, block_q=32, block_k=32, interpret=True, window=24
+        )
+        return jnp.sum(o * o)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fl, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_flash_fully_masked_rows_zero():
+    """valid_len==0 rows (batch padding) must produce exactly 0 output."""
+    q, k, v = _qkv(b=2, s=64, h=2, d=32, seed=6)
+    mask = np.ones((2, 64), np.int32)
+    mask[1, :] = 0
+    out = np.asarray(
+        flash_attention(
+            q, k, v, jnp.asarray(mask), block_q=32, block_k=32,
+            interpret=True,
+        )
+    )
+    assert np.all(out[1] == 0.0)
+    assert np.isfinite(out).all()

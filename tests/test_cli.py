@@ -215,3 +215,24 @@ def test_cli_train_cross_encoder_and_rerank(tmp_path):
     scores = ce.predict([(SENTS[0], SENTS[1]), (SENTS[2], SENTS[3])])
     assert scores.shape == (2,)
     assert np.isfinite(scores).all()
+
+
+def test_cli_pretrain_long(tmp_path, capsys):
+    docs = tmp_path / "docs.txt"
+    docs.write_text("\n".join((s + " ") * 6 for s in SENTS * 2))
+    main(_base_args(tmp_path, [
+        "pretrain-long", "--data", str(docs),
+        "--target-len", "64", "--window", "8", "--mask-prob", "0.3",
+        "--lr", "3e-4", "--warmup-ratio", "0.0",
+    ]) + ["--epochs", "3"])
+    out = capsys.readouterr().out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["target_len"] == 64
+    # the long model re-adapts: MLM loss must drop over the run
+    assert res["mlm_loss_last"] < res["mlm_loss_first"]
+    # saved model reloads with the extended positions + window arch
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+    enc = SentenceEncoder.load(str(tmp_path / "run"), bf16=False)
+    assert enc.arch.max_position >= 64
+    assert enc.arch.attention_window == 8

@@ -247,3 +247,123 @@ def test_int8_search_scores(teacher):
         np.argmax(scores, axis=1), np.argmax(exact, axis=1)
     )
     assert np.abs(scores - exact).max() < 0.05
+
+
+def test_dim_reducing_distiller(teacher):
+    from text_similarity_tpu.compress.distill import DimReducingDistiller
+
+    d = DimReducingDistiller(
+        teacher,
+        student_dim=16,
+        num_student_layers=2,
+        train_config=TrainConfig(
+            lr=5e-4, epochs=3, batch_size=8, bf16=False, warmup_ratio=0.0
+        ),
+    )
+    student = d.distill(CORPUS)
+    emb = student.encode(CORPUS[:4])
+    assert emb.shape == (4, 16)
+    assert np.isfinite(emb).all()
+    # PCA-reduced teacher targets: student should track the reduced
+    # geometry — similar sentences closer than dissimilar ones
+    sim_close = float(np.dot(emb[0], emb[1]))   # fox/dog paraphrases
+    sim_far = float(np.dot(emb[0], emb[2]))     # fox vs TPU sentence
+    assert sim_close > sim_far
+
+
+def test_fastformers_distiller_kl_decreases(teacher):
+    from text_similarity_tpu.compress.distill import FastFormersDistiller
+    from text_similarity_tpu.train.steps import init_classifier_head
+
+    arch = teacher.arch
+    tok = teacher.tokenizer
+    # a decisive teacher: large head weights → well-separated logits, so
+    # the KL signal is non-trivial at student init
+    head = init_classifier_head(jax.random.PRNGKey(3), arch.hidden_size, 3)
+    head = {"w": head["w"] * 300.0, "b": head["b"]}
+    teacher_params = {"encoder": teacher.params, "head": head}
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(4):
+        ids, mask = tok.encode_batch(CORPUS[:8], max_len=16)
+        batches.append({
+            "ids": ids, "mask": mask,
+            "labels": rng.randint(0, 3, (8,)).astype(np.int32),
+            "valid": np.ones((8,), np.int32),
+        })
+    # small lr: the x300 teacher head amplifies gradients; larger rates
+    # overshoot the tiny KL bowl and the test becomes flaky
+    cfg = TrainConfig(
+        lr=1e-5, epochs=5, batch_size=8, bf16=False, warmup_ratio=0.0,
+        weight_decay=0.0,
+    )
+    # pure logit distillation: the KL-to-teacher signal must be real and
+    # must improve — kills the round-1 "kl_distill_loss is dead code"
+    # finding with a working driver
+    kl_only = FastFormersDistiller(
+        teacher_params, arch, num_student_layers=2, train_config=cfg,
+        alpha_state=0.0,
+    )
+    _, hist_kl = kl_only.distill(batches)
+    assert hist_kl[0]["kl"] > 1e-4, hist_kl[0]
+    assert hist_kl[-1]["kl"] < hist_kl[0]["kl"]
+
+    # combined KL + hidden-state matching objective
+    distiller = FastFormersDistiller(
+        teacher_params, arch, num_student_layers=2, train_config=cfg,
+    )
+    student_params, history = distiller.distill(batches)
+    assert student_params["encoder"]["layers"]["attn"]["q"]["w"].shape[0] == 2
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert history[-1]["state_mse"] < history[0]["state_mse"]
+
+
+def test_mlm_step_loss_decreases(teacher):
+    from text_similarity_tpu.train.steps import (
+        make_mlm_train_step, init_train_state, mlm_mask_batch,
+    )
+    from text_similarity_tpu.train.optim import make_optimizer
+
+    arch = teacher.arch
+    tok = teacher.tokenizer
+    params = {
+        "encoder": jax.tree.map(jnp.array, teacher.params),
+        "mlm_bias": jnp.zeros((arch.vocab_size,), jnp.float32),
+    }
+    cfg = TrainConfig(lr=3e-4, epochs=1, batch_size=8, bf16=False,
+                      warmup_ratio=0.0)
+    tx = make_optimizer(cfg, total_steps=30, params_example=params)
+    state = init_train_state(params, tx)
+    step = make_mlm_train_step(
+        arch, tx, mask_token_id=tok.mask_id, mask_prob=0.3,
+    )
+    ids, mask = tok.encode_batch(CORPUS[:8], max_len=16)
+    batch = {"ids": jnp.asarray(ids), "mask": jnp.asarray(mask)}
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(m["loss"])
+    losses = [float(x) for x in jax.device_get(losses)]
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_mlm_mask_batch_properties():
+    from text_similarity_tpu.train.steps import mlm_mask_batch
+
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(np.random.RandomState(0).randint(5, 100, (16, 32)))
+    mask = jnp.ones((16, 32), jnp.int32)
+    corrupted, labels = mlm_mask_batch(
+        rng, ids, mask, vocab_size=100, mask_token_id=4, mask_prob=0.15
+    )
+    sel = np.asarray(labels) >= 0
+    frac = sel.mean()
+    assert 0.05 < frac < 0.3, frac
+    # unselected positions unchanged
+    np.testing.assert_array_equal(
+        np.asarray(corrupted)[~sel], np.asarray(ids)[~sel]
+    )
+    # labels hold the ORIGINAL token at selected positions
+    np.testing.assert_array_equal(np.asarray(labels)[sel], np.asarray(ids)[sel])
+    # most selected positions become [MASK]
+    assert (np.asarray(corrupted)[sel] == 4).mean() > 0.6

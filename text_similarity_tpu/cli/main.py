@@ -465,6 +465,74 @@ def cmd_distill(args):
     }))
 
 
+def cmd_pretrain_long(args):
+    """Long-model conversion + MLM re-pretraining: tile position embeddings
+    to --target-len, switch to sliding-window attention, adapt with
+    masked-LM steps (reference: src/scripts/make_long_transformer.py:34-110
+    — position tiling :47-54, LongformerSelfAttention swap :56-68, MLM
+    trainer loop :84-110)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..data.datasets import load_sentence_pool
+    from ..models.hf_convert import extend_positions
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..train import make_optimizer
+    from ..train.steps import make_mlm_train_step, init_train_state
+
+    enc = _encoder(args, texts=None) if args.model else None
+    if enc is None:
+        texts_boot = load_sentence_pool(args.data, max_sentences=256)
+        enc = _encoder(args, texts=texts_boot)
+    params, arch = extend_positions(enc.params, enc.arch, args.target_len)
+    arch = arch.replace(attention_window=args.window)
+
+    texts = load_sentence_pool(args.data, max_sentences=args.max_sentences)
+    ids, mask = enc.tokenizer.encode_batch(texts, max_len=args.target_len)
+    cfg = _train_cfg(args)
+    n = (len(texts) // cfg.batch_size) * cfg.batch_size
+    batches = [
+        {
+            "ids": jnp.asarray(ids[i:i + cfg.batch_size]),
+            "mask": jnp.asarray(mask[i:i + cfg.batch_size]),
+        }
+        for i in range(0, n, cfg.batch_size)
+    ]
+    if not batches:
+        raise SystemExit("not enough documents for one batch")
+    mlm_params = {
+        "encoder": params,
+        "mlm_bias": jnp.zeros((arch.vocab_size,), jnp.float32),
+    }
+    total = len(batches) * cfg.epochs
+    tx = make_optimizer(cfg, total, params_example=mlm_params)
+    state = init_train_state(mlm_params, tx, seed=args.seed)
+    step = make_mlm_train_step(
+        arch, tx, mask_token_id=enc.tokenizer.mask_id,
+        mask_prob=args.mask_prob,
+    )
+    first = last = None
+    for epoch in range(cfg.epochs):
+        pend = []
+        for b in batches:
+            state, m = step(state, b)
+            pend.append(m["loss"])
+        losses = [float(x) for x in jax.device_get(pend)]
+        if first is None:
+            first = losses[0]
+        last = losses[-1]
+    enc.params = state.params["encoder"]
+    enc.arch = arch
+    enc.save(args.save_path)
+    print(json.dumps({
+        "target_len": args.target_len,
+        "window": args.window,
+        "mlm_loss_first": first,
+        "mlm_loss_last": last,
+        "saved": args.save_path,
+    }))
+
+
 def cmd_theseus(args):
     """Theseus-compress a bi-encoder on a labeled pair dataset
     (reference distill_theseus / distill_paws flow)."""
@@ -766,6 +834,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--student-layers", type=int, default=4)
     p.add_argument("--max-sentences", type=int, default=100000)
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("pretrain-long"); _train_common(p)
+    p.add_argument("--data", required=True,
+                   help="text file, one document per line")
+    p.add_argument("--target-len", type=int, default=1024)
+    p.add_argument("--window", type=int, default=128,
+                   help="sliding attention window for the long model")
+    p.add_argument("--mask-prob", type=float, default=0.15)
+    p.add_argument("--max-sentences", type=int, default=100000)
+    p.set_defaults(fn=cmd_pretrain_long)
 
     p = sub.add_parser("theseus"); _train_common(p)
     p.add_argument("--data", required=True)

@@ -145,3 +145,156 @@ class SentenceEncoderDistiller:
             precision=self.teacher.precision,
         )
         return student
+
+
+def pca_reduce(emb: np.ndarray, dim: int):
+    """PCA projection of teacher embeddings to ``dim`` — lets a student
+    with a SMALLER output width learn teacher geometry (reference
+    DistillationStrategy, model_compression.py:937-984). Returns
+    (reduced (N, dim), (mean, components))."""
+    mu = emb.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(emb - mu, full_matrices=False)
+    comp = vt[:dim]
+    return (emb - mu) @ comp.T, (mu, comp)
+
+
+class DimReducingDistiller(SentenceEncoderDistiller):
+    """Layer-drop + width-reducing distillation: the student keeps a layer
+    subset AND gains a fresh (H, student_dim) projection head trained
+    against PCA-reduced teacher embeddings."""
+
+    def __init__(self, teacher, student_dim: int, **kw):
+        super().__init__(teacher, **kw)
+        self.student_dim = student_dim
+        self.student_arch = self.student_arch.replace(
+            projection_dim=student_dim
+        )
+        self.pca = None
+
+    def distill(self, sentences, batch_size=None, max_len: int = 128, **kw):
+        from ..models.sentence_encoder import SentenceEncoder
+
+        bs = batch_size or self.cfg.batch_size
+        teacher_emb = self.teacher.encode(list(sentences), batch_size=bs)
+        reduced, self.pca = pca_reduce(
+            np.asarray(teacher_emb), self.student_dim
+        )
+
+        batches = build_distill_batches(
+            self.teacher.tokenizer, list(sentences), reduced,
+            batch_size=bs, max_len=max_len, seed=self.cfg.seed,
+        )
+        student_params = extract_student_layers(
+            self.teacher.params, self.keep_layers
+        )
+        key = jax.random.PRNGKey(self.cfg.seed)
+        h = self.teacher.arch.hidden_size
+        student_params["projection"] = {
+            "w": jax.random.normal(key, (h, self.student_dim), jnp.float32)
+            * 0.02,
+            "b": jnp.zeros((self.student_dim,), jnp.float32),
+        }
+        params = {"encoder": student_params}
+        total_steps = len(batches) * self.cfg.epochs
+        tx = make_optimizer(self.cfg, total_steps, params_example=params)
+        state = init_train_state(params, tx, seed=self.cfg.seed)
+        step = make_bi_encoder_train_step(
+            self.student_arch, tx, loss_type="distill_mse",
+            pooling=self.teacher.pooling,
+            precision=precision_for(self.cfg.bf16),
+        )
+        first = last = None
+        for epoch in range(self.cfg.epochs):
+            pend = []
+            for b in batches:
+                state, m = step(state, jax.tree.map(jnp.asarray, b))
+                pend.append(m["loss"])
+            losses = [float(x) for x in jax.device_get(pend)]
+            if first is None:
+                first = losses[0]
+            last = float(np.mean(losses[-10:]))
+            logger.info(
+                "dim-reduce distill epoch %d: mse %.6f -> %.6f",
+                epoch, losses[0], last,
+            )
+        return SentenceEncoder(
+            state.params["encoder"], self.student_arch,
+            tokenizer=self.teacher.tokenizer, pooling=self.teacher.pooling,
+            precision=self.teacher.precision,
+        )
+
+
+class FastFormersDistiller:
+    """Multi-signal classifier distillation: teacher-logits KL +
+    layer-mapped hidden-state MSE (+ optional hard-label CE). Drives
+    train.steps.make_fastformers_distill_step over token batches.
+    Reference: FastFormersDistiller, model_compression.py:1189-1333."""
+
+    def __init__(
+        self,
+        teacher_params: dict,            # {"encoder","head"}
+        teacher_arch: EncoderArch,
+        keep_layers: Optional[Sequence[int]] = None,
+        num_student_layers: Optional[int] = None,
+        train_config: TrainConfig = TrainConfig(lr=5e-5, epochs=1),
+        temperature: float = 2.0,
+        alpha_kl: float = 1.0,
+        alpha_state: float = 1.0,
+        alpha_ce: float = 0.0,
+        pooling: str = "cls",
+    ):
+        self.teacher_params = teacher_params
+        self.teacher_arch = teacher_arch
+        if keep_layers is None:
+            keep_layers = every_other_layers(
+                teacher_arch.num_layers,
+                num_student_layers or teacher_arch.num_layers // 2,
+            )
+        self.keep_layers = list(keep_layers)
+        self.student_arch = teacher_arch.replace(
+            num_layers=len(self.keep_layers)
+        )
+        self.cfg = train_config
+        self.kw = dict(
+            temperature=temperature, alpha_kl=alpha_kl,
+            alpha_state=alpha_state, alpha_ce=alpha_ce, pooling=pooling,
+        )
+
+    def distill(self, batches: Sequence[dict]):
+        """batches: dicts with ids/mask(/type_ids/labels/valid). Returns
+        (student_params, metrics_history)."""
+        from ..train.steps import make_fastformers_distill_step
+
+        student_params = {
+            "encoder": extract_student_layers(
+                self.teacher_params["encoder"], self.keep_layers
+            ),
+            "head": jax.tree.map(jnp.array, self.teacher_params["head"]),
+        }
+        total_steps = max(len(batches) * self.cfg.epochs, 1)
+        tx = make_optimizer(
+            self.cfg, total_steps, params_example=student_params
+        )
+        state = init_train_state(student_params, tx, seed=self.cfg.seed)
+        step = make_fastformers_distill_step(
+            self.student_arch, self.teacher_arch, tx,
+            precision=precision_for(self.cfg.bf16), **self.kw,
+        )
+        history = []
+        for epoch in range(self.cfg.epochs):
+            pend = []
+            for b in batches:
+                state, m = step(
+                    state, jax.tree.map(jnp.asarray, b), self.teacher_params
+                )
+                pend.append(m)
+            got = jax.device_get(pend)
+            history.extend(
+                {k: float(v) for k, v in m.items()} for m in got
+            )
+            logger.info(
+                "fastformers epoch %d: loss %.4f -> %.4f (kl %.4f)",
+                epoch, history[0]["loss"], history[-1]["loss"],
+                history[-1]["kl"],
+            )
+        return state.params, history

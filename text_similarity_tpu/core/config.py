@@ -63,6 +63,19 @@ class EncoderArch:
     attention_type: str = "softmax"
     # Number of random features for performer attention (0 = head_dim).
     performer_features: int = 0
+    # Performer feature map: "softmax" (FAVOR+ positive features) or
+    # "relu" (generalized kernel — reference fast_attention.py:36-75's
+    # generalized_kernel_feature_creator path).
+    performer_kernel: str = "softmax"
+    # Redraw the random feature matrix every N train steps (0 = fixed) —
+    # reference FastAttention.redraw_projection_matrix
+    # (fast_attention.py:137-188).
+    performer_redraw_every: int = 0
+    # First N heads use exact local (windowed) attention while the rest
+    # stay linear — the reference's local+global mixed heads
+    # (fast_attention.py:257-307, local_attn_heads).
+    performer_local_heads: int = 0
+    performer_local_window: int = 64
     # Sliding-window (Longformer-style local) attention radius; 0 = full.
     attention_window: int = 0
 

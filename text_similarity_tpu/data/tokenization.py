@@ -69,6 +69,7 @@ class WordPieceTokenizer:
         self.unk_id = self.vocab[UNK]
         self.cls_id = self.vocab[CLS]
         self.sep_id = self.vocab[SEP]
+        self.mask_id = self.vocab.get(MASK, self.unk_id)  # MLM pretraining
         self._native = None
         if use_native:
             try:

@@ -95,7 +95,10 @@ class IVFIndex:
         mc = config.max_cluster_size or min(
             int(first_counts.max()), 4 * mean_sz
         )
-        mc = _round_up(max(mc, 8), 8)
+        # Large clusters round up to 512 so the query kernel's two-stage
+        # lane-class merge applies (ops/topk._merge_block_topk needs
+        # Mc % 512 == 0); small ones stay 8-aligned for Mosaic tiling.
+        mc = _round_up(max(mc, 8), 512 if mc >= 1024 else 8)
 
         # Greedy balanced placement on host (ids only; vectors stay on
         # device): pass 1 fills first choices up to cap, later passes
@@ -459,7 +462,7 @@ def _ivf_query_xla(
 
 def _ivf_body(
     q_ref, data_ref, ids_ref, scales_ref, out_s_ref, out_i_ref,
-    acc_s, acc_i, k: int,
+    acc_s, acc_i, s_scr, k: int,
 ):
     """Shared body: one (query-block, probed-cluster) step of the scan.
 
@@ -488,32 +491,18 @@ def _ivf_body(
     ids_b = jnp.broadcast_to(ids[None, :], (block_q, mc))
     s = jnp.where(ids_b >= 0, s, -jnp.inf)
 
-    cand_s = jnp.concatenate([acc_s[...], s], axis=1)
-    cand_i = jnp.concatenate([acc_i[...], ids_b], axis=1)
-    width = k + mc
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, width), 1)
-    kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
+    def ids_fn(lo, hi):
+        # slice the ids REF (plain VMEM load), never a compute result —
+        # Mosaic aborts on lane-slicing vector values
+        return jnp.broadcast_to(
+            ids_ref[0, 0, lo:hi][None, :], (block_q, hi - lo)
+        )
 
-    def round_fn(i, carry):
-        cand, new_s, new_i = carry
-        m = jnp.max(cand, axis=1)
-        am = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        hit = cols == am[:, None]
-        picked = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, dtype=jnp.int32)
-        sel = kcols == i
-        new_s = jnp.where(sel, m[:, None], new_s)
-        new_i = jnp.where(sel, picked[:, None], new_i)
-        cand = jnp.where(hit, -jnp.inf, cand)
-        return cand, new_s, new_i
+    # Two-stage exact merge (reduce → k cheap rounds → detect → fallback),
+    # shared with the brute-force kernel (ops/topk._merge_block_topk).
+    from ..ops.topk import _merge_block_topk
 
-    init = (
-        cand_s,
-        jnp.zeros((block_q, k), jnp.float32),
-        jnp.zeros((block_q, k), jnp.int32),
-    )
-    _, ns, ni = jax.lax.fori_loop(0, k, round_fn, init)
-    acc_s[...] = ns
-    acc_i[...] = ni
+    _merge_block_topk(acc_s, acc_i, s_scr, s, ids_fn, k)
 
     @pl.when(u == n_u - 1)
     def _flush():
@@ -522,15 +511,15 @@ def _ivf_body(
 
 
 def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,
-                out_s_ref, out_i_ref, acc_s, acc_i, *, k: int):
+                out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int):
     _ivf_body(q_ref, data_ref, ids_ref, None,
-              out_s_ref, out_i_ref, acc_s, acc_i, k)
+              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k)
 
 
 def _ivf_kernel_int8(probes_ref, q_ref, data_ref, ids_ref, scales_ref,
-                     out_s_ref, out_i_ref, acc_s, acc_i, *, k: int):
+                     out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int):
     _ivf_body(q_ref, data_ref, ids_ref, scales_ref,
-              out_s_ref, out_i_ref, acc_s, acc_i, k)
+              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
@@ -573,6 +562,7 @@ def _ivf_query_pallas(
         scratch_shapes=[
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
+            pltpu.VMEM((block_q, mc), jnp.float32),
         ],
     )
     out_s, out_i = pl.pallas_call(

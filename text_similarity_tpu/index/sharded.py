@@ -111,69 +111,115 @@ class ShardedIVFIndex:
 
     @classmethod
     def build(
-        cls, mesh: Mesh, embeddings, config, key: Optional[jax.Array] = None
+        cls, mesh: Mesh, embeddings, config,
+        key: Optional[jax.Array] = None,
+        data_dtype=None,
     ) -> "ShardedIVFIndex":
-        from .ivf import IVFIndex
-        from ..core.config import IndexConfig
+        """On-device sharded build: each device runs k-means + the padded
+        cluster layout on its OWN corpus rows inside shard_map — the corpus
+        never round-trips through the host (only per-cluster COUNTS, a few
+        KB, come back to size the static layout). Every shard gets the same
+        (C, Mc, overflow) shape, so overflow clusters always start at the
+        base-cluster boundary and no centroid slots are zero-padded.
 
-        emb = np.asarray(jax.device_get(jnp.asarray(embeddings)))
+        Replaces hnswlib's host-side graph build at multi-chip scale
+        (reference: src/pipeline/search_pipeline.py:105-122)."""
+        from ..ops.kmeans import kmeans
+        from ..ops.topk import l2_normalize
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        emb = jnp.asarray(embeddings)
         n, d = emb.shape
         s = mesh.shape[INDEX_AXIS]
         rows_per = _round_up(n, s) // s
-        if key is None:
-            key = jax.random.PRNGKey(0)
+        pad_n = rows_per * s
+        if pad_n != n:
+            # wrap-pad: keeps k-means statistics sane; layout drops pads
+            emb = jnp.concatenate([emb, emb[: pad_n - n]], axis=0)
+        emb = jax.device_put(emb, NamedSharding(mesh, P(INDEX_AXIS, None)))
+        c = max(1, min(config.num_clusters // s, rows_per // 32))
+        data_dtype = data_dtype or emb.dtype
 
-        cents, datas, idss = [], [], []
-        c_per = max(config.num_clusters // s, 1)
-        sub_cfg = IndexConfig(
-            num_clusters=c_per,
-            num_probes=config.num_probes,
-            kmeans_iters=config.kmeans_iters,
-            max_cluster_size=config.max_cluster_size,
+        # ---- phase 1: per-shard k-means + per-cluster counts (on device)
+        def phase1(rows):
+            si = jax.lax.axis_index(INDEX_AXIS)
+            cents, assign = kmeans(
+                rows, c, iters=config.kmeans_iters,
+                key=jax.random.fold_in(key, si),
+            )
+            local = jnp.arange(rows_per)
+            n_valid = jnp.clip(n - si * rows_per, 0, rows_per)
+            counts = jax.ops.segment_sum(
+                (local < n_valid).astype(jnp.int32), assign, num_segments=c
+            )
+            return cents.astype(jnp.float32), counts
+
+        p1 = shard_map(
+            phase1, mesh=mesh,
+            in_specs=(P(INDEX_AXIS, None),),
+            out_specs=(P(INDEX_AXIS, None), P(INDEX_AXIS)),
+            check_vma=False,
         )
-        c_tot_max, mc_max = 0, 0
-        shards = []
-        for si in range(s):
-            rows = emb[si * rows_per : min((si + 1) * rows_per, n)]
-            if rows.shape[0] == 0:
-                rows = np.zeros((1, d), np.float32)
-            sub = IVFIndex.build(
-                jnp.asarray(rows), sub_cfg, key=jax.random.fold_in(key, si)
-            )
-            gids = np.asarray(jax.device_get(sub.ids_padded))
-            gids = np.where(gids >= 0, gids + si * rows_per, -1)
-            shards.append((
-                np.asarray(jax.device_get(sub.centroids)),
-                np.asarray(jax.device_get(sub.data_padded)),
-                gids,
-            ))
-            c_tot_max = max(c_tot_max, shards[-1][1].shape[0])
-            mc_max = max(mc_max, shards[-1][1].shape[1])
+        cent_all, counts_flat = jax.jit(p1)(emb)
+        counts = np.asarray(jax.device_get(counts_flat)).reshape(s, c)
 
-        # pad every shard to identical (C_tot, Mc) so stacking shards is legal
-        def padded(cent, data, gid):
-            ct, mc = data.shape[0], data.shape[1]
-            data = np.pad(
-                data, ((0, c_tot_max - ct), (0, mc_max - mc), (0, 0))
-            )
-            gid = np.pad(
-                gid, ((0, c_tot_max - ct), (0, mc_max - mc)),
-                constant_values=-1,
-            )
-            cent = np.pad(cent, ((0, c_per - cent.shape[0]), (0, 0)))
-            return cent, data, gid
+        # ---- host: static layout sizes from the (tiny) count matrix
+        mean_sz = max(int(np.ceil(rows_per / c)), 1)
+        mc = config.max_cluster_size or min(
+            int(counts.max()), 4 * mean_sz
+        )
+        mc = _round_up(max(mc, 8), 512 if mc >= 1024 else 8)
+        over_per_shard = np.maximum(counts - mc, 0).sum(axis=1)
+        e = int(max(1, -(-int(over_per_shard.max()) // mc)))
+        c_tot = c + e
 
-        cents, datas, idss = zip(*(padded(*sh) for sh in shards))
-        cent_all = jnp.asarray(np.concatenate(cents))       # (S*c_per, D)
-        data_all = jnp.asarray(np.concatenate(datas))       # (S*C_tot, Mc, D)
-        ids_all = jnp.asarray(np.concatenate(idss))
-        sh_c = NamedSharding(mesh, P(INDEX_AXIS, None))
-        sh_d = NamedSharding(mesh, P(INDEX_AXIS, None, None))
+        # ---- phase 2: per-shard capped layout + scatter (on device)
+        def phase2(rows, cents):
+            si = jax.lax.axis_index(INDEX_AXIS)
+            cents = cents.astype(rows.dtype)
+            n_valid = jnp.clip(n - si * rows_per, 0, rows_per)
+            local = jnp.arange(rows_per)
+            valid = local < n_valid
+            scores = jnp.einsum(
+                "nd,cd->nc", rows, cents, preferred_element_type=jnp.float32
+            )
+            assign = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            assign = jnp.where(valid, assign, c)  # pads sort last
+            order = jnp.argsort(assign)
+            sa = assign[order]
+            starts = jnp.searchsorted(sa, jnp.arange(c, dtype=sa.dtype))
+            rank = jnp.arange(rows_per) - starts[jnp.clip(sa, 0, c - 1)]
+            real = sa < c
+            in_cap = real & (rank < mc)
+            over_rank = jnp.cumsum((real & ~in_cap).astype(jnp.int32)) - 1
+            trash = c_tot * mc
+            slot = jnp.where(in_cap, sa * mc + rank, c * mc + over_rank)
+            slot = jnp.where(real, slot, trash)
+            slot = jnp.clip(slot, 0, trash)
+            rows_sorted = rows[order].astype(data_dtype)
+            gid = jnp.where(real, si * rows_per + order, -1).astype(jnp.int32)
+            flat = jnp.zeros((trash + 1, d), data_dtype).at[slot].set(
+                rows_sorted
+            )
+            ids = jnp.full((trash + 1,), -1, jnp.int32).at[slot].set(gid)
+            return (
+                flat[:-1].reshape(c_tot, mc, d),
+                ids[:-1].reshape(c_tot, mc),
+            )
+
+        p2 = shard_map(
+            phase2, mesh=mesh,
+            in_specs=(P(INDEX_AXIS, None), P(INDEX_AXIS, None)),
+            out_specs=(P(INDEX_AXIS, None, None), P(INDEX_AXIS, None)),
+            check_vma=False,
+        )
+        data_all, ids_all = jax.jit(p2)(emb, cent_all)
         return cls(
             mesh,
-            jax.device_put(cent_all, sh_c),
-            jax.device_put(data_all, sh_d),
-            jax.device_put(ids_all, sh_c),
+            cent_all,
+            data_all,
+            ids_all,
             num_probes=config.num_probes,
         )
 

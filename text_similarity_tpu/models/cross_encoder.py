@@ -92,7 +92,14 @@ class CrossEncoder:
             raise ValueError("cross encoder has no tokenizer")
         a = [p[0] for p in pairs]
         b = [p[1] for p in pairs]
-        out = np.zeros((len(pairs),), np.float32)
+        # >2 classes: score_tokens returns raw (B, C) logits, so collect
+        # an (N, C) output; binary/regression heads reduce to (N,) scores.
+        out_shape = (
+            (len(pairs),)
+            if self.num_classes <= 2
+            else (len(pairs), self.num_classes)
+        )
+        out = np.zeros(out_shape, np.float32)
         for start in range(0, len(pairs), batch_size):
             stop = min(start + batch_size, len(pairs))
             ids, mask, tts = self.tokenizer.encode_pair_batch(

@@ -199,13 +199,41 @@ def transformer_layer(
             + wb["b"]
         )
 
-    q = dense(hx, attn["q"]).reshape(b, s, nh, hd)
-    k = dense(hx, attn["k"]).reshape(b, s, nh, hd)
-    v = dense(hx, attn["v"]).reshape(b, s, nh, hd)
+    # Fused QKV: one (B·S, H) @ (H, 3·nh·hd) MXU matmul instead of three —
+    # x streams from HBM once. Weights stack head-interleaved (h, nh, 3, hd)
+    # so under tensor parallelism the sharded nh dim survives the stack and
+    # the q/k/v slices stay local (no resharding collective).
+    w_qkv = jnp.stack(
+        [
+            attn["q"]["w"].reshape(h, nh, hd),
+            attn["k"]["w"].reshape(h, nh, hd),
+            attn["v"]["w"].reshape(h, nh, hd),
+        ],
+        axis=2,
+    )  # (h, nh, 3, hd)
+    b_qkv = jnp.stack(
+        [
+            attn["q"]["b"].reshape(nh, hd),
+            attn["k"]["b"].reshape(nh, hd),
+            attn["v"]["b"].reshape(nh, hd),
+        ],
+        axis=1,
+    )  # (nh, 3, hd)
+    qkv = (
+        jnp.einsum(
+            "bsh,hnkd->bsnkd", hx, w_qkv,
+            preferred_element_type=precision.accum_dtype,
+        ).astype(hx.dtype)
+        + b_qkv
+    )
+    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
     ctx = multi_head_attention(
         q, k, v, mask=attention_mask, head_mask=head_mask,
         impl=attention_impl, performer_proj=performer_proj,
         window=arch.attention_window,
+        performer_kernel=arch.performer_kernel,
+        performer_local_heads=arch.performer_local_heads,
+        performer_local_window=arch.performer_local_window,
     ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
     ctx = dense(ctx, attn["o"])
     ctx = _dropout(
@@ -243,6 +271,7 @@ def encoder_forward(
     dropout_rng: Optional[jax.Array] = None,
     output_hidden_states: bool = False,
     attention_impl: str = "auto",
+    performer_step=None,   # train step for performer feature redraw
 ) -> EncoderOutput:
     """Run the encoder. ``layer_gate`` supports theseus-style stochastic
     layer skipping and layer-drop distillation (reference semantics:
@@ -297,12 +326,23 @@ def encoder_forward(
 
     performer_proj = None
     if arch.attention_type == "performer":
-        from ..ops.performer import orthogonal_random_features
+        from ..ops.performer import (
+            orthogonal_random_features,
+            redraw_features,
+        )
 
         m = arch.performer_features or arch.head_dim
-        performer_proj = orthogonal_random_features(
-            jax.random.PRNGKey(42), m, arch.head_dim
-        )
+        if arch.performer_redraw_every > 0 and performer_step is not None:
+            # feature redraw: projection is a function of
+            # step // redraw_every (reference fast_attention.py:137-188)
+            performer_proj = redraw_features(
+                jax.random.PRNGKey(42), performer_step,
+                arch.performer_redraw_every, m, arch.head_dim,
+            )
+        else:
+            performer_proj = orthogonal_random_features(
+                jax.random.PRNGKey(42), m, arch.head_dim
+            )
         attention_impl = "performer"
 
     def layer_body(carry, scanned):

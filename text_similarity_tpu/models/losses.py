@@ -172,6 +172,46 @@ def multiple_negatives_loss(
     return jnp.mean(nll), sim
 
 
+def mlm_loss(
+    logits: jax.Array,       # (B, S, V)
+    labels: jax.Array,       # (B, S) int32, -100 = not predicted
+):
+    """Masked-LM cross entropy over predicted positions only (the
+    objective of the reference's long-model re-pretraining loop,
+    make_long_transformer.py:84-110, which delegates to HF's MLM trainer)."""
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    w = valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def hidden_state_mse(
+    student_hidden: jax.Array,   # (Ls+1, B, S, H)
+    teacher_hidden: jax.Array,   # (Lt+1, B, S, H)
+    mask: Optional[jax.Array] = None,  # (B, S)
+):
+    """Layer-mapped hidden-state matching (FastFormers state distillation,
+    reference model_compression.py:1189-1333): student layer i aligns with
+    teacher layer i * (Lt/Ls) (uniform skip mapping); both include the
+    embedding layer at index 0."""
+    ls = student_hidden.shape[0] - 1
+    lt = teacher_hidden.shape[0] - 1
+    idx = jnp.round(jnp.arange(ls + 1) * (lt / max(ls, 1))).astype(jnp.int32)
+    mapped = teacher_hidden[idx]
+    err = jnp.mean(
+        jnp.square(
+            student_hidden.astype(jnp.float32) - mapped.astype(jnp.float32)
+        ),
+        axis=-1,
+    )  # (Ls+1, B, S)
+    if mask is None:
+        return jnp.mean(err)
+    w = mask.astype(jnp.float32)[None]
+    return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * (ls + 1), 1.0)
+
+
 def kl_distill_loss(
     student_logits: jax.Array,
     teacher_logits: jax.Array,

@@ -92,6 +92,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
+        ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
@@ -191,8 +192,16 @@ class NativeWordPiece:
             out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             max_out,
+            len(out_ends),  # C side stops BEFORE writing past out_ends
             ctypes.byref(nw),
         )
+        if n == -2:
+            # more separator-delimited words in `joined` than the caller
+            # claimed (e.g. a word containing the separator byte) — the C
+            # side bailed out without touching memory past out_ends.
+            raise RuntimeError(
+                f"separator appeared inside words: >{n_words} words found"
+            )
         if n < 0:
             raise RuntimeError("wp_encode_joined overflow")
         if nw.value != n_words:

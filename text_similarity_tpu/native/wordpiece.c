@@ -177,11 +177,15 @@ int64_t wp_encode_words(void *handle, const char *words_buf,
 
 /* Marshalling-free batch entry: words are joined with a separator byte
  * (never part of a word — the Python splitter removed whitespace). One
- * Python-side encode + one call. out_ends gets one entry per word.
- * Returns total ids; n_words written to *out_n_words; -1 on overflow. */
+ * Python-side encode + one call. out_ends gets one entry per word, bounded
+ * by max_words (the caller-allocated out_ends capacity; a word containing
+ * the separator byte splits into extra words, which must NOT write past
+ * the buffer). Returns total ids; n_words written to *out_n_words;
+ * -1 on id-buffer overflow; -2 on word-count overflow. */
 int64_t wp_encode_joined(void *handle, const char *buf, int64_t buf_len,
                          char sep, int32_t *out_ids, int64_t *out_ends,
-                         int64_t max_out, int64_t *out_n_words) {
+                         int64_t max_out, int64_t max_words,
+                         int64_t *out_n_words) {
     Vocab *v = (Vocab *)handle;
     int64_t total = 0;
     int64_t n_words = 0;
@@ -191,7 +195,9 @@ int64_t wp_encode_joined(void *handle, const char *buf, int64_t buf_len,
         if (i == buf_len || buf[i] == sep) {
             int64_t wlen = i - start;
             if (wlen > 0) {
-                int32_t cnt = (wlen > 4096)
+                int32_t cnt;
+                if (n_words + 1 > max_words) return -2;
+                cnt = (wlen > 4096)
                     ? -1
                     : wp_word(v, buf + start, (int32_t)wlen, scratch);
                 if (cnt < 0) {

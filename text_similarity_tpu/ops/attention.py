@@ -53,6 +53,12 @@ def attention_reference(
         if global_cls:  # CLS attends/attended globally
             keep = keep | (qi == 0) | (kj == 0)
         logits = jnp.where(keep[None, None], logits, NEG_INF)
+    if q.dtype == jnp.bfloat16:
+        # bf16 AMP analogue of the reference's fp16 autocast: keep the
+        # (B,H,S,S) tensor bf16 between the two matmuls — halves the
+        # attention HBM round-trip (measured ~+10% encode throughput on
+        # v5e); the softmax itself still reduces in f32.
+        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     if head_mask is not None:
         probs = probs * head_mask[None, :, None, None].astype(probs.dtype)
@@ -67,65 +73,379 @@ def attention_reference(
 # Pallas flash attention (non-causal, padding-masked) for encoders.
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, len_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float, window: int = 0):
-    """One (batch*head, q-block) program: stream K/V blocks, online softmax.
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sm_scale: float, window: int = 0):
+    """One (batch*head-group, q-block) program: stream K/V blocks, online
+    softmax, vectorized over a group of G folded sequences.
 
-    Block shapes inside the kernel (leading 1 = folded batch*head dim):
-      q_ref: (1, block_q, d); k_ref/v_ref: (1, S, d); o_ref: (1, block_q, d);
-      len_ref: full (B*H, 1) array in SMEM — number of valid (non-padding)
-      keys per sequence. Padding is assumed contiguous at the end of the
-      sequence (guaranteed by the framework's length-bucketed batching).
+    Block shapes inside the kernel (leading G = group of folded batch*head
+    rows; G>1 amortizes per-program overhead at short S where the grid
+    would otherwise have B*H tiny programs):
+      q_ref: (G, block_q, d); k_ref/v_ref: (G, S, d); o_ref: (G, block_q, d);
+      len_ref: scalar-prefetched (B*H,) int32 — number of valid
+      (non-padding) keys per sequence. Padding is assumed contiguous at the
+      end of the sequence (guaranteed by length-bucketed batching).
     """
-    q = q_ref[0].astype(jnp.float32) * sm_scale
+    g = q_ref.shape[0]
+    seq_len = k_ref.shape[1]
+    block_q, d = q_ref.shape[1], q_ref.shape[2]
+    q_start = pl.program_id(1) * block_q
+    n_blocks = seq_len // block_k
+
+    # All math stays 2D (Mosaic rejects shape-casting SMEM scalars into 3D
+    # vectors); the G loop unrolls, so one program still runs G sequences
+    # back-to-back and the grid shrinks G-fold.
+    for gi in range(g):
+        # Operands stay in their input dtype (bf16 in serving/training):
+        # the MXU takes bf16 natively with f32 accumulation — upcasting to
+        # f32 first would push every matmul onto the ~4x-slower f32 path.
+        q = q_ref[gi]
+        valid_len = len_ref[pl.program_id(0) * g + gi]
+
+        def body(i, carry, gi=gi, q=q):
+            acc, m_prev, l_prev = carry
+            k_blk = k_ref[gi, pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[gi, pl.ds(i * block_k, block_k), :]
+            key_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # (block_q, block_k) f32
+            s = jnp.where(key_pos < valid_len, s, NEG_INF)
+            if window > 0:
+                q_pos = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 1), 0
+                )
+                s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[:, None])
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[:, None] + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new, l_new
+
+        # Never visit fully-masked key blocks (padding is contiguous at
+        # the end): bounds the loop at ceil(valid_len/block_k). A
+        # valid_len==0 row (batch padding) runs zero iterations, so l
+        # stays 0 and the guard below really produces 0 — with finite
+        # NEG_INF the masked p=exp(0)=1 would otherwise average V rows.
+        n_valid_blocks = (valid_len + block_k - 1) // block_k
+        if window > 0:
+            # visit only k-blocks intersecting the band of this q-block —
+            # DMA volume scales with the window, not the sequence
+            lo = jnp.maximum((q_start - window) // block_k, 0)
+            hi = jnp.minimum(
+                jnp.minimum(
+                    (q_start + block_q - 1 + window) // block_k + 1, n_blocks
+                ),
+                n_valid_blocks,
+            )
+        else:
+            lo, hi = 0, jnp.minimum(n_blocks, n_valid_blocks)
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+        m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q,), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
+        if lse_ref is not None:
+            # log-sum-exp residual for the backward pass. Zero-length rows
+            # get lse=0: backward sees p = exp(NEG_INF - 0) = 0 everywhere.
+            lse_ref[gi, 0, :] = jnp.where(l > 0.0, m + jnp.log(l), 0.0)
+        # Fully-masked rows (padding queries) have l == 0 → output 0.
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[gi] = (acc / l[:, None]).astype(o_ref.dtype)
+
+
+def _flash_fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, **kw):
+    _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, None, **kw)
+
+
+def _flash_fwd_res_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, **kw):
+    _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, **kw)
+
+
+def _flash_forward(qf, kf, vf, lf, block_q, block_k, interpret, window,
+                   save_residuals: bool):
+    """Folded-layout forward: qf/kf/vf (B*H, S, D); lf (B*H,) int32 lengths
+    delivered by scalar prefetch (SMEM-resident once, not per-program —
+    a full blocked SMEM operand blows the 1MB SMEM budget at large B*H).
+    lse rides as (B*H, 1, S): the middle singleton keeps Mosaic's
+    last-two-dims block rule satisfied."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, s, d = qf.shape
+    # Short sequences → thousands of tiny (1 folded row) programs; group
+    # G rows per program to amortize grid overhead (measured: flash at
+    # S=128/G=1 ran BELOW the XLA path on v5e; G recovers it).
+    g = 8 if (s <= 256 and bh % 8 == 0) else 1
+    grid = (bh // g, s // block_q)
+    kw = dict(block_k=block_k, sm_scale=1.0 / (d ** 0.5), window=window)
+    in_specs = [
+        pl.BlockSpec((g, block_q, d), lambda i, j, lens: (i, j, 0)),
+        pl.BlockSpec((g, s, d), lambda i, j, lens: (i, 0, 0)),
+        pl.BlockSpec((g, s, d), lambda i, j, lens: (i, 0, 0)),
+    ]
+    if not save_residuals:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (g, block_q, d), lambda i, j, lens: (i, j, 0)
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_flash_fwd_kernel, **kw),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
+            interpret=interpret,
+        )(lf, qf, kf, vf)
+        return out, None
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((g, block_q, d), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((g, 1, block_q), lambda i, j, lens: (i, 0, j)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_res_kernel, **kw),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lf, qf, kf, vf)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Flash backward (recompute-based: residuals are o + row log-sum-exp; the
+# S×S probability matrix is rebuilt blockwise from q,k and lse, never
+# stored — boom guide §7 / the standard flash backward decomposition).
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(
+    len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+    *, block_k: int, sm_scale: float, window: int,
+):
+    """Grid (B*H, S/block_q): one q-block accumulates dq over k-blocks."""
+    q = q_ref[0]                          # input dtype: bf16-native MXU
+    do = do_ref[0]
+    lse = lse_ref[0, 0, :]                # (block_q,)
+    di = di_ref[0, 0, :]                  # (block_q,)
     seq_len = k_ref.shape[1]
     block_q, d = q.shape
-    valid_len = len_ref[pl.program_id(0), 0]
+    valid_len = len_ref[pl.program_id(0)]
     q_start = pl.program_id(1) * block_q
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+    def body(i, dq_acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         key_pos = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1
         )
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
+        ) * sm_scale
         s = jnp.where(key_pos < valid_len, s, NEG_INF)
         if window > 0:
             q_pos = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), 0
             )
             s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, m_new, l_new
+        ds = p * (dp - di[:, None])
+        return dq_acc + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     n_blocks = seq_len // block_k
+    n_valid_blocks = (valid_len + block_k - 1) // block_k
     if window > 0:
-        # visit only k-blocks intersecting the band of this q-block —
-        # DMA volume scales with the window, not the sequence
         lo = jnp.maximum((q_start - window) // block_k, 0)
         hi = jnp.minimum(
-            (q_start + block_q - 1 + window) // block_k + 1, n_blocks
+            jnp.minimum(
+                (q_start + block_q - 1 + window) // block_k + 1, n_blocks
+            ),
+            n_valid_blocks,
+        )
+    else:
+        lo, hi = 0, jnp.minimum(n_blocks, n_valid_blocks)
+    dq = jax.lax.fori_loop(
+        lo, hi, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    len_ref, k_ref, q_ref, v_ref, do_ref, lse_ref, di_ref,
+    dk_ref, dv_ref,
+    *, block_q: int, sm_scale: float, window: int,
+):
+    """Grid (B*H, S/block_k): one k-block accumulates dk/dv over q-blocks."""
+    k = k_ref[0]                          # (block_k, d) input dtype
+    v = v_ref[0]
+    seq_len = q_ref.shape[1]
+    block_k, d = k.shape
+    valid_len = len_ref[pl.program_id(0)]
+    k_start = pl.program_id(1) * block_k
+    key_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(j * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(j * block_q, block_q), :]
+        lse_blk = lse_ref[0, 0, pl.ds(j * block_q, block_q)]
+        di_blk = di_ref[0, 0, pl.ds(j * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (block_q, block_k)
+        s = jnp.where(key_pos < valid_len, s, NEG_INF)
+        if window > 0:
+            q_pos = j * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
+            )
+            s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
+        p = jnp.exp(s - lse_blk[:, None])
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di_blk[:, None])
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    n_blocks = seq_len // block_q
+    if window > 0:
+        lo = jnp.maximum((k_start - window) // block_q, 0)
+        hi = jnp.minimum(
+            (k_start + block_k - 1 + window) // block_q + 1, n_blocks
         )
     else:
         lo, hi = 0, n_blocks
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
-    # Fully-masked rows (padding queries) have l == 0 → output 0.
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, hi, body, (z, z))
+    # keys past valid_len contribute p=0 rows → dk/dv already 0 there
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(qf, kf, vf, lf, of, lse, dof,
+                    block_q, block_k, interpret, window):
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, s, d = qf.shape
+    sm_scale = 1.0 / (d ** 0.5)
+    di = jnp.sum(
+        of.astype(jnp.float32) * dof.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (B*H, 1, S) — singleton satisfies Mosaic block rules
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((1, s, d), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, lens: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, lens: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j, lens: (i, j, 0)
+        ),
+    )
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale,
+            window=window,
+        ),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
+        interpret=interpret,
+    )(lf, qf, kf, vf, dof, lse, di)
+
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((1, s, d), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((1, s, d), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j, lens: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, lens: (i, j, 0)),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale,
+            window=window,
+        ),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, s, d), vf.dtype),
+        ],
+        interpret=interpret,
+    )(lf, kf, qf, vf, dof, lse, di)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_folded(qf, kf, vf, lf, block_q, block_k, interpret, window):
+    out, _ = _flash_forward(
+        qf, kf, vf, lf, block_q, block_k, interpret, window,
+        save_residuals=False,
+    )
+    return out
+
+
+def _flash_folded_fwd(qf, kf, vf, lf, block_q, block_k, interpret, window):
+    out, lse = _flash_forward(
+        qf, kf, vf, lf, block_q, block_k, interpret, window,
+        save_residuals=True,
+    )
+    return out, (qf, kf, vf, lf, out, lse)
+
+
+def _flash_folded_bwd(block_q, block_k, interpret, window, res, dof):
+    import numpy as _np
+
+    qf, kf, vf, lf, of, lse = res
+    dq, dk, dv = _flash_backward(
+        qf, kf, vf, lf, of, lse, dof, block_q, block_k, interpret, window
+    )
+    dlf = _np.zeros(lf.shape, dtype=jax.dtypes.float0)  # int arg: no grad
+    return dq, dk, dv, dlf
+
+
+_flash_folded.defvjp(_flash_folded_fwd, _flash_folded_bwd)
 
 
 @functools.partial(
@@ -141,14 +461,13 @@ def flash_attention(
     interpret: bool = False,
     window: int = 0,   # >0: sliding-window (banded) attention
 ) -> jax.Array:
-    """Blockwise exact attention. S must be a multiple of block sizes
-    (callers pad to length buckets — which encode() does anyway, mirroring
-    the reference's length-bucketed batching, sentence_encoder.py:138).
+    """Blockwise exact attention, differentiable (custom_vjp with flash
+    backward kernels). S must be a multiple of block sizes (callers pad to
+    length buckets — which encode() does anyway, mirroring the reference's
+    length-bucketed batching, sentence_encoder.py:138).
 
     ``mask`` must be contiguous (all 1s then all 0s); it is reduced to
-    per-sequence lengths delivered through SMEM."""
-    from jax.experimental.pallas import tpu as pltpu
-
+    per-sequence lengths delivered through per-program SMEM scalars."""
     b, s, h, d = q.shape
     if mask is None:
         lengths = jnp.full((b,), s, jnp.int32)
@@ -162,25 +481,9 @@ def flash_attention(
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
-    lf = jnp.repeat(lengths, h, axis=0).reshape(b * h, 1)
+    lf = jnp.repeat(lengths, h, axis=0)  # (B*H,) scalar-prefetch operand
 
-    grid = (b * h, s // block_q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, block_k=block_k, sm_scale=1.0 / (d ** 0.5),
-            window=window,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full lengths array
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-        interpret=interpret,
-    )(qf, lf, kf, vf)
+    out = _flash_folded(qf, kf, vf, lf, block_q, block_k, interpret, window)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
@@ -198,28 +501,60 @@ def multi_head_attention(
     performer_proj: Optional[jax.Array] = None,
     causal: bool = False,
     window: int = 0,
+    performer_kernel: str = "softmax",
+    performer_local_heads: int = 0,
+    performer_local_window: int = 64,
 ) -> jax.Array:
     """Dispatching MHA. impl: auto | flash | reference | performer.
 
     ``flash`` requires no head_mask (pruning paths use ``reference``, which
     exposes attention probabilities to the head-mask gradient).
-    ``performer`` needs a (m, head_dim) random-feature matrix."""
+    ``performer`` needs a (m, head_dim) random-feature matrix; with
+    ``performer_local_heads`` > 0 the first N heads run exact windowed
+    attention while the rest stay linear (the reference's mixed
+    local+global heads, fast_attention.py:257-307)."""
     if impl == "performer":
         from .performer import performer_attention, performer_attention_causal
 
         if performer_proj is None:
             raise ValueError("performer impl needs performer_proj features")
-        out = (
-            performer_attention_causal(q, k, v, performer_proj, mask)
-            if causal
-            else performer_attention(q, k, v, performer_proj, mask)
-        )
+
+        def linear_part(q_, k_, v_):
+            return (
+                performer_attention_causal(
+                    q_, k_, v_, performer_proj, mask,
+                    kernel=performer_kernel,
+                )
+                if causal
+                else performer_attention(
+                    q_, k_, v_, performer_proj, mask,
+                    kernel=performer_kernel,
+                )
+            )
+
+        lh = min(performer_local_heads, q.shape[2])
+        if lh > 0:
+            local = attention_reference(
+                q[:, :, :lh], k[:, :, :lh], v[:, :, :lh], mask,
+                window=performer_local_window, global_cls=False,
+            )
+            if lh < q.shape[2]:
+                glob = linear_part(q[:, :, lh:], k[:, :, lh:], v[:, :, lh:])
+                out = jnp.concatenate([local, glob], axis=2)
+            else:
+                out = local
+        else:
+            out = linear_part(q, k, v)
         if head_mask is not None:
             out = out * head_mask[None, None, :, None].astype(out.dtype)
         return out
     if impl == "auto":
-        # Flash pays off when the S×S score tensor is the memory hot spot;
-        # at short encoder lengths XLA's fused attention is already optimal.
+        # Flash pays off once the (B,H,S,S) score tensor dominates HBM
+        # traffic. Measured on v5e (MiniLM shapes, d=32): at S=128 the XLA
+        # path is ~1.8× FASTER than the Pallas kernel (tiny per-program
+        # matmuls at 32 lanes), so flash only dispatches from S=512 up.
+        # The kernel is differentiable via custom_vjp, so the choice is
+        # safe under jax.grad.
         use_flash = (
             _on_tpu()
             and head_mask is None

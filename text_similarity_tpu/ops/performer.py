@@ -75,16 +75,38 @@ def softmax_kernel_features(
     return (jnp.exp(wx - sq - stab) + eps) / math.sqrt(proj.shape[0])
 
 
+def relu_kernel_features(
+    x: jax.Array,          # (..., S, H, D)
+    proj: jax.Array,       # (m, D)
+    eps: float = 1e-4,
+) -> jax.Array:
+    """Generalized (ReLU) kernel features — the reference's
+    generalized_kernel_feature_creator with relu nonlinearity
+    (fast_attention.py:36-75 generalized path). No query/key asymmetry and
+    no exp stabilizer: φ(x) = relu(xWᵀ)/√m + ε."""
+    wx = jnp.einsum(
+        "...shd,md->...shm", x.astype(jnp.float32), proj
+    )
+    return (jax.nn.relu(wx) + eps) / math.sqrt(proj.shape[0])
+
+
+def _features(x, proj, is_query, mask, kernel: str):
+    if kernel == "relu":
+        return relu_kernel_features(x, proj)
+    return softmax_kernel_features(x, proj, is_query=is_query, mask=mask)
+
+
 def performer_attention(
     q: jax.Array,                     # (B, S, H, D)
     k: jax.Array,
     v: jax.Array,
     proj: jax.Array,                  # (m, D)
     mask: Optional[jax.Array] = None,  # (B, S) 1=keep
+    kernel: str = "softmax",
 ) -> jax.Array:
     """Non-causal FAVOR+: out = φq (φkᵀ v) / (φq (φkᵀ 1))."""
-    qf = softmax_kernel_features(q, proj, is_query=True)    # (B,S,H,m)
-    kf = softmax_kernel_features(k, proj, is_query=False, mask=mask)
+    qf = _features(q, proj, True, None, kernel)             # (B,S,H,m)
+    kf = _features(k, proj, False, mask, kernel)
     if mask is not None:
         kf = kf * mask[:, :, None, None].astype(kf.dtype)
     kv = jnp.einsum("bshm,bshd->bhmd", kf, v.astype(jnp.float32))
@@ -99,6 +121,7 @@ def performer_attention_causal(
     q: jax.Array, k: jax.Array, v: jax.Array, proj: jax.Array,
     mask: Optional[jax.Array] = None,
     chunk: int = 128,
+    kernel: str = "softmax",
 ) -> jax.Array:
     """Causal FAVOR+ via chunked prefix sums (replaces the reference's
     optional CUDA causal_product kernel, fast_attention.py:124-135):
@@ -120,8 +143,8 @@ def performer_attention_causal(
     elif mask is None:
         mask = jnp.ones((b, s), jnp.int32)
 
-    qf = softmax_kernel_features(q, proj, is_query=True)
-    kf = softmax_kernel_features(k, proj, is_query=False, mask=mask)
+    qf = _features(q, proj, True, None, kernel)
+    kf = _features(k, proj, False, mask, kernel)
     kf = kf * mask[:, :, None, None].astype(kf.dtype)
     v32 = v.astype(jnp.float32)
 
@@ -158,3 +181,35 @@ def performer_attention_causal(
     _, outs = jax.lax.scan(body, init, (qfc, kfc, vc))
     out = outs.swapaxes(0, 1).reshape(b, n_chunks * chunk, h, d)
     return out[:, :s].astype(q.dtype)
+
+
+def redraw_features(
+    base_key: jax.Array, step, every: int, num_features: int, dim: int
+) -> jax.Array:
+    """Feature redraw (reference FastAttention.redraw_projection_matrix,
+    fast_attention.py:137-188): the projection is a pure function of
+    ``step // every``, so consecutive steps share features and every
+    ``every`` steps they regenerate — trace-stable under jit (no state)."""
+    epoch = jnp.asarray(step, jnp.int32) // max(every, 1)
+    key = jax.random.fold_in(base_key, epoch)
+    return orthogonal_random_features_traced(key, num_features, dim)
+
+
+def orthogonal_random_features_traced(
+    key: jax.Array, num_features: int, dim: int
+) -> jax.Array:
+    """orthogonal_random_features with a traced key (qr is jittable)."""
+    n_blocks = -(-num_features // dim)
+    keys = jax.random.split(key, n_blocks + 1)
+
+    def one(k):
+        g = jax.random.normal(k, (dim, dim), jnp.float32)
+        q, _ = jnp.linalg.qr(g)
+        return q.T
+
+    blocks = [one(keys[i]) for i in range(n_blocks)]
+    w = jnp.concatenate(blocks, axis=0)[:num_features]
+    norms = jnp.sqrt(
+        jax.random.chisquare(keys[-1], df=dim, shape=(num_features, 1))
+    )
+    return w * norms

@@ -12,8 +12,8 @@ Two implementations:
   oracle for tests and fallback on CPU.
 - ``cosine_topk_pallas``: grid (q_blocks, corpus_blocks); corpus dim is the
   inner sequential axis, a VMEM scratch carries the running (block_q, k)
-  winners across corpus blocks; merge is a k-round masked argmax (pure VPU
-  ops, guaranteed to lower on Mosaic).
+  winners across corpus blocks; merge is the exact two-stage lane-class
+  reduction with detect-and-fallback (see _merge_block_topk).
 """
 
 from __future__ import annotations
@@ -91,6 +91,117 @@ def cosine_topk_xla(
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
+#
+# The top-k merge is two-stage (exact): stage 1 folds the (block_q, W)
+# candidate scores lane-wise into (block_q, chunk) per-lane-class maxima
+# (~2 cheap VPU passes); stage 2 runs the k-round masked-max merge on the
+# reduced set only (k rounds over `chunk`+k lanes instead of W+k — the
+# round cost drops by W/chunk). Stage 1 can hide a true top-k candidate
+# when two of them share a lane class, so stage 3 *detects* that exactly —
+# count of candidates strictly above the new k-th winner must be < k — and
+# reruns the k rounds at full width for the (rare) offending block. Net
+# effect: exact results at ~6× less merge VPU work (the two-stage lever
+# named in VERDICT.md #2).
+
+_INT_MAX = 2**31 - 1
+
+
+def _exact_merge_rounds(cand_s, cand_i, k: int):
+    """k rounds of (row max → pick min id among maxima → mask) over the
+    candidate set. Pure VPU ops; lowers on Mosaic (no dynamic slices)."""
+    block_q = cand_s.shape[0]
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
+
+    def round_fn(i, carry):
+        cand, new_s, new_i = carry
+        m = jnp.max(cand, axis=1)                       # (block_q,)
+        hit = cand == m[:, None]
+        picked = jnp.min(
+            jnp.where(hit, cand_i, _INT_MAX), axis=1
+        ).astype(jnp.int32)
+        sel = kcols == i
+        new_s = jnp.where(sel, m[:, None], new_s)
+        new_i = jnp.where(sel, picked[:, None], new_i)
+        cand = jnp.where(hit & (cand_i == picked[:, None]), -jnp.inf, cand)
+        return cand, new_s, new_i
+
+    init = (
+        cand_s,
+        jnp.zeros((block_q, k), jnp.float32),
+        jnp.zeros((block_q, k), jnp.int32),
+    )
+    _, new_s, new_i = jax.lax.fori_loop(0, k, round_fn, init)
+    return new_s, new_i
+
+
+def _merge_block_topk(
+    acc_s, acc_i, s_scr, s, ids_fn, k: int,
+    reduce_chunk: int = 512,
+    fb_width: int = 2048,
+):
+    """Merge this block's candidate scores ``s`` into the running top-k
+    VMEM scratch (acc_s, acc_i) — exact.
+
+    ``s_scr`` is a (block_q, W) VMEM scratch ref: the scores round-trip
+    through it because Mosaic cannot lane-slice an MXU dot result directly
+    (compiler abort), while static slices of a VMEM ref are plain loads.
+    ``ids_fn(lo, hi)`` returns the candidate ids for columns [lo, hi) —
+    either computed from iota (brute force) or sliced from an ids ref
+    (IVF); it is never a slice of a compute result.
+
+    Path: lane-class reduce (chunk-wide max, ~2 passes) → k cheap rounds
+    over ``reduce_chunk``+k lanes → exactness check (count of candidates
+    strictly above the new k-th winner must stay < k) → on the rare
+    collision, an exact fallback merge in ``fb_width`` slices (full-width
+    rounds at W=4096 also break the compiler)."""
+    width = s.shape[1]
+    acc_s_prev = acc_s[...]
+    acc_i_prev = acc_i[...]
+    if width % reduce_chunk != 0 or width < 2 * reduce_chunk:
+        full_s = jnp.concatenate([acc_s_prev, s], axis=1)
+        full_i = jnp.concatenate([acc_i_prev, ids_fn(0, width)], axis=1)
+        new_s, new_i = _exact_merge_rounds(full_s, full_i, k)
+        acc_s[...] = new_s
+        acc_i[...] = new_i
+        return
+
+    s_scr[...] = s
+    n_chunks = width // reduce_chunk
+    red_v = s_scr[:, 0:reduce_chunk]
+    red_i = ids_fn(0, reduce_chunk)
+    for t in range(1, n_chunks):
+        sl = s_scr[:, t * reduce_chunk:(t + 1) * reduce_chunk]
+        il = ids_fn(t * reduce_chunk, (t + 1) * reduce_chunk)
+        upd = sl > red_v
+        red_v = jnp.where(upd, sl, red_v)
+        red_i = jnp.where(upd, il, red_i)
+
+    cand_s = jnp.concatenate([acc_s_prev, red_v], axis=1)
+    cand_i = jnp.concatenate([acc_i_prev, red_i], axis=1)
+    new_s, new_i = _exact_merge_rounds(cand_s, cand_i, k)
+    # Exactness check: with thr = the new k-th winner, a hidden candidate
+    # (two true top-k entries sharing a lane class) would sit strictly
+    # above thr, pushing the strict-above count to k.
+    thr = new_s[:, k - 1][:, None]
+    cnt = (
+        jnp.sum(s_scr[...] > thr, axis=1)
+        + jnp.sum(acc_s_prev > thr, axis=1)
+    )
+    bad = jnp.any(cnt > k - 1)
+    acc_s[...] = new_s
+    acc_i[...] = new_i
+
+    @pl.when(bad)
+    def _fallback():
+        fs, fi = acc_s_prev, acc_i_prev
+        for off in range(0, width, fb_width):
+            hi = min(off + fb_width, width)
+            cs = jnp.concatenate([fs, s_scr[:, off:hi]], axis=1)
+            ci = jnp.concatenate([fi, ids_fn(off, hi)], axis=1)
+            fs, fi = _exact_merge_rounds(cs, ci, k)
+        acc_s[...] = fs
+        acc_i[...] = fi
+
 
 def _topk_kernel(
     q_ref,      # (block_q, D)
@@ -99,6 +210,7 @@ def _topk_kernel(
     out_i_ref,  # (block_q, k)
     acc_s,      # VMEM scratch (block_q, k) f32
     acc_i,      # VMEM scratch (block_q, k) i32
+    s_scr,      # VMEM scratch (block_q, block_c) f32 — merge staging
     *,
     k: int,
     block_c: int,
@@ -123,37 +235,12 @@ def _topk_kernel(
     # Mask out padding rows beyond the true corpus size.
     s = jnp.where(global_idx < n_total, s, -jnp.inf)
 
-    # Merge candidates with running winners: k rounds of masked argmax over
-    # the concatenated (block_q, k + block_c) candidate set.
-    cand_s = jnp.concatenate([acc_s[...], s], axis=1)
-    cand_i = jnp.concatenate([acc_i[...], global_idx], axis=1)
-    width = k + block_c
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, width), 1)
+    def ids_fn(lo, hi):
+        return j * block_c + lo + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, hi - lo), 1
+        )
 
-    kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
-
-    def round_fn(i, carry):
-        cand, new_s, new_i = carry
-        m = jnp.max(cand, axis=1)                      # (block_q,)
-        am = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        hit = cols == am[:, None]
-        picked_i = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, dtype=jnp.int32)
-        # Write column i of the output via one-hot select
-        # (dynamic_update_slice does not lower on Mosaic).
-        sel = kcols == i
-        new_s = jnp.where(sel, m[:, None], new_s)
-        new_i = jnp.where(sel, picked_i[:, None], new_i)
-        cand = jnp.where(hit, -jnp.inf, cand)
-        return cand, new_s, new_i
-
-    init = (
-        cand_s,
-        jnp.zeros((block_q, k), jnp.float32),
-        jnp.zeros((block_q, k), jnp.int32),
-    )
-    _, new_s, new_i = jax.lax.fori_loop(0, k, round_fn, init)
-    acc_s[...] = new_s
-    acc_i[...] = new_i
+    _merge_block_topk(acc_s, acc_i, s_scr, s, ids_fn, k)
 
     @pl.when(j == n_c_blocks - 1)
     def _flush():
@@ -169,9 +256,10 @@ def cosine_topk_pallas(
     corpus: jax.Array,   # (N, D) L2-normalized
     k: int = 10,
     block_q: int = 128,
-    # wide corpus blocks amortize the running-top-k merge (cost ∝ 1/block_c:
-    # 4096 measured 1.75x faster than 1024 at 1M x 384); VMEM caps ~4-8k.
-    block_c: int = 4096,
+    # 2048 is the widest block the two-stage merge compiles at (Mosaic
+    # rejects the 4096-wide fallback rounds); measured 37k QPS exact at
+    # 1M x 384 on v5e vs 20.5k for the old one-stage merge at 4096.
+    block_c: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
@@ -205,6 +293,7 @@ def cosine_topk_pallas(
         scratch_shapes=[
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
+            pltpu.VMEM((block_q, block_c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -257,7 +346,7 @@ def _topk_int8_kernel(
     c_ref,       # (block_c, D) int8
     scale_ref,   # (1, block_c) f32 per-row scales
     out_s_ref, out_i_ref,
-    acc_s, acc_i,
+    acc_s, acc_i, s_scr,
     *,
     k: int,
     block_c: int,
@@ -281,32 +370,12 @@ def _topk_int8_kernel(
     global_idx = j * block_c + col
     s = jnp.where(global_idx < n_total, s, -jnp.inf)
 
-    cand_s = jnp.concatenate([acc_s[...], s], axis=1)
-    cand_i = jnp.concatenate([acc_i[...], global_idx], axis=1)
-    width = k + block_c
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, width), 1)
-    kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
+    def ids_fn(lo, hi):
+        return j * block_c + lo + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, hi - lo), 1
+        )
 
-    def round_fn(i, carry):
-        cand, new_s, new_i = carry
-        m = jnp.max(cand, axis=1)
-        am = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        hit = cols == am[:, None]
-        picked_i = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, dtype=jnp.int32)
-        sel = kcols == i
-        new_s = jnp.where(sel, m[:, None], new_s)
-        new_i = jnp.where(sel, picked_i[:, None], new_i)
-        cand = jnp.where(hit, -jnp.inf, cand)
-        return cand, new_s, new_i
-
-    init = (
-        cand_s,
-        jnp.zeros((block_q, k), jnp.float32),
-        jnp.zeros((block_q, k), jnp.int32),
-    )
-    _, new_s, new_i = jax.lax.fori_loop(0, k, round_fn, init)
-    acc_s[...] = new_s
-    acc_i[...] = new_i
+    _merge_block_topk(acc_s, acc_i, s_scr, s, ids_fn, k)
 
     @pl.when(j == n_c_blocks - 1)
     def _flush():
@@ -323,7 +392,7 @@ def cosine_topk_pallas_int8(
     corpus_scale: jax.Array,   # (N,) f32 per-row scale
     k: int = 10,
     block_q: int = 128,
-    block_c: int = 4096,
+    block_c: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
@@ -360,6 +429,7 @@ def cosine_topk_pallas_int8(
         scratch_shapes=[
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
+            pltpu.VMEM((block_q, block_c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

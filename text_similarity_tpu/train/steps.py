@@ -54,8 +54,15 @@ def _embed(
         deterministic=deterministic, dropout_rng=rng, layer_gate=layer_gate,
     )
     if pooling == "cls":
-        return cls_pool(out.last_hidden_state, mask)
-    return mean_pool(out.last_hidden_state, mask)
+        pooled = cls_pool(out.last_hidden_state, mask)
+    else:
+        pooled = mean_pool(out.last_hidden_state, mask)
+    if "projection" in enc_params:
+        # dimension-reducing head (trains against PCA-reduced teacher
+        # targets in compress/distill.py; matches SentenceEncoder.encode)
+        pw = enc_params["projection"]
+        pooled = pooled.astype(jnp.float32) @ pw["w"] + pw["b"]
+    return pooled
 
 
 def init_sharded_train_state(
@@ -344,6 +351,181 @@ def make_word_encoder_train_step(
         rng, sub = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Masked-LM pretraining — the objective behind the reference's long-model
+# re-pretraining loop (src/scripts/make_long_transformer.py:84-110, which
+# delegates to HF's Trainer+DataCollatorForLanguageModeling). Here it is a
+# first-class jitted step so converted long-context models can be re-adapted
+# on TPU (pairs with hf_convert.extend_positions + window attention).
+# ---------------------------------------------------------------------------
+
+def mlm_mask_batch(
+    rng: jax.Array,
+    ids: jax.Array,              # (B, S) int32
+    mask: jax.Array,             # (B, S) 1 = real token
+    vocab_size: int,
+    mask_token_id: int,
+    mask_prob: float = 0.15,
+    num_special_tokens: int = 5,  # ids < this are never masked (PAD/CLS/...)
+):
+    """BERT-style dynamic masking on device: of the selected 15%,
+    80% → [MASK], 10% → random token, 10% → unchanged.
+    Returns (corrupted_ids, labels) with labels=-100 on unselected spots."""
+    r_sel, r_op, r_tok = jax.random.split(rng, 3)
+    eligible = (mask > 0) & (ids >= num_special_tokens)
+    sel = (jax.random.uniform(r_sel, ids.shape) < mask_prob) & eligible
+    labels = jnp.where(sel, ids, -100)
+    op = jax.random.uniform(r_op, ids.shape)
+    rand_tok = jax.random.randint(
+        r_tok, ids.shape, num_special_tokens, vocab_size
+    )
+    corrupted = jnp.where(
+        sel & (op < 0.8),
+        mask_token_id,
+        jnp.where(sel & (op >= 0.9), rand_tok, ids),
+    )
+    return corrupted.astype(ids.dtype), labels.astype(jnp.int32)
+
+
+def mlm_forward(
+    params, ids, mask, *, arch, precision, rng=None, deterministic=True,
+):
+    """Encoder → tied-embedding output head → (B, S, V) logits. The output
+    projection shares the word-embedding matrix (standard BERT weight
+    tying); ``params["mlm_bias"]`` holds the per-vocab bias."""
+    out = encoder_forward(
+        params["encoder"], ids, mask, arch=arch, precision=precision,
+        deterministic=deterministic, dropout_rng=rng,
+    )
+    emb = params["encoder"]["embeddings"]["word"]
+    h = out.last_hidden_state.astype(jnp.float32)
+    logits = jnp.einsum(
+        "bsh,vh->bsv", h, emb.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if "mlm_bias" in params:
+        logits = logits + params["mlm_bias"]
+    return logits
+
+
+def make_mlm_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    mask_token_id: int,
+    precision: Precision = DEFAULT_PRECISION,
+    mask_prob: float = 0.15,
+) -> Callable:
+    """batch: ids, mask. Masking is dynamic (re-sampled per step from the
+    state rng — matches HF's DataCollatorForLanguageModeling behavior)."""
+
+    def loss_fn(params, batch, rng):
+        r_mask, r_drop = jax.random.split(rng)
+        corrupted, labels = mlm_mask_batch(
+            r_mask, batch["ids"], batch["mask"], arch.vocab_size,
+            mask_token_id, mask_prob,
+        )
+        logits = mlm_forward(
+            params, corrupted, batch["mask"], arch=arch, precision=precision,
+            rng=r_drop, deterministic=False,
+        )
+        loss = L.mlm_loss(logits, labels)
+        n_pred = jnp.sum((labels >= 0).astype(jnp.float32))
+        return loss, {"masked_tokens": n_pred}
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# FastFormers multi-signal distillation — teacher-logits KL + hidden-state
+# matching (+ hard-label CE) for classifiers. Reference:
+# src/modules/model_compression.py:1189-1333 (FastFormersDistiller).
+# ---------------------------------------------------------------------------
+
+def make_fastformers_distill_step(
+    student_arch: EncoderArch,
+    teacher_arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    pooling: str = "cls",
+    precision: Precision = DEFAULT_PRECISION,
+    temperature: float = 2.0,
+    alpha_kl: float = 1.0,
+    alpha_state: float = 1.0,
+    alpha_ce: float = 0.0,
+) -> Callable:
+    """Returns step(state, batch, teacher_params) → (state, metrics).
+
+    The teacher forward runs in-loop (frozen, no grads) producing logits +
+    per-layer hidden states; the student matches logits through a
+    temperature-scaled KL and hidden states through a layer-mapped MSE —
+    the reference's FastFormers recipe, jitted end-to-end."""
+
+    def tower(params, arch_, batch, rng, deterministic):
+        out = encoder_forward(
+            params["encoder"], batch["ids"], batch["mask"],
+            batch.get("type_ids"), arch=arch_, precision=precision,
+            deterministic=deterministic, dropout_rng=rng,
+            output_hidden_states=True,
+        )
+        if pooling == "cls":
+            pooled = (
+                out.pooler_output
+                if out.pooler_output is not None
+                else cls_pool(out.last_hidden_state, batch["mask"])
+            )
+        else:
+            pooled = mean_pool(out.last_hidden_state, batch["mask"])
+        head = params["head"]
+        logits = pooled.astype(jnp.float32) @ head["w"] + head["b"]
+        return logits, out.hidden_states
+
+    def loss_fn(params, batch, teacher_params, rng):
+        t_logits, t_hidden = tower(
+            teacher_params, teacher_arch, batch, rng, True
+        )
+        t_logits = jax.lax.stop_gradient(t_logits)
+        t_hidden = jax.lax.stop_gradient(t_hidden)
+        s_logits, s_hidden = tower(params, student_arch, batch, rng, False)
+        valid = batch.get("valid")
+        kl = L.kl_distill_loss(s_logits, t_logits, temperature, valid)
+        st = L.hidden_state_mse(s_hidden, t_hidden, batch["mask"])
+        loss = alpha_kl * kl + alpha_state * st
+        aux = {"kl": kl, "state_mse": st}
+        if alpha_ce > 0 and "labels" in batch:
+            ce = L.cross_entropy_loss(s_logits, batch["labels"], valid)
+            loss = loss + alpha_ce * ce
+            aux["ce"] = ce
+            aux["accuracy"] = _masked_accuracy(
+                s_logits, batch["labels"], valid
+            )
+        return loss, aux
+
+    def step(state: TrainState, batch, teacher_params):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, teacher_params, sub
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

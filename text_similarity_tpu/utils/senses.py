@@ -91,11 +91,13 @@ def save_sense_bank(path: str, bank: Dict[str, np.ndarray]) -> None:
     keys = list(bank.keys())
     np.savez(
         path,
-        keys=np.asarray(keys, dtype=object),
+        # fixed-width unicode (no object dtype): loads with
+        # allow_pickle=False, keeping the repo's no-pickle persistence rule
+        keys=np.asarray(keys, dtype=np.str_),
         vectors=np.stack([bank[k] for k in keys]),
     )
 
 
 def load_sense_bank_npz(path: str) -> Dict[str, np.ndarray]:
-    with np.load(path, allow_pickle=True) as z:
+    with np.load(path, allow_pickle=False) as z:
         return {str(k): v for k, v in zip(z["keys"], z["vectors"])}
