@@ -149,3 +149,29 @@ def test_flash_fully_masked_rows_zero():
     )
     assert np.all(out[1] == 0.0)
     assert np.isfinite(out).all()
+
+
+def test_encoder_window_global_cls():
+    """window_global_cls: CLS sees everything while other positions stay
+    banded (the reference's Longformer global tokens)."""
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.models import init_params, encoder_forward
+
+    arch = ARCH_PRESETS["tiny-test"].replace(
+        num_layers=1, attention_window=4, window_global_cls=True
+    )
+    p = init_params(jax.random.PRNGKey(0), arch)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(5, arch.vocab_size, (2, 32)),
+        jnp.int32,
+    )
+    mask = jnp.ones((2, 32), jnp.int32)
+    o1 = encoder_forward(p, ids, mask, arch=arch, precision=FP32_PRECISION)
+    # perturb a token far outside every band — only CLS (global) may react
+    ids2 = ids.at[:, 20].set(7)
+    o2 = encoder_forward(p, ids2, mask, arch=arch, precision=FP32_PRECISION)
+    a = np.asarray(o1.last_hidden_state)
+    b = np.asarray(o2.last_hidden_state)
+    assert not np.allclose(a[:, 0], b[:, 0])      # CLS sees position 20
+    np.testing.assert_allclose(a[:, 10], b[:, 10], atol=1e-5)  # banded pos

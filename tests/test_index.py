@@ -226,3 +226,41 @@ def test_ivf_incremental_add_overflow_growth():
     assert ivf.data_padded.shape[0] > before or ivf.num_overflow > 0
     _, i = ivf.query_xla(x[250:258], k=1)
     assert np.mean(np.asarray(i)[:, 0] == np.arange(250, 258)) >= 0.9
+
+
+def test_ivf_remove_in_place():
+    """mark_deleted analogue: removed ids vanish from results, no rebuild."""
+    from text_similarity_tpu.core.config import IndexConfig
+    from text_similarity_tpu.index.ivf import IVFIndex
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    rng = np.random.RandomState(0)
+    corpus = l2_normalize(jnp.asarray(rng.randn(512, 32), jnp.float32))
+    ivf = IVFIndex.build(corpus, IndexConfig(num_clusters=8, num_probes=8))
+    q = corpus[:8]
+    _, before = ivf.query_xla(q, k=3)
+    assert (np.asarray(before)[:, 0] == np.arange(8)).all()
+    n = ivf.remove(np.arange(8))   # delete the queries' own rows
+    assert n == 8
+    _, after = ivf.query_xla(q, k=3)
+    assert not np.isin(np.asarray(after), np.arange(8)).any()
+    # idempotent / unknown ids are no-ops
+    assert ivf.remove(np.arange(8)) == 0
+    assert ivf.remove([99999]) == 0
+
+
+def test_ivf_query_batch1_matches_batched():
+    """Single-query serving path: batch=1 recall must match the batched
+    path (padding rows must not hijack the probe union)."""
+    from text_similarity_tpu.core.config import IndexConfig
+    from text_similarity_tpu.index.ivf import IVFIndex
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    rng = np.random.RandomState(1)
+    corpus = l2_normalize(jnp.asarray(rng.randn(1024, 32), jnp.float32))
+    ivf = IVFIndex.build(corpus, IndexConfig(num_clusters=16, num_probes=4))
+    # adversarial query: negative similarity against most centroids
+    q = -corpus[5:6] + 0.01 * jnp.asarray(rng.randn(1, 32), jnp.float32)
+    s1, i1 = ivf.query(q, k=5, impl="pallas")
+    sb, ib = ivf.query(jnp.tile(q, (16, 1)), k=5, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(i1)[0], np.asarray(ib)[0])

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from text_similarity_tpu.core.config import ARCH_PRESETS, IndexConfig
 from text_similarity_tpu.core.precision import FP32_PRECISION
@@ -187,3 +188,50 @@ def test_search_pipeline_incremental_ivf_add(encoder):
     assert pipe.ivf is built  # no rebuild — incremental insert
     res = pipe(["a brand new document about volcanoes"], 1)
     assert res[0][0][0] == "a brand new document about volcanoes"
+
+
+def test_dbscan_cosine_clusters_and_noise():
+    from text_similarity_tpu.ops.density import dbscan_cosine
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    rng = np.random.RandomState(0)
+    # two tight clusters + isolated noise points
+    c1 = rng.randn(1, 16); c2 = rng.randn(1, 16)
+    a = c1 + 0.01 * rng.randn(20, 16)
+    b = c2 + 0.01 * rng.randn(20, 16)
+    noise = rng.randn(5, 16) * 10
+    x = l2_normalize(jnp.asarray(np.vstack([a, b, noise]), jnp.float32))
+    labels = dbscan_cosine(x, eps=0.05, min_samples=4)
+    assert len(set(labels[:20])) == 1 and labels[0] >= 0
+    assert len(set(labels[20:40])) == 1 and labels[20] >= 0
+    assert labels[0] != labels[20]
+    assert (labels[40:] == -1).all()      # isolated points are noise
+
+
+def test_topic_pipeline_density(sts_encoder=None):
+    from text_similarity_tpu.pipelines.topic import TopicModelingPipeline
+
+    class FakeEncoder:
+        def encode(self, corpus, batch_size=32, **kw):
+            rng = np.random.RandomState(1)
+            base = {0: rng.randn(8), 1: rng.randn(8), 2: rng.randn(8)}
+            out = []
+            for i, _ in enumerate(corpus):
+                v = base[i % 3] + 0.01 * rng.randn(8)
+                out.append(v / np.linalg.norm(v))
+            return np.asarray(out, np.float32)
+
+    corpus = [
+        ["dogs chase cats", "markets fell sharply", "tpu kernels are fast"][i % 3]
+        + f" variant {i}"
+        for i in range(30)
+    ]
+    pipe = TopicModelingPipeline(
+        FakeEncoder(), reduce_dim=0, method="density",
+        density_eps=0.05, density_min_samples=3,
+    )
+    res = pipe(corpus)
+    labs = set(int(t) for t in np.unique(res["assignments"]) if t >= 0)
+    assert len(labs) == 3                # three density modes found
+    assert res["centroids"].shape[0] == 3
+    assert all(len(v) > 0 for v in res["topics"].values())

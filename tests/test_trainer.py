@@ -97,3 +97,45 @@ def test_trainer_nan_guard(tmp_path):
     tr = Trainer(bad_step, state, log_every=1)
     with pytest.raises(FloatingPointError):
         tr.execute(lambda e: iter([batch]), epochs=1)
+
+
+def test_checkpoint_persists_sharding_metadata():
+    """Mesh-placed params round-trip with their PartitionSpecs recorded
+    and re-applied on restore (SURVEY §5.4 gap from round 1)."""
+    import json as _json
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from text_similarity_tpu.core import checkpoint as ckpt
+    from text_similarity_tpu.core.mesh import make_mesh
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs multi-device mesh")
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    params = {
+        "w": jax.device_put(
+            jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+            NamedSharding(mesh, P("data", None)),
+        ),
+        "b": jnp.zeros((4,)),
+    }
+    with tempfile.TemporaryDirectory() as td:
+        d = ckpt.save_checkpoint(td, params, step=3)
+        with open(f"{d}/meta.json") as f:
+            info = _json.load(f)
+        assert info["shardings"]["w"] == ["data", None]
+        restored, _, step, _ = ckpt.restore_checkpoint(
+            d, jax.tree.map(np.asarray, params), mesh=mesh
+        )
+        assert step == 3
+        sh = restored["w"].sharding
+        assert isinstance(sh, NamedSharding) and sh.spec == P("data", None)
+        np.testing.assert_array_equal(
+            np.asarray(restored["w"]), np.asarray(params["w"])
+        )

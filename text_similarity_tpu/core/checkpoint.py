@@ -60,6 +60,42 @@ def _unflatten_into(template, flat: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _spec_to_json(spec) -> list:
+    out = []
+    for e in tuple(spec):
+        if e is None:
+            out.append(None)
+        elif isinstance(e, (tuple, list)):
+            out.append(list(e))
+        else:
+            out.append(str(e))
+    return out
+
+
+def _spec_from_json(entry):
+    from jax.sharding import PartitionSpec as P
+
+    dims = [
+        tuple(e) if isinstance(e, list) else e for e in entry
+    ]
+    return P(*dims)
+
+
+def _collect_shardings(tree) -> Dict[str, list]:
+    """Per-leaf PartitionSpec (as JSON-able lists) for leaves that carry a
+    NamedSharding — persists the mesh layout with the checkpoint so a
+    restore can re-place arrays without re-deriving specs (SURVEY §5.4)."""
+    from jax.sharding import NamedSharding
+
+    specs = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            key = _SEP.join(_path_str(p) for p in path)
+            specs[key] = _spec_to_json(sh.spec)
+    return specs
+
+
 def save_checkpoint(
     path: str,
     params,
@@ -67,13 +103,18 @@ def save_checkpoint(
     step: int = 0,
     meta: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Write a step-stamped checkpoint directory under ``path``."""
+    """Write a step-stamped checkpoint directory under ``path``. Sharding
+    metadata (per-leaf PartitionSpecs) rides along in meta.json whenever
+    the params are mesh-placed."""
     ckpt_dir = os.path.join(path, f"step_{step:08d}")
     os.makedirs(ckpt_dir, exist_ok=True)
+    shardings = _collect_shardings(params)
     np.savez(os.path.join(ckpt_dir, "params.npz"), **_flatten(params))
     if opt_state is not None:
         np.savez(os.path.join(ckpt_dir, "opt_state.npz"), **_flatten(opt_state))
     info = {"step": step, "meta": meta or {}}
+    if shardings:
+        info["shardings"] = shardings
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
         json.dump(info, f, indent=2)
     # atomic-ish "latest" pointer
@@ -101,10 +142,13 @@ def restore_checkpoint(
     ckpt_dir: str,
     params_template,
     opt_state_template=None,
+    mesh=None,
 ) -> Tuple[Any, Any, int, Dict[str, Any]]:
     """Restore (params, opt_state, step, meta) from a checkpoint dir.
 
-    Templates provide pytree structure + dtypes (e.g. from init fns)."""
+    Templates provide pytree structure + dtypes (e.g. from init fns).
+    With ``mesh``, leaves whose PartitionSpec was recorded at save time
+    are device_put back onto the mesh with the same layout."""
     with np.load(os.path.join(ckpt_dir, "params.npz")) as z:
         params = _unflatten_into(params_template, dict(z))
     opt_state = None
@@ -114,6 +158,27 @@ def restore_checkpoint(
             opt_state = _unflatten_into(opt_state_template, dict(z))
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         info = json.load(f)
+    if mesh is not None and info.get("shardings"):
+        from jax.sharding import NamedSharding
+
+        specs = info["shardings"]
+
+        def place(tree):
+            paths_and_leaves, treedef = (
+                jax.tree_util.tree_flatten_with_path(tree)
+            )
+            leaves = []
+            for path, leaf in paths_and_leaves:
+                key = _SEP.join(_path_str(p) for p in path)
+                if key in specs:
+                    leaf = jax.device_put(
+                        leaf,
+                        NamedSharding(mesh, _spec_from_json(specs[key])),
+                    )
+                leaves.append(leaf)
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        params = place(params)
     return params, opt_state, info["step"], info.get("meta", {})
 
 

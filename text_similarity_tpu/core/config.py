@@ -78,6 +78,11 @@ class EncoderArch:
     performer_local_window: int = 64
     # Sliding-window (Longformer-style local) attention radius; 0 = full.
     attention_window: int = 0
+    # With a window, keep position 0 (CLS) globally attending/attended —
+    # the reference's LongformerSelfAttention global tokens
+    # (make_long_transformer.py:56-68). Served by the XLA attention path;
+    # the Pallas flash kernel implements the pure band only.
+    window_global_cls: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -314,6 +314,29 @@ class IVFIndex:
         return new_ids
 
     # ------------------------------------------------------------------
+    # In-place delete (hnswlib mark_deleted, reference
+    # search_pipeline.py:154-175) — no rebuild: the slot's id goes to -1
+    # and every query kernel already masks id<0 slots to -inf.
+    # ------------------------------------------------------------------
+
+    def remove(self, remove_ids) -> int:
+        """Mark the given global ids deleted. Returns how many slots were
+        cleared. O(N log M) on device via a sorted-membership test."""
+        rem = np.unique(np.asarray(remove_ids, np.int64))
+        if rem.size == 0:
+            return 0
+        rem_dev = jnp.asarray(rem, jnp.int32)
+        ids_flat = self.ids_padded.reshape(-1)
+        pos = jnp.clip(
+            jnp.searchsorted(rem_dev, ids_flat), 0, rem.size - 1
+        )
+        hit = (rem_dev[pos] == ids_flat) & (ids_flat >= 0)
+        new_flat = jnp.where(hit, -1, ids_flat)
+        n_removed = int(jnp.sum(hit.astype(jnp.int32)))
+        self.ids_padded = new_flat.reshape(self.ids_padded.shape)
+        return n_removed
+
+    # ------------------------------------------------------------------
     # Persistence (analogue of hnswlib save_index/load_index,
     # reference search_pipeline.py:106,122)
     # ------------------------------------------------------------------
@@ -379,8 +402,14 @@ def _ivf_query_fused(
     scores_flat = jnp.einsum(
         "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
     )  # (pad_b, C)
-    # group queries by their top-1 centroid (padding rows sort last: their
-    # scores are all 0 against unit centroids → argmax 0, fine either way)
+    if pad_b != b:
+        # padding rows must not win the block-max probe union: a zero
+        # query scores 0 against every centroid, which BEATS a real
+        # query whose sims are all negative (the batch=1 serving case)
+        row = jnp.arange(pad_b)[:, None]
+        scores_flat = jnp.where(row < b, scores_flat, -1e9)
+    # group queries by their top-1 centroid (padding rows sort last in
+    # effect: every masked score ties at -1e9)
     top1 = jnp.argmax(scores_flat, axis=1)
     order = jnp.argsort(top1)
     q = q[order]

@@ -234,6 +234,7 @@ def transformer_layer(
         performer_kernel=arch.performer_kernel,
         performer_local_heads=arch.performer_local_heads,
         performer_local_window=arch.performer_local_window,
+        window_global_cls=arch.window_global_cls,
     ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
     ctx = dense(ctx, attn["o"])
     ctx = _dropout(
@@ -272,6 +273,7 @@ def encoder_forward(
     output_hidden_states: bool = False,
     attention_impl: str = "auto",
     performer_step=None,   # train step for performer feature redraw
+    remat: bool = False,   # rematerialize layer activations in backward
 ) -> EncoderOutput:
     """Run the encoder. ``layer_gate`` supports theseus-style stochastic
     layer skipping and layer-drop distillation (reference semantics:
@@ -367,7 +369,12 @@ def encoder_forward(
         layer_gate.astype(precision.compute_dtype),
         jnp.arange(l, dtype=jnp.int32),
     )
-    final, ys = jax.lax.scan(layer_body, x, scanned)
+    body = layer_body
+    if remat:
+        # trade FLOPs for HBM: the backward pass recomputes each layer's
+        # activations instead of saving them across the whole scan
+        body = jax.checkpoint(layer_body)
+    final, ys = jax.lax.scan(body, x, scanned)
 
     hidden_states = None
     if output_hidden_states:

@@ -201,6 +201,9 @@ def _flash_forward(qf, kf, vf, lf, block_q, block_k, interpret, window,
             functools.partial(_flash_fwd_kernel, **kw),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
             interpret=interpret,
         )(lf, qf, kf, vf)
         return out, None
@@ -504,6 +507,7 @@ def multi_head_attention(
     performer_kernel: str = "softmax",
     performer_local_heads: int = 0,
     performer_local_window: int = 64,
+    window_global_cls: bool = False,
 ) -> jax.Array:
     """Dispatching MHA. impl: auto | flash | reference | performer.
 
@@ -548,26 +552,36 @@ def multi_head_attention(
         if head_mask is not None:
             out = out * head_mask[None, None, :, None].astype(out.dtype)
         return out
+    if impl == "auto" and window > 0 and window_global_cls:
+        # global-CLS windows only exist on the XLA path
+        impl = "reference"
     if impl == "auto":
-        # Flash pays off once the (B,H,S,S) score tensor dominates HBM
-        # traffic. Measured on v5e (MiniLM shapes, d=32): at S=128 the XLA
-        # path is ~1.8× FASTER than the Pallas kernel (tiny per-program
-        # matmuls at 32 lanes), so flash only dispatches from S=512 up.
-        # The kernel is differentiable via custom_vjp, so the choice is
-        # safe under jax.grad.
+        # Measured on v5e (MiniLM shapes, d=32 heads): the XLA path wins
+        # at every S up to 2048 (bf16 score tensor + fused softmax,
+        # 16-27% MFU vs the Pallas kernel's ~6% — 32-lane operands waste
+        # 3/4 of every load/VPU op). Flash takes over where XLA's
+        # materialized (B,H,S,S) stops fitting: S≥4096 (b·12·S²·2 bytes
+        # ≳ HBM). Both paths are differentiable (flash via custom_vjp),
+        # so the choice is safe under jax.grad.
         use_flash = (
             _on_tpu()
             and head_mask is None
             and q.shape[1] % 128 == 0
-            and q.shape[1] >= 512
+            and q.shape[1] >= 4096
         )
         impl = "flash" if use_flash else "reference"
     if impl == "flash":
         if head_mask is not None:
             raise ValueError("flash attention does not support head_mask")
+        if window > 0 and window_global_cls:
+            raise ValueError(
+                "flash attention implements the pure band; use the "
+                "reference path for global-CLS windows"
+            )
         return flash_attention(
             q, k, v, mask, interpret=not _on_tpu(), window=window
         )
     return attention_reference(
-        q, k, v, mask, head_mask, window=window, global_cls=False
+        q, k, v, mask, head_mask, window=window,
+        global_cls=window_global_cls,
     )

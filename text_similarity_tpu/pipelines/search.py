@@ -82,8 +82,19 @@ class SemanticSearchPipeline:
         return ids
 
     def remove_documents(self, ids: Sequence[int]) -> None:
+        """In-place delete (hnswlib mark_deleted): tombstone the store rows
+        AND clear the IVF slots — no index rebuild on the next query."""
         self.store.mark_deleted(ids)
-        self.ivf = None
+        if self.ivf is not None:
+            if getattr(self, "_id_remap", None) is None:
+                self.ivf.remove(ids)
+            else:
+                # index was built over remapped (compacted) ids: translate
+                remap = self._id_remap
+                pos = np.searchsorted(remap, np.asarray(ids))
+                pos = np.clip(pos, 0, len(remap) - 1)
+                hit = remap[pos] == np.asarray(ids)
+                self.ivf.remove(pos[hit])
 
     # ------------------------------------------------------------------
 

@@ -94,6 +94,9 @@ class TopicModelingPipeline:
         top_n_words: int = 10,
         outlier_quantile: float = 0.0,  # 0 = no outliers; e.g. 0.05
         batch_size: int = 128,
+        method: str = "kmeans",     # "kmeans" | "density" (HDBSCAN-class)
+        density_eps: float = 0.3,
+        density_min_samples: int = 3,
     ):
         self.encoder = encoder
         self.num_topics = num_topics
@@ -101,6 +104,9 @@ class TopicModelingPipeline:
         self.top_n_words = top_n_words
         self.outlier_quantile = outlier_quantile
         self.batch_size = batch_size
+        self.method = method
+        self.density_eps = density_eps
+        self.density_min_samples = density_min_samples
 
     def __call__(self, corpus: Sequence[str]) -> dict:
         emb = self.encoder.encode(corpus, batch_size=self.batch_size)
@@ -108,17 +114,35 @@ class TopicModelingPipeline:
         if self.reduce_dim and self.reduce_dim < x.shape[1]:
             x = pca_reduce(x, self.reduce_dim)
         x = l2_normalize(x)
-        k = min(self.num_topics, max(len(corpus) // 4, 1))
-        centroids, assign = kmeans(x, k, iters=20)
-        assign = np.asarray(assign)
 
-        # outlier rule: lowest-similarity docs to their centroid → topic -1
-        if self.outlier_quantile > 0:
-            sims = np.asarray(
-                jnp.sum(x * centroids[assign], axis=1)
+        if self.method == "density":
+            # noise-aware density clustering (the reference's HDBSCAN
+            # stage, topic_modeling.py:98-104): topic count emerges from
+            # the data, low-density docs become topic −1
+            from ..ops.density import dbscan_cosine
+
+            assign = dbscan_cosine(
+                x, eps=self.density_eps,
+                min_samples=self.density_min_samples,
             )
-            thr = np.quantile(sims, self.outlier_quantile)
-            assign = np.where(sims < thr, -1, assign)
+            ks = [t for t in np.unique(assign) if t >= 0]
+            centroids = np.stack([
+                np.asarray(jnp.mean(x[jnp.asarray(assign == t)], axis=0))
+                for t in ks
+            ]) if ks else np.zeros((0, x.shape[1]), np.float32)
+        else:
+            k = min(self.num_topics, max(len(corpus) // 4, 1))
+            centroids, assign = kmeans(x, k, iters=20)
+            assign = np.asarray(assign)
+
+            # outlier rule: lowest-similarity docs to centroid → topic -1
+            if self.outlier_quantile > 0:
+                sims = np.asarray(
+                    jnp.sum(x * centroids[assign], axis=1)
+                )
+                thr = np.quantile(sims, self.outlier_quantile)
+                assign = np.where(sims < thr, -1, assign)
+            centroids = np.asarray(centroids)
 
         docs_per_topic: Dict[int, List[str]] = {}
         for i, t in enumerate(assign):
@@ -129,7 +153,7 @@ class TopicModelingPipeline:
             "assignments": assign,
             "topics": words,
             "sizes": sizes,
-            "centroids": np.asarray(centroids),
+            "centroids": centroids,
         }
 
     def reduce_topics(

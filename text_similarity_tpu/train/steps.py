@@ -47,11 +47,12 @@ def init_train_state(params: dict, tx: optax.GradientTransformation, seed: int =
 
 def _embed(
     enc_params, ids, mask, *, arch, precision, pooling, rng, deterministic,
-    layer_gate=None,
+    layer_gate=None, remat=False,
 ):
     out = encoder_forward(
         enc_params, ids, mask, arch=arch, precision=precision,
         deterministic=deterministic, dropout_rng=rng, layer_gate=layer_gate,
+        remat=remat,
     )
     if pooling == "cls":
         pooled = cls_pool(out.last_hidden_state, mask)
@@ -116,6 +117,7 @@ def make_bi_encoder_train_step(
     pooling: str = "mean",
     precision: Precision = DEFAULT_PRECISION,
     margin: float = 0.5,
+    remat: bool = False,
 ) -> Callable:
     """Returns step(state, batch) → (state, metrics).
 
@@ -130,10 +132,12 @@ def make_bi_encoder_train_step(
         u = _embed(
             enc, batch["ids_a"], batch["mask_a"], arch=arch,
             precision=precision, pooling=pooling, rng=r1, deterministic=False,
+            remat=remat,
         )
         v = _embed(
             enc, batch["ids_b"], batch["mask_b"], arch=arch,
             precision=precision, pooling=pooling, rng=r2, deterministic=False,
+            remat=remat,
         )
         valid = batch.get("valid")
         target = batch.get("target")
