@@ -236,3 +236,27 @@ def test_cli_pretrain_long(tmp_path, capsys):
     enc = SentenceEncoder.load(str(tmp_path / "run"), bf16=False)
     assert enc.arch.max_position >= 64
     assert enc.arch.attention_window == 8
+
+
+def test_cli_eval_classification(tmp_path, capsys):
+    import json as _json
+
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text(
+        "\n".join(
+            _json.dumps({"text": s, "label": ["a", "b"][i % 2]})
+            for i, s in enumerate(SENTS * 2)
+        )
+    )
+    main(_base_args(tmp_path, ["train-classification", "--data", str(docs)]))
+    capsys.readouterr()
+    main([
+        "eval-classification", "--model", str(tmp_path / "run"),
+        "--data", str(docs), "--fp32", "--batch-size", "4", "--max-len", "32",
+        "--save-path", str(tmp_path / "x"),
+    ])
+    out = capsys.readouterr().out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["n"] == 16
+    assert 0.0 <= res["accuracy"] <= 1.0
+    assert set(res["per_class"]) <= {"a", "b"}

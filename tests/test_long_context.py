@@ -152,3 +152,105 @@ def test_ring_attention_gradients_match(eight_devices):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
         )
+
+
+def test_relu_kernel_matches_quadratic_oracle():
+    """Generalized (ReLU) kernel: linear-attention associativity must give
+    the same result as the explicit quadratic form."""
+    from text_similarity_tpu.ops.performer import (
+        performer_attention, relu_kernel_features,
+        orthogonal_random_features,
+    )
+
+    rng = np.random.RandomState(0)
+    b, s, h, d, m = 2, 16, 2, 8, 16
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    proj = orthogonal_random_features(jax.random.PRNGKey(0), m, d)
+    out = np.asarray(performer_attention(q, k, v, proj, kernel="relu"))
+    qf = np.asarray(relu_kernel_features(q, proj))
+    kf = np.asarray(relu_kernel_features(k, proj))
+    scores = np.einsum("bshm,bthm->bhst", qf, kf)
+    expect = np.einsum("bhst,bthd->bshd", scores, np.asarray(v))
+    expect /= np.maximum(scores.sum(-1), 1e-9).transpose(0, 2, 1)[..., None]
+    np.testing.assert_allclose(out, expect, atol=1e-4)
+
+
+def test_performer_feature_redraw_boundaries():
+    from text_similarity_tpu.ops.performer import redraw_features
+
+    key = jax.random.PRNGKey(42)
+    p0 = np.asarray(redraw_features(key, 0, every=10, num_features=16, dim=8))
+    p9 = np.asarray(redraw_features(key, 9, every=10, num_features=16, dim=8))
+    p10 = np.asarray(redraw_features(key, 10, every=10, num_features=16, dim=8))
+    np.testing.assert_array_equal(p0, p9)      # same epoch → same features
+    assert not np.allclose(p0, p10)            # redraw at the boundary
+
+
+def test_performer_local_global_mixed_heads():
+    from text_similarity_tpu.ops.attention import (
+        attention_reference, multi_head_attention,
+    )
+    from text_similarity_tpu.ops.performer import orthogonal_random_features
+
+    rng = np.random.RandomState(1)
+    b, s, h, d = 2, 32, 4, 8
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    proj = orthogonal_random_features(jax.random.PRNGKey(0), 32, d)
+
+    # ALL heads local → exactly the banded reference
+    out_all = multi_head_attention(
+        q, k, v, impl="performer", performer_proj=proj,
+        performer_local_heads=h, performer_local_window=8,
+    )
+    ref = attention_reference(q, k, v, window=8, global_cls=False)
+    np.testing.assert_allclose(
+        np.asarray(out_all), np.asarray(ref), atol=1e-5
+    )
+
+    # mixed: local heads equal the banded reference, global heads equal
+    # pure performer
+    out_mix = multi_head_attention(
+        q, k, v, impl="performer", performer_proj=proj,
+        performer_local_heads=2, performer_local_window=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mix[:, :, :2]), np.asarray(ref[:, :, :2]), atol=1e-5
+    )
+    out_perf = multi_head_attention(
+        q, k, v, impl="performer", performer_proj=proj,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mix[:, :, 2:]), np.asarray(out_perf[:, :, 2:]),
+        atol=1e-5,
+    )
+
+
+def test_encoder_performer_relu_and_redraw_run():
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.models import init_params, encoder_forward
+
+    arch = ARCH_PRESETS["tiny-test"].replace(
+        attention_type="performer", performer_kernel="relu",
+        performer_redraw_every=5, performer_local_heads=1,
+        performer_local_window=4,
+    )
+    p = init_params(jax.random.PRNGKey(0), arch)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(5, arch.vocab_size, (2, 16)),
+        jnp.int32,
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    o1 = encoder_forward(p, ids, mask, arch=arch, precision=FP32_PRECISION,
+                         performer_step=0)
+    o2 = encoder_forward(p, ids, mask, arch=arch, precision=FP32_PRECISION,
+                         performer_step=7)
+    a = np.asarray(o1.last_hidden_state)
+    b_ = np.asarray(o2.last_hidden_state)
+    assert np.isfinite(a).all() and np.isfinite(b_).all()
+    # different feature epochs → (slightly) different outputs
+    assert not np.allclose(a, b_)

@@ -91,3 +91,22 @@ def test_average_meter_and_metrics():
     m.update("loss", 1.0, n=2)
     assert m.averages()["loss"] == 1.5
     assert "loss=1.5" in m.display()
+
+
+def test_roc_curve_matches_known_values():
+    from text_similarity_tpu.evaluation.meters import roc_curve
+
+    scores = np.array([0.9, 0.8, 0.7, 0.6, 0.55, 0.54, 0.53, 0.52])
+    labels = np.array([1, 1, 0, 1, 1, 0, 0, 0])
+    fpr, tpr, thr, auc = roc_curve(scores, labels)
+    # perfect start: top-2 scores are positives
+    assert tpr[0] == 0.0 and fpr[0] == 0.0
+    assert tpr[-1] == 1.0 and fpr[-1] == 1.0
+    # monotone non-decreasing
+    assert (np.diff(fpr) >= 0).all() and (np.diff(tpr) >= 0).all()
+    assert 0.8 < auc < 0.9  # hand-checked: 13/16
+    # degenerate separable case
+    _, _, _, auc2 = roc_curve(
+        np.array([0.9, 0.8, 0.2, 0.1]), np.array([1, 1, 0, 0])
+    )
+    assert auc2 == 1.0

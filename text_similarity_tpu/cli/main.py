@@ -465,6 +465,59 @@ def cmd_distill(args):
     }))
 
 
+def cmd_eval_classification(args):
+    """Evaluate a trained document classifier (reference
+    src/evaluation/eval_document_classifier.py:18-107): accuracy +
+    per-class report over a labeled document set."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from ..core.config import EncoderArch
+    from ..core.precision import precision_for
+    from ..core import checkpoint as ckpt
+    from ..data.datasets import load_documents_json
+    from ..data.tokenization import load_tokenizer
+    from ..data.pairs import build_sequence_batches
+    from ..train.steps import classifier_forward
+
+    with open(os.path.join(args.model, "arch.json")) as f:
+        arch = EncoderArch.from_json(f.read())
+    with open(os.path.join(args.model, "labels.json")) as f:
+        labels = json.load(f)
+    lab2id = {l: i for i, l in enumerate(labels)}
+    tok = load_tokenizer(args.model)
+    params, _, _ = ckpt.restore_checkpoint_raw(
+        ckpt.latest_checkpoint(args.model)
+    )
+    docs = load_documents_json(args.data)
+    texts = [d["text"] for d in docs]
+    y = np.asarray([lab2id.get(d["label"], -1) for d in docs])
+    batches = build_sequence_batches(
+        tok, texts, list(y), batch_size=args.batch_size,
+        max_len=args.max_len, seed=0, shuffle=False,
+    )
+    precision = precision_for(not args.fp32)
+    preds, gold = [], []
+    for b in batches:
+        logits = classifier_forward(
+            params, jnp.asarray(b["ids"]), jnp.asarray(b["mask"]),
+            b.get("type_ids"), arch=arch, precision=precision, pooling="cls",
+        )
+        p = np.asarray(jnp.argmax(logits, axis=-1))
+        valid = np.asarray(b["valid"]).astype(bool)
+        preds.extend(p[valid].tolist())
+        gold.extend(np.asarray(b["labels"])[valid].tolist())
+    preds, gold = np.asarray(preds), np.asarray(gold)
+    acc = float((preds == gold).mean()) if len(gold) else 0.0
+    per_class = {
+        lab: float((preds[gold == i] == i).mean())
+        for i, lab in enumerate(labels)
+        if (gold == i).any()
+    }
+    print(json.dumps({"accuracy": acc, "per_class": per_class,
+                      "n": int(len(gold))}))
+
+
 def cmd_pretrain_long(args):
     """Long-model conversion + MLM re-pretraining: tile position embeddings
     to --target-len, switch to sliding-window attention, adapt with
@@ -834,6 +887,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--student-layers", type=int, default=4)
     p.add_argument("--max-sentences", type=int, default=100000)
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("eval-classification"); _train_common(p)
+    p.add_argument("--data", required=True)
+    p.set_defaults(fn=cmd_eval_classification)
 
     p = sub.add_parser("pretrain-long"); _train_common(p)
     p.add_argument("--data", required=True,

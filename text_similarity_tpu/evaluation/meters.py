@@ -230,3 +230,51 @@ def classification_metrics(
         r = tp / max(tp + fn, 1)
         f1s.append(2 * p * r / max(p + r, 1e-12))
     return {"accuracy": acc, "macro_f1": float(np.mean(f1s))}
+
+
+def roc_curve(scores: np.ndarray, labels: np.ndarray):
+    """ROC curve points + AUC from raw scores (reference plot_roc,
+    src/utils/metrics.py:64-79, which delegates to sklearn.roc_curve —
+    here self-contained). Returns (fpr, tpr, thresholds, auc)."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels).astype(bool)
+    order = np.argsort(-scores, kind="stable")
+    s, y = scores[order], labels[order]
+    tp = np.cumsum(y)
+    fp = np.cumsum(~y)
+    # keep the last index of each distinct threshold
+    distinct = np.r_[np.nonzero(np.diff(s))[0], s.size - 1]
+    tp, fp, thr = tp[distinct], fp[distinct], s[distinct]
+    p = max(int(labels.sum()), 1)
+    n = max(int((~labels).sum()), 1)
+    tpr = np.r_[0.0, tp / p]
+    fpr = np.r_[0.0, fp / n]
+    auc = float(np.trapezoid(tpr, fpr))
+    return fpr, tpr, np.r_[np.inf, thr], auc
+
+
+def save_roc_plot(path: str, scores, labels) -> bool:
+    """Write a ROC plot PNG if matplotlib is importable; otherwise write
+    the curve as CSV next to it. Returns True if a PNG was written."""
+    fpr, tpr, _, auc = roc_curve(scores, labels)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(4, 4))
+        ax.plot(fpr, tpr, label=f"AUC={auc:.3f}")
+        ax.plot([0, 1], [0, 1], "--", lw=0.8)
+        ax.set_xlabel("FPR"); ax.set_ylabel("TPR"); ax.legend()
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return True
+    except Exception:
+        np.savetxt(
+            path + ".csv",
+            np.c_[fpr, tpr],
+            delimiter=",",
+            header="fpr,tpr",
+        )
+        return False

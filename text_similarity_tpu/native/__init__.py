@@ -95,6 +95,24 @@ def get_lib():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.wp_encode_batch.restype = ctypes.c_int64
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -212,6 +230,69 @@ class NativeWordPiece:
         if not self._dense:
             ids = self._id_remap[ids]
         return ids, out_ends[:n_words]
+
+    def encode_batch_padded(
+        self,
+        texts: Sequence[str],
+        max_len: int,
+        cls_id: int,
+        sep_id: int,
+        pad_id: int,
+        lowercase: bool = True,
+        max_word_chars: int = 100,
+        n_threads: int = 0,
+    ):
+        """Whole-pipeline batch tokenization in C, pthread-parallel over
+        documents: split + wordpiece + [CLS]/[SEP]/pad in ONE call →
+        (ids (N, max_len) int32, mask (N, max_len) int32, lens (N,),
+        needs_python (N,) bool). Docs with any non-ASCII byte are flagged
+        (pad-filled) for the caller's full-unicode Python fallback; for
+        pure-ASCII docs the output is byte-exact with the Python path."""
+        import os as _os
+
+        n = len(texts)
+        if n == 0:
+            z = np.zeros((0, max_len), np.int32)
+            return z, z.copy(), np.zeros(0, np.int32), np.zeros(0, bool)
+        enc = [t.encode("utf-8") for t in texts]
+        buf = b"".join(enc)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(e) for e in enc], out=offs[1:])
+        out_ids = np.empty((n, max_len), np.int32)
+        out_mask = np.empty((n, max_len), np.int32)
+        out_lens = np.empty(n, np.int32)
+        needs_py = np.empty(n, np.uint8)
+        if n_threads <= 0:
+            n_threads = min(8, _os.cpu_count() or 1)
+
+        def local(gid):
+            # C ids are vocab POSITIONS; map global special ids to local
+            if self._dense:
+                return int(gid)
+            return int(np.searchsorted(self._id_remap, gid))
+
+        r = self._lib.wp_encode_batch(
+            self._h,
+            buf,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            max_len,
+            1 if lowercase else 0,
+            max_word_chars,
+            local(cls_id),
+            local(sep_id),
+            local(pad_id),
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            needs_py.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_threads,
+        )
+        if r < 0:
+            raise RuntimeError("wp_encode_batch thread spawn failed")
+        if not self._dense:
+            out_ids = self._id_remap[out_ids]
+        return out_ids, out_mask, out_lens, needs_py.astype(bool)
 
     def encode_flat(self, words: Sequence[str]) -> List[int]:
         """words → flat id list (concatenated pieces)."""

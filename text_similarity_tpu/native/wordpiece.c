@@ -217,3 +217,174 @@ int64_t wp_encode_joined(void *handle, const char *buf, int64_t buf_len,
     *out_n_words = n_words;
     return total;
 }
+
+/* ------------------------------------------------------------------ */
+/* Parallel padded-batch encoding — the host data-loader hot path.
+ *
+ * One call tokenizes a whole document batch into ready-to-ship
+ * (n_docs, max_len) id/mask arrays: whitespace split + punctuation
+ * isolation + greedy wordpiece + [CLS]/[SEP]/pad, fanned out over
+ * pthreads (each thread owns a disjoint doc range, so no locking).
+ *
+ * The C path is byte-exact with the Python path for pure-ASCII docs
+ * (ASCII lowercase == unicode lowercase, NFKC == identity, and
+ * python's ([\W_]) splitter on ASCII == runs of [A-Za-z0-9] with every
+ * other non-space byte a single-char token). Docs containing any byte
+ * >= 0x80 are flagged in needs_python and left pad-filled for the
+ * caller to handle with the full-unicode Python path.            */
+
+#include <pthread.h>
+
+static int wp_is_word_byte(unsigned char c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+           (c >= '0' && c <= '9');
+}
+
+static int wp_is_space_byte(unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+           c == '\f' || c == '\v';
+}
+
+typedef struct {
+    const Vocab *v;
+    const char *buf;
+    const int64_t *offs;
+    int64_t start, end;
+    int32_t max_len, lowercase, max_word_chars;
+    int32_t cls_id, sep_id, pad_id;
+    int32_t *out_ids;
+    int32_t *out_mask;
+    int32_t *out_lens;
+    unsigned char *needs_py;
+    int64_t n_py;   /* per-thread count of python-fallback docs */
+} BatchTask;
+
+static void wp_encode_one_doc(const Vocab *v, const char *doc, int64_t len,
+                              int32_t max_len, int lower,
+                              int32_t max_word_chars,
+                              int32_t cls, int32_t sep, int32_t pad,
+                              int32_t *row_ids, int32_t *row_mask,
+                              int32_t *row_len, unsigned char *needs_py) {
+    int64_t i;
+    int32_t count = 0, budget = max_len - 2, t, total;
+    char word[1024];
+    int32_t scratch[4096];
+
+    for (i = 0; i < len; i++) {
+        if ((unsigned char)doc[i] >= 0x80) {
+            *needs_py = 1;
+            for (t = 0; t < max_len; t++) { row_ids[t] = pad; row_mask[t] = 0; }
+            *row_len = 0;
+            return;
+        }
+    }
+    *needs_py = 0;
+    row_ids[0] = cls;
+    i = 0;
+    while (i < len && count < budget) {
+        unsigned char c = (unsigned char)doc[i];
+        int32_t wlen = 0, cnt;
+        if (wp_is_space_byte(c)) { i++; continue; }
+        if (wp_is_word_byte(c)) {
+            while (i < len && wp_is_word_byte((unsigned char)doc[i])) {
+                if (wlen < 1024) {
+                    char ch = doc[i];
+                    if (lower && ch >= 'A' && ch <= 'Z') ch += 32;
+                    word[wlen] = ch;
+                }
+                wlen++;
+                i++;
+            }
+            if (wlen > 1024) wlen = -1;     /* over buffer: force UNK */
+        } else {
+            word[0] = (char)c;
+            wlen = 1;
+            i++;
+        }
+        cnt = (wlen < 0 || wlen > max_word_chars)
+            ? -1
+            : wp_word(v, word, wlen, scratch);
+        if (cnt < 0) { scratch[0] = v->unk_id; cnt = 1; }
+        for (t = 0; t < cnt && count < budget; t++) {
+            row_ids[1 + count] = scratch[t];
+            count++;
+        }
+    }
+    row_ids[1 + count] = sep;
+    total = count + 2;
+    for (t = 0; t < total; t++) row_mask[t] = 1;
+    for (t = total; t < max_len; t++) { row_ids[t] = pad; row_mask[t] = 0; }
+    *row_len = total;
+}
+
+static void *wp_batch_worker(void *arg) {
+    BatchTask *task = (BatchTask *)arg;
+    int64_t d;
+    task->n_py = 0;
+    for (d = task->start; d < task->end; d++) {
+        wp_encode_one_doc(
+            task->v,
+            task->buf + task->offs[d],
+            task->offs[d + 1] - task->offs[d],
+            task->max_len, task->lowercase, task->max_word_chars,
+            task->cls_id, task->sep_id, task->pad_id,
+            task->out_ids + d * task->max_len,
+            task->out_mask + d * task->max_len,
+            task->out_lens + d,
+            task->needs_py + d);
+        task->n_py += task->needs_py[d];
+    }
+    return NULL;
+}
+
+/* Returns the number of docs needing the Python fallback (>=0), or -1 on
+ * thread-spawn failure (caller falls back entirely). */
+int64_t wp_encode_batch(void *handle, const char *buf,
+                        const int64_t *doc_offsets, int64_t n_docs,
+                        int32_t max_len, int32_t lowercase,
+                        int32_t max_word_chars,
+                        int32_t cls_id, int32_t sep_id, int32_t pad_id,
+                        int32_t *out_ids, int32_t *out_mask,
+                        int32_t *out_lens, unsigned char *needs_python,
+                        int32_t n_threads) {
+    Vocab *v = (Vocab *)handle;
+    BatchTask tasks[64];
+    pthread_t threads[64];
+    int32_t nt = n_threads, ti;
+    int64_t chunk, total_py = 0;
+    if (nt < 1) nt = 1;
+    if (nt > 64) nt = 64;
+    if (nt > n_docs) nt = (int32_t)(n_docs > 0 ? n_docs : 1);
+    chunk = (n_docs + nt - 1) / nt;
+    for (ti = 0; ti < nt; ti++) {
+        tasks[ti].v = v;
+        tasks[ti].buf = buf;
+        tasks[ti].offs = doc_offsets;
+        tasks[ti].start = ti * chunk;
+        tasks[ti].end = (ti + 1) * chunk < n_docs ? (ti + 1) * chunk : n_docs;
+        tasks[ti].max_len = max_len;
+        tasks[ti].lowercase = lowercase;
+        tasks[ti].max_word_chars = max_word_chars;
+        tasks[ti].cls_id = cls_id;
+        tasks[ti].sep_id = sep_id;
+        tasks[ti].pad_id = pad_id;
+        tasks[ti].out_ids = out_ids;
+        tasks[ti].out_mask = out_mask;
+        tasks[ti].out_lens = out_lens;
+        tasks[ti].needs_py = needs_python;
+    }
+    if (nt == 1) {
+        wp_batch_worker(&tasks[0]);
+        return tasks[0].n_py;
+    }
+    for (ti = 0; ti < nt; ti++) {
+        if (pthread_create(&threads[ti], NULL, wp_batch_worker, &tasks[ti])) {
+            int32_t tj;
+            for (tj = 0; tj < ti; tj++) pthread_join(threads[tj], NULL);
+            return -1;
+        }
+    }
+    for (ti = 0; ti < nt; ti++) pthread_join(threads[ti], NULL);
+    for (ti = 0; ti < nt; ti++) total_py += tasks[ti].n_py;
+    return total_py;
+}
