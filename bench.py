@@ -274,6 +274,49 @@ def main():
         f"b={tb}, s={ts}, MFU={train_mfu * 100:.1f}%)"
     )
 
+    # rerank throughput (BASELINE config 4: cross-encoder scoring of the
+    # bi-encoder's top-100 candidates): batched (query, candidate) pair
+    # scoring through a MiniLM-class cross encoder (reference
+    # ranking_pipeline.py:14-43 scores pairs one query at a time on GPU)
+    from text_similarity_tpu.core.precision import precision_for
+    from text_similarity_tpu.train.steps import (
+        classifier_forward, init_classifier_head,
+    )
+
+    ce_params = {
+        "encoder": enc_params,  # bf16-resident encoder from above
+        "head": init_classifier_head(jax.random.PRNGKey(5), arch.hidden_size, 1),
+    }
+    ce_precision = precision_for(True)
+
+    @jax.jit
+    def ce_score(p, ids, mask, tts):
+        return classifier_forward(
+            p, ids, mask, tts, arch=arch, precision=ce_precision,
+            pooling="cls",
+        )
+
+    rb = 1024   # pairs per call
+    r_ids = jax.random.randint(
+        jax.random.PRNGKey(6), (rb, es), 5, arch.vocab_size
+    )
+    r_mask = jnp.ones((rb, es), jnp.int32)
+    r_tts = jnp.zeros((rb, es), jnp.int32)
+    np.asarray(ce_score(ce_params, r_ids, r_mask, r_tts))  # warm
+    rr_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [ce_score(ce_params, r_ids, r_mask, r_tts) for _ in range(10)]
+        for o in outs:
+            o.block_until_ready()
+        float(np.asarray(outs[-1]).ravel()[0])
+        rr_dt = min(rr_dt, (time.time() - t0) / 10)
+    rerank_rate = rb / rr_dt
+    log(
+        f"rerank: {rerank_rate:.0f} pairs/sec "
+        f"(= {rerank_rate / 100:.0f} queries/sec at top-100, s={es})"
+    )
+
     # reference-path CPU baseline: torch matmul+topk over a 250k corpus,
     # scaled linearly to 1M (cost is linear in N; the 4x-smaller corpus
     # keeps host memory pressure and bench wall time down)
@@ -301,7 +344,8 @@ def main():
         "unit": (
             f"queries/sec (top-10, 1M x 384, recall@10={recall:.3f} "
             f"vs brute force; int8 {N_QUERIES / ivf8_dt:.0f} QPS@{rec8:.3f}; "
-            f"encode {enc_rate:.0f} sent/s; train {train_rate:.0f} pairs/s)"
+            f"encode {enc_rate:.0f} sent/s; train {train_rate:.0f} pairs/s; "
+            f"rerank {rerank_rate:.0f} pairs/s)"
         ),
         "vs_baseline": round(ivf_qps / cpu_qps, 2) if np.isfinite(cpu_qps) else None,
     }))

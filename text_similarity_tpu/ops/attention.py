@@ -34,14 +34,22 @@ def attention_reference(
     window: int = 0,  # >0: banded (local) attention, |i-j| <= window
     global_cls: bool = True,
 ) -> jax.Array:
-    """Exact softmax attention; softmax in fp32. ``window`` gives the
-    Longformer-style sliding-window variant (the reference converts models
-    with LongformerSelfAttention, make_long_transformer.py:56-68); with
-    ``global_cls`` position 0 keeps global attention in both directions."""
+    """Exact softmax attention; softmax reduces in fp32. ``window`` gives
+    the Longformer-style sliding-window variant (the reference converts
+    models with LongformerSelfAttention, make_long_transformer.py:56-68);
+    with ``global_cls`` position 0 keeps global attention both ways.
+
+    Layout note: q/k/v pre-transpose to (B,H,S,D) — ~50 MB of cheap moves
+    — so the (B,H,S,S) score tensor comes out of the matmul already in
+    its consumer layout instead of re-laying 800 MB (profiled: the
+    logits transpose+softmax chain was half the encode step)."""
     *_, s, h, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", qt, kt, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
         bias = jnp.where(mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
@@ -54,19 +62,23 @@ def attention_reference(
             keep = keep | (qi == 0) | (kj == 0)
         logits = jnp.where(keep[None, None], logits, NEG_INF)
     if q.dtype == jnp.bfloat16:
-        # bf16 AMP analogue of the reference's fp16 autocast: keep the
-        # (B,H,S,S) tensor bf16 between the two matmuls — halves the
-        # attention HBM round-trip (measured ~+10% encode throughput on
-        # v5e); the softmax itself still reduces in f32.
-        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
+        # bf16 AMP analogue of the reference's fp16 autocast: materialize
+        # the (B,H,S,S) tensor in bf16 (the cast fuses into the matmul
+        # epilogue) so every softmax pass reads half the bytes; exp/sum
+        # still compute in f32.
+        l16 = logits.astype(jnp.bfloat16)
+        m = jnp.max(l16, axis=-1, keepdims=True).astype(jnp.float32)
+        p = jnp.exp(l16.astype(jnp.float32) - m)
+        probs = p / jnp.sum(p, axis=-1, keepdims=True)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     if head_mask is not None:
         probs = probs * head_mask[None, :, None, None].astype(probs.dtype)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), vt,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
