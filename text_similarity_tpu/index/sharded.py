@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.mesh import INDEX_AXIS
-from ..ops.topk import cosine_topk_xla, l2_normalize, topk_merge
+from ..ops.topk import cosine_topk, cosine_topk_xla, l2_normalize, topk_merge
 
 
 def _round_up(x, m):
@@ -58,7 +58,9 @@ class ShardedBruteForceIndex:
         def local_query(q, corpus_shard):
             # q: (Q, D) replicated; corpus_shard: (rows, D)
             shard_idx = jax.lax.axis_index(INDEX_AXIS)
-            s, i = cosine_topk_xla(q, corpus_shard, k=k)
+            # auto-dispatch: the fused Pallas kernel per shard on TPU,
+            # the XLA oracle on CPU meshes
+            s, i = cosine_topk(q, corpus_shard, k=k)
             gid = i + shard_idx * shard_rows
             s = jnp.where(gid < n_total, s, -jnp.inf)  # mask padding rows
             # (n_shards, Q, k) on every device

@@ -251,6 +251,8 @@ class NativeWordPiece:
         import os as _os
 
         n = len(texts)
+        if max_len < 2:
+            raise ValueError("max_len must be >= 2 ([CLS] + [SEP])")
         if n == 0:
             z = np.zeros((0, max_len), np.int32)
             return z, z.copy(), np.zeros(0, np.int32), np.zeros(0, bool)

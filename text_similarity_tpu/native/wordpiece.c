@@ -348,6 +348,7 @@ int64_t wp_encode_batch(void *handle, const char *buf,
                         int32_t *out_lens, unsigned char *needs_python,
                         int32_t n_threads) {
     Vocab *v = (Vocab *)handle;
+    if (max_len < 2) return -2;   /* rows need at least [CLS][SEP] */
     BatchTask tasks[64];
     pthread_t threads[64];
     int32_t nt = n_threads, ti;
