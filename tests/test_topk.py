@@ -81,3 +81,28 @@ def test_pallas_topk_int8_close_to_exact():
     ])
     assert overlap >= 0.9, overlap
     np.testing.assert_array_equal(np.asarray(i)[:, 0], ni[:, 0])
+
+
+def test_pallas_exact_with_score_ties_and_lane_collision():
+    """Regression: a hidden lane-class collision must be detected even
+    when reported winners tie at the k-th score (the strict-above count
+    equals the reported-above count only when nothing is hidden)."""
+    import jax
+
+    d, n, k = 8, 2048, 3
+    base = np.zeros((n, d), np.float32)
+    base[:, 0] = 0.5          # everything ties at 0.5
+    base[0, 0] = 0.9          # best
+    base[512, 0] = 0.8        # second best — SAME lane class as col 0
+    q = np.zeros((4, d), np.float32)
+    q[:, 0] = 1.0
+    corpus = jnp.asarray(base)
+    queries = jnp.asarray(q)
+    s, i = cosine_topk_pallas(
+        queries, corpus, k=k, block_q=8, block_c=2048, interpret=True
+    )
+    s_o, i_o = cosine_topk_xla(queries, corpus, k=k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_o), atol=1e-6)
+    # 0 and 512 must both be found (0.9 and 0.8); third is any 0.5 doc
+    for r in range(4):
+        assert {0, 512} <= set(np.asarray(i)[r]), np.asarray(i)[r]

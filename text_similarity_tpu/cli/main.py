@@ -497,12 +497,17 @@ def cmd_eval_classification(args):
         max_len=args.max_len, seed=0, shuffle=False,
     )
     precision = precision_for(not args.fp32)
+
+    @jax.jit
+    def fwd(p_, ids_, mask_):
+        return classifier_forward(
+            p_, ids_, mask_, None, arch=arch, precision=precision,
+            pooling="cls",
+        )
+
     preds, gold = [], []
     for b in batches:
-        logits = classifier_forward(
-            params, jnp.asarray(b["ids"]), jnp.asarray(b["mask"]),
-            b.get("type_ids"), arch=arch, precision=precision, pooling="cls",
-        )
+        logits = fwd(params, jnp.asarray(b["ids"]), jnp.asarray(b["mask"]))
         p = np.asarray(jnp.argmax(logits, axis=-1))
         valid = np.asarray(b["valid"]).astype(bool)
         preds.extend(p[valid].tolist())
@@ -560,9 +565,14 @@ def cmd_pretrain_long(args):
     total = len(batches) * cfg.epochs
     tx = make_optimizer(cfg, total, params_example=mlm_params)
     state = init_train_state(mlm_params, tx, seed=args.seed)
+    tok = enc.tokenizer
+    specials = sorted({
+        tok.pad_id, getattr(tok, "unk_id", tok.pad_id), tok.cls_id,
+        tok.sep_id, tok.mask_id,
+    })
     step = make_mlm_train_step(
-        arch, tx, mask_token_id=enc.tokenizer.mask_id,
-        mask_prob=args.mask_prob,
+        arch, tx, mask_token_id=tok.mask_id,
+        mask_prob=args.mask_prob, special_ids=tuple(specials),
     )
     first = last = None
     for epoch in range(cfg.epochs):

@@ -182,12 +182,17 @@ class WordPieceTokenizer:
         ~10× the sequential path. Non-ASCII docs fall back per-row to the
         full-unicode Python pipeline (identical output either way)."""
         texts = list(texts)
-        if self._native is not None and texts:
-            ids, mask, lens, needs_py = self._native.encode_batch_padded(
-                texts, max_len, self.cls_id, self.sep_id, self.pad_id,
-                lowercase=self.lowercase,
-                max_word_chars=self.max_word_chars,
-            )
+        use_native = self._native is not None and texts and max_len >= 2
+        if use_native:
+            try:
+                ids, mask, lens, needs_py = self._native.encode_batch_padded(
+                    texts, max_len, self.cls_id, self.sep_id, self.pad_id,
+                    lowercase=self.lowercase,
+                    max_word_chars=self.max_word_chars,
+                )
+            except Exception:
+                use_native = False    # pure-Python path below
+        if use_native:
             for i in np.nonzero(needs_py)[0]:
                 row = (
                     [self.cls_id]

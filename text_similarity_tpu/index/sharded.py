@@ -173,13 +173,19 @@ class ShardedIVFIndex:
         )
         mc = _round_up(max(mc, 8), 512 if mc >= 1024 else 8)
         over_per_shard = np.maximum(counts - mc, 0).sum(axis=1)
-        e = int(max(1, -(-int(over_per_shard.max()) // mc)))
+        # +1 slack cluster: phase 2's compiled assignment could in
+        # principle differ from phase 1's at borderline rows (different
+        # fusion/accumulation order), and the clip-to-trash below would
+        # silently drop rows if overflow exceeded capacity exactly.
+        e = int(max(1, -(-int(over_per_shard.max()) // mc))) + 1
         c_tot = c + e
 
         # ---- phase 2: per-shard capped layout + scatter (on device)
         def phase2(rows, cents):
             si = jax.lax.axis_index(INDEX_AXIS)
-            cents = cents.astype(rows.dtype)
+            # centroids stay f32 — the SAME dtypes/contraction as phase
+            # 1's assign_clusters, so the recomputed argmax matches the
+            # counts that sized the layout
             n_valid = jnp.clip(n - si * rows_per, 0, rows_per)
             local = jnp.arange(rows_per)
             valid = local < n_valid

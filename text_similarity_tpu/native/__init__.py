@@ -290,8 +290,16 @@ class NativeWordPiece:
             needs_py.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             n_threads,
         )
+        if r == -1 and n_threads > 1:
+            # thread spawn failed (e.g. cgroup pid exhaustion): the
+            # single-thread path runs inline in the caller, no pthreads
+            return self.encode_batch_padded(
+                texts, max_len, cls_id, sep_id, pad_id,
+                lowercase=lowercase, max_word_chars=max_word_chars,
+                n_threads=1,
+            )
         if r < 0:
-            raise RuntimeError("wp_encode_batch thread spawn failed")
+            raise RuntimeError("wp_encode_batch failed")
         if not self._dense:
             out_ids = self._id_remap[out_ids]
         return out_ids, out_mask, out_lens, needs_py.astype(bool)

@@ -33,6 +33,7 @@ def attention_reference(
     head_mask: Optional[jax.Array] = None,  # (H,) multiplier per head
     window: int = 0,  # >0: banded (local) attention, |i-j| <= window
     global_cls: bool = True,
+    causal: bool = False,
 ) -> jax.Array:
     """Exact softmax attention; softmax reduces in fp32. ``window`` gives
     the Longformer-style sliding-window variant (the reference converts
@@ -54,12 +55,18 @@ def attention_reference(
     if mask is not None:
         bias = jnp.where(mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
         logits = logits + bias
-    if window > 0:
+    if window > 0 or causal:
         qi = jnp.arange(s)[:, None]
         kj = jnp.arange(s)[None, :]
-        keep = jnp.abs(qi - kj) <= window
-        if global_cls:  # CLS attends/attended globally
+        keep = (
+            jnp.abs(qi - kj) <= window
+            if window > 0
+            else jnp.ones((s, s), bool)
+        )
+        if window > 0 and global_cls:  # CLS attends/attended globally
             keep = keep | (qi == 0) | (kj == 0)
+        if causal:
+            keep = keep & (kj <= qi)
         logits = jnp.where(keep[None, None], logits, NEG_INF)
     if q.dtype == jnp.bfloat16:
         # bf16 AMP analogue of the reference's fp16 autocast: materialize
@@ -553,6 +560,7 @@ def multi_head_attention(
             local = attention_reference(
                 q[:, :, :lh], k[:, :, :lh], v[:, :, :lh], mask,
                 window=performer_local_window, global_cls=False,
+                causal=causal,   # local heads must not leak future tokens
             )
             if lh < q.shape[2]:
                 glob = linear_part(q[:, :, lh:], k[:, :, lh:], v[:, :, lh:])

@@ -192,24 +192,6 @@ def redraw_features(
     ``every`` steps they regenerate — trace-stable under jit (no state)."""
     epoch = jnp.asarray(step, jnp.int32) // max(every, 1)
     key = jax.random.fold_in(base_key, epoch)
-    return orthogonal_random_features_traced(key, num_features, dim)
-
-
-def orthogonal_random_features_traced(
-    key: jax.Array, num_features: int, dim: int
-) -> jax.Array:
-    """orthogonal_random_features with a traced key (qr is jittable)."""
-    n_blocks = -(-num_features // dim)
-    keys = jax.random.split(key, n_blocks + 1)
-
-    def one(k):
-        g = jax.random.normal(k, (dim, dim), jnp.float32)
-        q, _ = jnp.linalg.qr(g)
-        return q.T
-
-    blocks = [one(keys[i]) for i in range(n_blocks)]
-    w = jnp.concatenate(blocks, axis=0)[:num_features]
-    norms = jnp.sqrt(
-        jax.random.chisquare(keys[-1], df=dim, shape=(num_features, 1))
-    )
-    return w * norms
+    # orthogonal_random_features is fully traceable (QR + chisquare on a
+    # traced key), so the epoch-derived key feeds it directly
+    return orthogonal_random_features(key, num_features, dim)

@@ -179,15 +179,19 @@ def _merge_block_topk(
     cand_s = jnp.concatenate([acc_s_prev, red_v], axis=1)
     cand_i = jnp.concatenate([acc_i_prev, red_i], axis=1)
     new_s, new_i = _exact_merge_rounds(cand_s, cand_i, k)
-    # Exactness check: with thr = the new k-th winner, a hidden candidate
-    # (two true top-k entries sharing a lane class) would sit strictly
-    # above thr, pushing the strict-above count to k.
+    # Exactness check: with thr = the new k-th winner, every candidate
+    # strictly above thr must be among the REPORTED winners strictly
+    # above thr. Comparing against k-1 instead would let a hidden
+    # candidate slip through whenever some winner ties thr exactly
+    # (duplicate documents): winners [.9, .5, .5] with a hidden .8 gives
+    # cnt=2 <= k-1. Ties AT thr stay ambiguous, as in any top-k.
     thr = new_s[:, k - 1][:, None]
     cnt = (
         jnp.sum(s_scr[...] > thr, axis=1)
         + jnp.sum(acc_s_prev > thr, axis=1)
     )
-    bad = jnp.any(cnt > k - 1)
+    cnt_rep = jnp.sum(new_s > thr, axis=1)
+    bad = jnp.any(cnt > cnt_rep)
     acc_s[...] = new_s
     acc_i[...] = new_i
 

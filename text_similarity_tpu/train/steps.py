@@ -381,19 +381,27 @@ def mlm_mask_batch(
     vocab_size: int,
     mask_token_id: int,
     mask_prob: float = 0.15,
-    num_special_tokens: int = 5,  # ids < this are never masked (PAD/CLS/...)
+    special_ids=(0, 1, 2, 3, 4),  # token ids never masked (PAD/UNK/CLS/...)
 ):
     """BERT-style dynamic masking on device: of the selected 15%,
     80% → [MASK], 10% → random token, 10% → unchanged.
-    Returns (corrupted_ids, labels) with labels=-100 on unselected spots."""
+    Returns (corrupted_ids, labels) with labels=-100 on unselected spots.
+
+    ``special_ids`` must list the ACTUAL special-token ids of the vocab —
+    HF vocabularies put [CLS]/[SEP]/[MASK] at 100+, not 0..4, and masking
+    them would corrupt the objective. Random replacement tokens sample
+    the full vocab (HF DataCollatorForLanguageModeling behavior)."""
     r_sel, r_op, r_tok = jax.random.split(rng, 3)
-    eligible = (mask > 0) & (ids >= num_special_tokens)
+    specials = jnp.asarray(sorted(special_ids), jnp.int32)
+    pos = jnp.clip(
+        jnp.searchsorted(specials, ids), 0, specials.shape[0] - 1
+    )
+    is_special = specials[pos] == ids
+    eligible = (mask > 0) & ~is_special
     sel = (jax.random.uniform(r_sel, ids.shape) < mask_prob) & eligible
     labels = jnp.where(sel, ids, -100)
     op = jax.random.uniform(r_op, ids.shape)
-    rand_tok = jax.random.randint(
-        r_tok, ids.shape, num_special_tokens, vocab_size
-    )
+    rand_tok = jax.random.randint(r_tok, ids.shape, 0, vocab_size)
     corrupted = jnp.where(
         sel & (op < 0.8),
         mask_token_id,
@@ -429,15 +437,17 @@ def make_mlm_train_step(
     mask_token_id: int,
     precision: Precision = DEFAULT_PRECISION,
     mask_prob: float = 0.15,
+    special_ids=(0, 1, 2, 3, 4),
 ) -> Callable:
     """batch: ids, mask. Masking is dynamic (re-sampled per step from the
-    state rng — matches HF's DataCollatorForLanguageModeling behavior)."""
+    state rng — matches HF's DataCollatorForLanguageModeling behavior).
+    Pass the tokenizer's real special-token ids via ``special_ids``."""
 
     def loss_fn(params, batch, rng):
         r_mask, r_drop = jax.random.split(rng)
         corrupted, labels = mlm_mask_batch(
             r_mask, batch["ids"], batch["mask"], arch.vocab_size,
-            mask_token_id, mask_prob,
+            mask_token_id, mask_prob, special_ids=special_ids,
         )
         logits = mlm_forward(
             params, corrupted, batch["mask"], arch=arch, precision=precision,
