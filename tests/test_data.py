@@ -91,3 +91,29 @@ def test_word_spans_alignment():
     # positions are consecutive starting at 1 ([CLS] at 0)
     flat = [p for _, ps in spans for p in ps]
     assert flat == list(range(1, len(flat) + 1))
+
+
+def test_word_batches_span_with_punctuation():
+    """WiC indices count whitespace tokens; punctuation before the target
+    must not shift the extracted span (review regression)."""
+    from text_similarity_tpu.data.pairs import build_word_batches
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+
+    corpus = ["the cat which slept purred loudly today fox"]
+    vocab = train_wordpiece_vocab(corpus, 256, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    sent = "the cat, which slept, purred today"
+    # whitespace tokens: [the, cat,, which, slept,, purred, today]
+    # idx 4 = "purred"
+    ex = {"sent1": sent, "idx1": 4, "sent2": sent, "idx2": 4, "label": 1}
+    batches = build_word_batches(tok, [ex], batch_size=1, shuffle=False)
+    b = batches[0]
+    span = b["span_a"][0]
+    pos = span[span >= 0]
+    assert len(pos) > 0
+    ids = b["ids_a"][0]
+    purred_ids = tok._wordpiece("purred")
+    got = [int(ids[p]) for p in pos]
+    assert got == purred_ids[: len(got)], (got, purred_ids)

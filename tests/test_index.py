@@ -264,3 +264,64 @@ def test_ivf_query_batch1_matches_batched():
     s1, i1 = ivf.query(q, k=5, impl="pallas")
     sb, ib = ivf.query(jnp.tile(q, (16, 1)), k=5, impl="pallas")
     np.testing.assert_array_equal(np.asarray(i1)[0], np.asarray(ib)[0])
+
+
+def test_ivf_add_after_remove_reuses_holes():
+    """add() must place new rows into REAL holes (remove() punches them),
+    never overwrite live rows (review regression: index corruption)."""
+    from text_similarity_tpu.core.config import IndexConfig
+    from text_similarity_tpu.index.ivf import IVFIndex
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    rng = np.random.RandomState(3)
+    corpus = l2_normalize(jnp.asarray(rng.randn(256, 16), jnp.float32))
+    ivf = IVFIndex.build(corpus, IndexConfig(num_clusters=4, num_probes=4))
+    assert ivf.remove([7]) == 1
+    new_rows = l2_normalize(jnp.asarray(rng.randn(3, 16), jnp.float32))
+    new_ids = ivf.add(new_rows, start_id=256)
+    # every original live doc still retrievable by its own vector
+    for probe in (0, 1, 100, 200):
+        if probe == 7:
+            continue
+        _, i = ivf.query_xla(corpus[probe:probe + 1], k=1)
+        assert int(np.asarray(i)[0, 0]) == probe, probe
+    # and the new rows are present
+    _, i = ivf.query_xla(new_rows, k=1)
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], new_ids)
+    # removed id stays gone
+    ids_now = np.asarray(jax.device_get(ivf.ids_padded))
+    assert not (ids_now == 7).any()
+
+
+def test_embedding_store_quantized_roundtrip(tmp_path):
+    from text_similarity_tpu.index.store import EmbeddingStore
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    rng = np.random.RandomState(0)
+    emb = np.asarray(l2_normalize(jnp.asarray(rng.randn(32, 16), jnp.float32)))
+    st = EmbeddingStore(64, 16, quantized=True)
+    st.add(emb)
+    st.mark_deleted([3])
+    p = str(tmp_path / "store.npz")
+    st.save(p)
+    st2 = EmbeddingStore.load(p)
+    assert st2.quantized and st2.scales is not None
+    # dequantized rows match the original to int8 tolerance
+    deq = np.asarray(st2.data[:32], np.float32) * np.asarray(st2.scales[:32])[:, None]
+    np.testing.assert_allclose(deq, emb, atol=0.02)
+    assert not bool(st2.alive[3])
+
+
+def test_ivf_save_load_without_npz_suffix(tmp_path):
+    from text_similarity_tpu.core.config import IndexConfig
+    from text_similarity_tpu.index.ivf import IVFIndex
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    corpus = l2_normalize(
+        jnp.asarray(np.random.RandomState(0).randn(128, 16), jnp.float32)
+    )
+    ivf = IVFIndex.build(corpus, IndexConfig(num_clusters=4, num_probes=4))
+    ivf.save(str(tmp_path / "idx"))          # np.savez appends .npz
+    ivf2 = IVFIndex.load(str(tmp_path / "idx"))
+    _, i = ivf2.query_xla(corpus[:4], k=1)
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(4))

@@ -235,3 +235,39 @@ def test_topic_pipeline_density(sts_encoder=None):
     assert len(labs) == 3                # three density modes found
     assert res["centroids"].shape[0] == 3
     assert all(len(v) > 0 for v in res["topics"].values())
+
+
+def test_search_pipeline_save_load_after_remove(tmp_path, encoder=None):
+    """A pipeline saved after tombstoned-rebuild must return the RIGHT
+    documents on reload (review regression: id remap was dropped)."""
+    from text_similarity_tpu.core.config import ARCH_PRESETS, IndexConfig
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+    from text_similarity_tpu.pipelines.search import SemanticSearchPipeline
+
+    corpus = [f"unique document number {i} about topic {i % 7}" for i in range(40)]
+    vocab = train_wordpiece_vocab(corpus, 512, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = ARCH_PRESETS["tiny-test"].replace(vocab_size=tok.vocab_size)
+    enc = SentenceEncoder(
+        init_params(jax.random.PRNGKey(0), arch), arch, tokenizer=tok,
+        precision=FP32_PRECISION,
+    )
+    pipe = SemanticSearchPipeline(
+        enc, corpus=corpus, use_ivf=True,
+        index_config=IndexConfig(num_clusters=2, num_probes=2),
+    )
+    pipe.remove_documents([0, 1, 2])
+    res_before = pipe([corpus[10]], max_num_results=1)
+    assert res_before[0][0][0] == corpus[10]
+    pipe.save(str(tmp_path / "p"))
+
+    pipe2 = SemanticSearchPipeline(enc, use_ivf=True)
+    pipe2.load_corpus(str(tmp_path / "p"))
+    res_after = pipe2([corpus[10]], max_num_results=1)
+    assert res_after[0][0][0] == corpus[10]
+    assert res_after[0][0][2] == res_before[0][0][2]

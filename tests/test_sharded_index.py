@@ -81,3 +81,41 @@ def test_sharded_ivf_pallas_kernel_path(eight_devices):
         len(set(i[r]) & set(oi[r])) / 10 for r in range(len(q))
     ])
     assert recall >= 0.9, recall
+
+
+def test_sharded_bruteforce_negative_scores_with_padding(eight_devices):
+    mesh8 = make_mesh(data=1, model=1, index=8)
+    """Zero-padding rows (score 0) must not displace real negative-score
+    neighbors from the per-shard top-k (review regression)."""
+    from text_similarity_tpu.index.sharded import ShardedBruteForceIndex
+    from text_similarity_tpu.ops.topk import cosine_topk_xla, l2_normalize
+
+    rng = np.random.RandomState(0)
+    n = 100   # pads to 128 over 8 shards → 28 zero rows on the last shard
+    emb = l2_normalize(jnp.asarray(rng.randn(n, 16), jnp.float32))
+    idx = ShardedBruteForceIndex.build(mesh8, emb)
+    # query anti-aligned with the corpus: every true score is negative
+    q = -emb[-4:]
+    s, i = idx.query(q, k=5)
+    s_o, i_o = cosine_topk_xla(l2_normalize(q), emb, k=5)
+    np.testing.assert_allclose(s, np.asarray(s_o), atol=1e-5)
+    np.testing.assert_array_equal(i, np.asarray(i_o))
+    assert np.isfinite(s).all() and (i < n).all()
+
+
+def test_sharded_ivf_query_slices_padded_batch(eight_devices):
+    mesh8 = make_mesh(data=1, model=1, index=8)
+    """Non-multiple-of-block_q query batches return exactly len(queries)
+    rows (review regression: pallas pad rows leaked through)."""
+    from text_similarity_tpu.core.config import IndexConfig
+    from text_similarity_tpu.index.sharded import ShardedIVFIndex
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    rng = np.random.RandomState(1)
+    emb = l2_normalize(jnp.asarray(rng.randn(512, 16), jnp.float32))
+    sivf = ShardedIVFIndex.build(
+        mesh8, emb, IndexConfig(num_clusters=16, num_probes=4, kmeans_iters=2)
+    )
+    s, i = sivf.query(emb[:20], k=3)       # 20 is not a block_q multiple
+    assert s.shape == (20, 3) and i.shape == (20, 3)
+    assert (i[:, 0] == np.arange(20)).all()

@@ -206,17 +206,40 @@ def build_word_batches(
     word↔subtoken alignment of :353-379 is tokenizer.token_spans)."""
     rng = np.random.RandomState(seed)
 
+    from .tokenization import _basic_tokenize
+
     def encode_with_span(sent: str, word_idx: int):
         spans = tokenizer.token_spans(sent)
+        # WiC word indices count WHITESPACE-separated chunks, but
+        # token_spans enumerates punctuation-split basic tokens — map the
+        # chunk index to its basic-token range, and inside the chunk mark
+        # the alphanumeric token(s) (skip attached punctuation like the
+        # comma in "cat,"), so the span really covers the target word.
+        lowercase = getattr(tokenizer, "lowercase", True)
+        chunk_of = []
+        for ci, chunk in enumerate(sent.split()):
+            chunk_of.extend([ci] * len(_basic_tokenize(chunk, lowercase)))
+        target = {
+            wi for wi, (w, _) in enumerate(spans)
+            if wi < len(chunk_of) and chunk_of[wi] == word_idx
+            and any(ch.isalnum() for ch in w)
+        }
+        if not target:   # pure-punctuation chunk: take all of its tokens
+            target = {
+                wi for wi in range(len(spans))
+                if wi < len(chunk_of) and chunk_of[wi] == word_idx
+            }
         row = [tokenizer.cls_id]
         span_pos = [-1] * max_span
+        n_marked = 0
         for wi, (w, positions) in enumerate(spans):
             if len(row) >= max_len - 1:
                 break
-            if wi == word_idx:
-                for j, p in enumerate(range(len(row), len(row) + len(positions))):
-                    if j < max_span and p < max_len - 1:
-                        span_pos[j] = p
+            if wi in target:
+                for p in range(len(row), len(row) + len(positions)):
+                    if n_marked < max_span and p < max_len - 1:
+                        span_pos[n_marked] = p
+                        n_marked += 1
             row.extend(tokenizer._wordpiece(w)[: max_len - 1 - len(row)])
         row.append(tokenizer.sep_id)
         return row, span_pos

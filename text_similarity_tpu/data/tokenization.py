@@ -327,9 +327,16 @@ class HFTokenizerAdapter:
             sep_id=vocab.get(SEP, vocab.get("</s>", 0)),
         )
 
+    def _truncate(self, ids, max_len):
+        """Truncate but keep the terminal [SEP] — BERT-class models never
+        saw rows ending mid-sequence in training."""
+        if len(ids) <= max_len:
+            return list(ids)
+        return list(ids[: max_len - 1]) + [self.sep_id]
+
     def encode_batch(self, texts, max_len=128, pad_to=None):
         encs = self._tok.encode_batch(list(texts))
-        rows = [e.ids[:max_len] for e in encs]
+        rows = [self._truncate(e.ids, max_len) for e in encs]
         L = pad_to or max(len(r) for r in rows)
         out = np.full((len(rows), L), self.pad_id, np.int32)
         mask = np.zeros((len(rows), L), np.int32)
@@ -340,8 +347,8 @@ class HFTokenizerAdapter:
 
     def encode_pair_batch(self, texts_a, texts_b, max_len=128, pad_to=None):
         encs = self._tok.encode_batch(list(zip(texts_a, texts_b)))
-        rows = [e.ids[:max_len] for e in encs]
-        tids = [e.type_ids[:max_len] for e in encs]
+        rows = [self._truncate(e.ids, max_len) for e in encs]
+        tids = [e.type_ids[: len(r)] for e, r in zip(encs, rows)]
         L = pad_to or max(len(r) for r in rows)
         out = np.full((len(rows), L), self.pad_id, np.int32)
         mask = np.zeros((len(rows), L), np.int32)

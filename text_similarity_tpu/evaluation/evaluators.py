@@ -79,6 +79,7 @@ class ClassifierEvaluator:
             )
             valid = b.get("valid")
             if valid is not None:
+                valid = np.asarray(valid).astype(bool)  # batches carry 0/1 ints
                 logits = logits[valid]
                 labels = np.asarray(b["labels"])[valid]
             else:

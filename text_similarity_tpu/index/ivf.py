@@ -237,24 +237,25 @@ class IVFIndex:
         choices = np.asarray(assign_clusters_topk(rows, self.centroids, topk=topk))
 
         ids_h = np.asarray(jax.device_get(self.ids_padded))
-        fill = (ids_h[:c] >= 0).sum(axis=1).astype(np.int64)
+        # free slots per base cluster — actual holes, NOT a live count:
+        # after remove() the live count no longer equals the next free
+        # offset and rank-based placement would overwrite live rows
+        free_of = {}
+
+        def free_list(cl):
+            if cl not in free_of:
+                free_of[cl] = list(np.nonzero(ids_h[cl] < 0)[0][::-1])
+            return free_of[cl]
 
         slot = np.full(n, -1, np.int64)
         for col in range(topk):
             todo = np.nonzero(slot < 0)[0]
             if todo.size == 0:
                 break
-            cand = choices[todo, col]
-            order = np.argsort(cand, kind="stable")
-            rows_sorted = todo[order]
-            cand_sorted = cand[order]
-            starts = np.searchsorted(cand_sorted, np.arange(c))
-            rank = np.arange(cand_sorted.size) - starts[cand_sorted]
-            take = rank < (mc - fill[cand_sorted])
-            taken_rows = rows_sorted[take]
-            taken_cl = cand_sorted[take]
-            slot[taken_rows] = taken_cl * mc + fill[taken_cl] + rank[take]
-            fill += np.bincount(taken_cl, minlength=c)
+            for i in todo:
+                fl = free_list(int(choices[i, col]))
+                if fl:
+                    slot[i] = int(choices[i, col]) * mc + fl.pop()
 
         leftover = np.nonzero(slot < 0)[0]
         extra = 0
@@ -361,6 +362,8 @@ class IVFIndex:
 
     @classmethod
     def load(cls, path: str) -> "IVFIndex":
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"   # np.savez appends the suffix
         with np.load(path) as z:
             cfg = IndexConfig(
                 num_clusters=int(z["num_clusters"]),

@@ -36,6 +36,7 @@ class ShardedBruteForceIndex:
         self.mesh = mesh
         self.corpus = corpus_sharded      # (N_pad, D) sharded over INDEX_AXIS
         self.n_total = n_total
+        self.n_pad = corpus_sharded.shape[0] - n_total
         self._query_fn = {}
 
     @classmethod
@@ -55,12 +56,17 @@ class ShardedBruteForceIndex:
         n_shards = mesh.shape[INDEX_AXIS]
         shard_rows = self.corpus.shape[0] // n_shards
 
+        # zero-padding rows score 0 and would displace real NEGATIVE-score
+        # neighbors inside the per-shard top-k before the gid mask runs:
+        # retrieve k + n_pad locally so true candidates survive the merge
+        k_local = min(k + self.n_pad, shard_rows)
+
         def local_query(q, corpus_shard):
             # q: (Q, D) replicated; corpus_shard: (rows, D)
             shard_idx = jax.lax.axis_index(INDEX_AXIS)
             # auto-dispatch: the fused Pallas kernel per shard on TPU,
             # the XLA oracle on CPU meshes
-            s, i = cosine_topk(q, corpus_shard, k=k)
+            s, i = cosine_topk(q, corpus_shard, k=k_local)
             gid = i + shard_idx * shard_rows
             s = jnp.where(gid < n_total, s, -jnp.inf)  # mask padding rows
             # (n_shards, Q, k) on every device
@@ -299,6 +305,7 @@ class ShardedIVFIndex:
         self, queries, k: int = 10, probes: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         probes = probes or self.num_probes
+        n_q = len(queries)
         q = l2_normalize(jnp.asarray(queries, jnp.float32))
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
         key = (k, probes)
@@ -307,4 +314,9 @@ class ShardedIVFIndex:
         s, i = self._query_fn[key](
             q, self.centroids, self.data_padded, self.ids_padded
         )
-        return np.asarray(jax.device_get(s)), np.asarray(jax.device_get(i))
+        # the pallas path pads the batch to block_q multiples; drop the
+        # trailing junk rows so results align 1:1 with the queries
+        return (
+            np.asarray(jax.device_get(s))[:n_q],
+            np.asarray(jax.device_get(i))[:n_q],
+        )

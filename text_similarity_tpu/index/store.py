@@ -110,21 +110,38 @@ class EmbeddingStore:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if self.quantized:
+            # without the scales an int8 store would reload as raw code
+            # magnitudes — rankings over the reloaded store were garbage
+            extra["scales"] = np.asarray(
+                jax.device_get(self.scales[: self.size])
+            )
         np.savez(
             path,
             data=np.asarray(jax.device_get(self.data[: self.size])),
             alive=np.asarray(jax.device_get(self.alive[: self.size])),
             capacity=self.capacity,
+            quantized=self.quantized,
+            **extra,
         )
 
     @classmethod
     def load(cls, path: str, dtype=jnp.float32) -> "EmbeddingStore":
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"   # np.savez appends the suffix
         with np.load(path) as z:
             data = z["data"]
             alive = z["alive"]
             capacity = int(z["capacity"])
-        store = cls(capacity, data.shape[1], dtype)
+            quantized = bool(z["quantized"]) if "quantized" in z.files else False
+            scales = z["scales"] if "scales" in z.files else None
+        store = cls(capacity, data.shape[1], dtype, quantized=quantized)
         store.data = _write_rows(store.data, jnp.asarray(data), 0)
+        if quantized and scales is not None:
+            store.scales = store.scales.at[: data.shape[0]].set(
+                jnp.asarray(scales)
+            )
         store.alive = _write_mask(store.alive, True, 0, data.shape[0])
         if not alive.all():
             am = np.zeros((capacity,), bool)

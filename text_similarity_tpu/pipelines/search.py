@@ -155,6 +155,15 @@ class SemanticSearchPipeline:
         self.store.save(os.path.join(path, "store.npz"))
         if self.ivf is not None:
             self.ivf.save(os.path.join(path, "ivf.npz"))
+        if getattr(self, "_id_remap", None) is not None:
+            # the IVF was built over compacted (alive-only) rows: without
+            # the remap a reloaded pipeline would hand out compacted
+            # positions as corpus indices — wrong documents after the
+            # first removed row
+            np.save(
+                os.path.join(path, "id_remap.npy"),
+                np.asarray(self._id_remap),
+            )
         with open(os.path.join(path, "corpus.txt"), "w", encoding="utf-8") as f:
             for t in self.corpus:
                 f.write(t.replace("\n", " ") + "\n")
@@ -166,7 +175,10 @@ class SemanticSearchPipeline:
             self.corpus = [l.rstrip("\n") for l in f]
         ivf_path = os.path.join(path, "ivf.npz")
         self.ivf = IVFIndex.load(ivf_path) if os.path.exists(ivf_path) else None
-        self._id_remap = None
+        remap_path = os.path.join(path, "id_remap.npy")
+        self._id_remap = (
+            np.load(remap_path) if os.path.exists(remap_path) else None
+        )
 
 
 class SentenceMiningPipeline:

@@ -163,19 +163,22 @@ class TopicModelingPipeline:
         cosine (reference topic_modeling.py:129-151)."""
         assign = np.array(result["assignments"])
         centroids = np.array(result["centroids"])
-        alive = sorted(
-            {int(t) for t in np.unique(assign) if t >= 0},
-            key=lambda t: result["sizes"].get(t, 0),
-        )
+        alive = [int(t) for t in np.unique(assign) if t >= 0]
+        sizes = {t: int((assign == t).sum()) for t in alive}
         while len(alive) > target:
-            smallest = alive.pop(0)
+            # least-frequent first on CURRENT sizes — merges grow topics,
+            # so the ordering must be recomputed every step (reference
+            # topic_modeling.py:129-151 semantics)
+            smallest = min(alive, key=lambda t: sizes[t])
+            alive.remove(smallest)
             c = centroids[smallest]
             sims = centroids[alive] @ c
             tgt = alive[int(np.argmax(sims))]
-            n_s = np.sum(assign == smallest)
-            n_t = np.sum(assign == tgt)
+            n_s, n_t = sizes[smallest], sizes[tgt]
             centroids[tgt] = (centroids[tgt] * n_t + c * n_s) / max(n_s + n_t, 1)
             assign[assign == smallest] = tgt
+            sizes[tgt] = n_t + n_s
+            del sizes[smallest]
         docs_per_topic: Dict[int, List[str]] = {}
         for i, t in enumerate(assign):
             docs_per_topic.setdefault(int(t), []).append(corpus[i])
