@@ -254,3 +254,28 @@ def test_encoder_performer_relu_and_redraw_run():
     assert np.isfinite(a).all() and np.isfinite(b_).all()
     # different feature epochs → (slightly) different outputs
     assert not np.allclose(a, b_)
+
+
+def test_ring_attention_fully_masked_row_outputs_zero(eight_devices):
+    """A fully-padded batch row must output exactly 0 (review regression:
+    finite NEG_INF made p=exp(0)=1 so the l==0 guard never fired)."""
+    mesh = make_mesh(data=1, model=1, seq=8, index=1)
+    b, s, h, d = 2, 64, 2, 16
+    q, k, v = _qkv(b=b, s=s, h=h, d=d, seed=9)
+    mask = np.ones((b, s), np.int32)
+    mask[1, :] = 0          # row 1 is entirely padding
+    m = jnp.asarray(mask)
+    fn = shard_map(
+        lambda q_, k_, v_, m_: ring_attention(q_, k_, v_, m_, SEQ_AXIS),
+        mesh=mesh,
+        in_specs=(
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS),
+        ),
+        out_specs=P(None, SEQ_AXIS, None, None),
+    )
+    out = np.asarray(jax.jit(fn)(q, k, v, m))
+    assert np.all(out[1] == 0.0)
+    assert np.isfinite(out).all()

@@ -168,3 +168,48 @@ def test_wic_word_encoder_scores():
     assert 0.0 <= res["accuracy"] <= 1.0
     g = enc.evaluate_gwsc(batches, [0.2, 0.9])
     assert -1.0 <= g["spearman"] <= 1.0
+
+
+def test_gwsc_scores_align_after_batch_shuffle():
+    """evaluate_gwsc must realign length-sorted/shuffled batches to the
+    original example order before pairing with gold (review regression)."""
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.data.pairs import build_word_batches
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.models.word_encoder import WordEncoder
+
+    corpus = ["short words here now", "a much longer sentence with many more words inside it"]
+    vocab = train_wordpiece_vocab(corpus, 256, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = ARCH_PRESETS["tiny-test"].replace(vocab_size=tok.vocab_size)
+    enc = WordEncoder(
+        init_params(jax.random.PRNGKey(0), arch), arch, tokenizer=tok,
+        precision=FP32_PRECISION,
+    )
+    # mixed lengths force length-sorting to permute example order;
+    # varying word indices give distinct per-example scores
+    examples = [
+        {"sent1": corpus[i % 2], "idx1": i % 3,
+         "sent2": corpus[(i + 1) % 2], "idx2": (i + 1) % 3, "label": 1}
+        for i in range(6)
+    ]
+    gold = [0.1, 0.9, 0.2, 0.8, 0.3, 0.7]
+    batches = build_word_batches(tok, examples, batch_size=2, seed=3)
+    r1 = enc.evaluate_gwsc(batches, gold)
+    # per-example scores in original order must be invariant to batching
+    scores, idxs = [], []
+    for b in batches:
+        s = enc.score_tokens(b)
+        v = np.asarray(b["valid"]).astype(bool)
+        scores.append(s[v])
+        idxs.append(np.asarray(b["index"])[v])
+    order = np.argsort(np.concatenate(idxs))
+    aligned = np.concatenate(scores)[order]
+    from scipy.stats import pearsonr
+
+    expect = float(pearsonr(np.asarray(gold), aligned)[0])
+    assert abs(r1["pearson"] - expect) < 1e-9

@@ -41,19 +41,22 @@ def head_importance(
     """(L, num_heads) |∂loss/∂head_mask| accumulated over the eval set
     (reference compute_heads_importance / prune_rewire grads pass)."""
 
-    def loss_wrt_mask(hm, batch):
+    def loss_wrt_mask(hm, p, batch):
+        # params are an ARGUMENT, not a closure capture — captured arrays
+        # bake into the HLO as constants (CLAUDE.md rule 1: ~10-minute
+        # remote compiles for a 22M-param model)
         logits = classifier_forward(
-            params, batch["ids"], batch["mask"], batch.get("type_ids"),
+            p, batch["ids"], batch["mask"], batch.get("type_ids"),
             arch=arch, precision=FP32_PRECISION, pooling=pooling,
             head_mask=hm,
         )
         return L.cross_entropy_loss(logits, batch["labels"], batch.get("valid"))
 
-    grad_fn = jax.jit(jax.grad(loss_wrt_mask))
+    grad_fn = jax.jit(jax.grad(loss_wrt_mask, argnums=0))
     hm = jnp.ones((arch.num_layers, arch.num_heads), jnp.float32)
     acc = np.zeros((arch.num_layers, arch.num_heads), np.float64)
     for b in batches:
-        g = grad_fn(hm, jax.tree.map(jnp.asarray, b))
+        g = grad_fn(hm, params, jax.tree.map(jnp.asarray, b))
         acc += np.abs(np.asarray(g, np.float64))
     if normalize_layers:
         norm = np.linalg.norm(acc, axis=1, keepdims=True)

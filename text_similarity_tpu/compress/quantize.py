@@ -27,9 +27,16 @@ import numpy as np
 
 
 def _quant_leaf(w: jax.Array) -> Dict[str, jax.Array]:
-    """Per-output-channel (last axis) symmetric int8."""
+    """Per-output-channel (last axis) symmetric int8. Stacked layer
+    kernels (L, ..., out) keep the leading L axis too — a shared scale
+    across layers would let one layer's outlier channel inflate every
+    other layer's quantization error."""
     w32 = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(w32), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    red = (
+        tuple(range(1, w.ndim - 1)) if w.ndim >= 3
+        else tuple(range(w.ndim - 1))
+    )
+    amax = jnp.max(jnp.abs(w32), axis=red, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
     return {"q": q, "s": scale.astype(jnp.float32)}

@@ -64,14 +64,17 @@ def theseus_encoder_forward(
     assert l % s == 0, f"{l} predecessor layers not divisible by {s} slots"
     ratio = l // s
 
-    # embeddings (reuse stock forward with zero layers via layer_gate=0)
-    emb_arch = arch.replace(num_layers=l)
-    base = encoder_forward(
-        {"embeddings": embeddings, "layers": pred_layers},
-        input_ids, attention_mask,
-        arch=emb_arch, precision=precision,
-        layer_gate=jnp.zeros((l,)), deterministic=True,
-    ).last_hidden_state
+    # embeddings only — the old layer_gate=0 trick ran the whole L-layer
+    # scan and threw the result away (gates are runtime values, XLA can't
+    # DCE the scan body), doubling every theseus train step
+    from ..models.encoder import embed_inputs
+
+    if attention_mask is None:
+        attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+    base = embed_inputs(
+        embeddings, input_ids, attention_mask, None,
+        arch=arch, precision=precision, deterministic=True,
+    )
 
     pred_blocked = jax.tree.map(
         lambda p: jax.lax.stop_gradient(

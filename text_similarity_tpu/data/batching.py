@@ -85,8 +85,9 @@ class LengthBucketBatcher:
             mask = np.zeros((B, L), np.int32)
             index = np.full((B,), -1, np.int64)
             for j, (i_orig, r) in enumerate(zip(g, rows)):
-                ids[j, : len(r)] = r[:L]
-                mask[j, : len(r)] = 1
+                rl = r[:L]   # rows longer than the largest bucket truncate
+                ids[j, : len(rl)] = rl
+                mask[j, : len(rl)] = 1
                 index[j] = i_orig
             batch = {
                 "ids": ids,

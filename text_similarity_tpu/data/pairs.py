@@ -266,15 +266,17 @@ def build_word_batches(
         sb = np.full((batch_size, max_span), -1, np.int32)
         lab = np.zeros((batch_size,), np.int32)
         valid = np.zeros((batch_size,), np.int32)
+        index = np.full((batch_size,), -1, np.int64)
         for j, r in enumerate(g):
             sa[j] = spans_a[r]
             sb[j] = spans_b[r]
             lab[j] = labels[r]
             valid[j] = 1
+            index[j] = r
         batches.append(
             {"ids_a": ids_a, "mask_a": mask_a, "span_a": sa,
              "ids_b": ids_b, "mask_b": mask_b, "span_b": sb,
-             "target": lab, "valid": valid}
+             "target": lab, "valid": valid, "index": index}
         )
     if shuffle:
         rng.shuffle(batches)

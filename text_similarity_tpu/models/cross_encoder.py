@@ -112,9 +112,10 @@ class CrossEncoder:
             mask_p = np.zeros((pb, L), np.int32)
             tts_p = np.zeros((pb, L), np.int32)
             n = stop - start
-            ids_p[:n, : ids.shape[1]] = ids
-            mask_p[:n, : ids.shape[1]] = mask
-            tts_p[:n, : ids.shape[1]] = tts
+            w = min(ids.shape[1], L)  # rows past the largest bucket truncate
+            ids_p[:n, :w] = ids[:, :w]
+            mask_p[:n, :w] = mask[:, :w]
+            tts_p[:n, :w] = tts[:, :w]
             scores = self.score_tokens(ids_p, mask_p, tts_p)
             out[start:stop] = scores[:n]
         return out
@@ -139,6 +140,10 @@ class CrossEncoder:
         with open(os.path.join(path, "arch.json")) as f:
             arch = EncoderArch.from_json(f.read())
         meta_dir = ckpt.latest_checkpoint(path)
+        if meta_dir is None:
+            raise FileNotFoundError(
+                f"no step_* checkpoint under {path!r}"
+            )
         num_classes = 1
         template = {
             "encoder": init_params(jax.random.PRNGKey(0), arch),

@@ -258,6 +258,47 @@ def transformer_layer(
     )
 
 
+def embed_inputs(
+    emb: dict,                          # params["embeddings"]
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    token_type_ids: Optional[jax.Array] = None,
+    *,
+    arch: EncoderArch,
+    precision: Precision = DEFAULT_PRECISION,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Word + position (+ token type) embeddings, LN, dropout — in the
+    compute dtype. Shared by the stock forward and the theseus mixed
+    stack (which previously ran the FULL layer scan with layer_gate=0
+    just to get this tensor: all L layers executed and were discarded).
+    """
+    b, s = input_ids.shape
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    if arch.position_offset:
+        # RoBERTa: padding tokens keep position = pad index; real tokens
+        # get cumulative positions (create_position_ids_from_input_ids)
+        m = attention_mask.astype(jnp.int32)
+        pos_ids = jnp.cumsum(m, axis=1) * m + arch.pad_token_id
+        x = x + jnp.take(emb["position"], pos_ids, axis=0)
+    else:
+        x = x + emb["position"][None, :s, :]
+    if arch.has_token_type:
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((b, s), jnp.int32)
+        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    x = _layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"],
+                    arch.layer_norm_eps)
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
+    x = _dropout(
+        x, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 997),
+        deterministic,
+    )
+    return x.astype(precision.compute_dtype)
+
+
 def encoder_forward(
     params: dict,
     input_ids: jax.Array,               # (B, S) int32
@@ -285,29 +326,13 @@ def encoder_forward(
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
 
-    emb = params["embeddings"]
-    x = jnp.take(emb["word"], input_ids, axis=0)
-    pos_ids = jnp.arange(s, dtype=jnp.int32) + arch.position_offset
-    if arch.position_offset:
-        # RoBERTa: padding tokens keep position = pad index; real tokens get
-        # cumulative positions (HF create_position_ids_from_input_ids).
-        m = attention_mask.astype(jnp.int32)
-        pos_ids = jnp.cumsum(m, axis=1) * m + arch.pad_token_id
-        x = x + jnp.take(emb["position"], pos_ids, axis=0)
-    else:
-        x = x + emb["position"][None, :s, :]
-    if arch.has_token_type:
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros((b, s), jnp.int32)
-        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
-    x = _layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], arch.layer_norm_eps)
-
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)
-    x = _dropout(
-        x, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 997), deterministic
+    x = embed_inputs(
+        params["embeddings"], input_ids, attention_mask, token_type_ids,
+        arch=arch, precision=precision, deterministic=deterministic,
+        dropout_rng=dropout_rng,
     )
-    x = x.astype(precision.compute_dtype)
 
     l = arch.num_layers
     if head_mask is None:

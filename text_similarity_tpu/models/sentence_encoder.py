@@ -258,6 +258,10 @@ class SentenceEncoder:
         with open(os.path.join(path, "arch.json")) as f:
             arch = EncoderArch.from_json(f.read())
         cdir = ckpt.latest_checkpoint(path)
+        if cdir is None:
+            raise FileNotFoundError(
+                f"no step_* checkpoint under {path!r}"
+            )
         params, _, meta = ckpt.restore_checkpoint_raw(cdir)
         if meta.get("format") == "int8" or meta.get("int8"):
             from ..compress.quantize import dequantize_params

@@ -157,14 +157,21 @@ class WordEncoder:
         (reference experiments/eval_gwsc.py:10-45)."""
         from scipy.stats import pearsonr, spearmanr
 
-        scores, keep = [], []
+        # batches arrive length-sorted/shuffled: realign every score to
+        # its ORIGINAL example index before pairing with gold — without
+        # this the correlations are computed over scrambled pairs
+        scores, idxs = [], []
         for b in batches:
             s = self.score_tokens(b)
             v = np.asarray(b["valid"]).astype(bool)
             scores.append(s[v])
+            idxs.append(np.asarray(b["index"])[v])
         scores = np.concatenate(scores)
-        gold = np.asarray(gold_scores, np.float64)[: len(scores)]
+        idxs = np.concatenate(idxs)
+        order = np.argsort(idxs)
+        scores = scores[order]
+        gold = np.asarray(gold_scores, np.float64)[idxs[order]]
         return {
-            "pearson": float(pearsonr(gold, scores[: len(gold)])[0]),
-            "spearman": float(spearmanr(gold, scores[: len(gold)])[0]),
+            "pearson": float(pearsonr(gold, scores)[0]),
+            "spearman": float(spearmanr(gold, scores)[0]),
         }

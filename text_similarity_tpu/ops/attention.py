@@ -242,6 +242,9 @@ def _flash_forward(qf, kf, vf, lf, block_q, block_k, interpret, window,
             jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
             jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(lf, qf, kf, vf)
     return out, lse
@@ -405,6 +408,9 @@ def _flash_backward(qf, kf, vf, lf, of, lse, dof,
         ),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(lf, qf, kf, vf, dof, lse, di)
 
@@ -434,6 +440,9 @@ def _flash_backward(qf, kf, vf, lf, of, lse, dof,
             jax.ShapeDtypeStruct((bh, s, d), kf.dtype),
             jax.ShapeDtypeStruct((bh, s, d), vf.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(lf, kf, qf, vf, dof, lse, di)
     return dq, dk, dv

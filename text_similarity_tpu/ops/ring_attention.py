@@ -50,6 +50,10 @@ def ring_attention(
         s = jnp.where(m_blk[:, None, None, :].astype(bool), s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
+        # NEG_INF is finite: a fully-masked block would give p=exp(0)=1
+        # for every masked key and the l==0 zero-output guard below would
+        # never fire (padding rows averaged V instead of 0)
+        p = jnp.where(s > 0.5 * NEG_INF, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
         upd = jnp.einsum(

@@ -98,11 +98,9 @@ def init_sharded_train_state(
 def shard_batch_for(mesh: Optional[Mesh], batch):
     if mesh is None:
         return batch
-    def put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
-        )
-    return jax.tree.map(put, batch)
+    from ..core.mesh import shard_batch
+
+    return shard_batch(mesh, batch)
 
 
 # ---------------------------------------------------------------------------
