@@ -157,9 +157,10 @@ def main():
             np.asarray(li)
             lats.append(time.time() - t0)
         lats = np.sort(np.asarray(lats)) * 1e3
+        p95_i = int(np.ceil(len(lats) * 0.95)) - 1   # nearest-rank p95
         log(
-            f"latency batch={lb}: p50={lats[14]:.1f}ms "
-            f"p95={lats[int(len(lats) * 0.95) - 1]:.1f}ms"
+            f"latency batch={lb}: p50={lats[len(lats) // 2]:.1f}ms "
+            f"p95={lats[p95_i]:.1f}ms"
         )
         if lb == 1:
             # batch-1 results must match the batched path per-query

@@ -110,3 +110,25 @@ def test_roc_curve_matches_known_values():
         np.array([0.9, 0.8, 0.2, 0.1]), np.array([1, 1, 0, 0])
     )
     assert auc2 == 1.0
+
+
+def test_average_precision_groups_ties_like_sklearn():
+    from text_similarity_tpu.evaluation.meters import average_precision
+
+    # tied scores must be grouped at one threshold (order-independent)
+    ap1 = average_precision(np.array([0.8, 0.8]), np.array([0, 1]))
+    ap2 = average_precision(np.array([0.8, 0.8]), np.array([1, 0]))
+    assert ap1 == ap2 == 0.5
+    # untied sanity: perfect ranking
+    assert average_precision(np.array([0.9, 0.8, 0.1]), np.array([1, 1, 0])) == 1.0
+    # sklearn cross-check when available
+    try:
+        from sklearn.metrics import average_precision_score
+    except Exception:
+        return
+    rng = np.random.RandomState(0)
+    scores = np.round(rng.rand(200), 2)   # coarse rounding → many ties
+    labels = (rng.rand(200) < 0.3).astype(int)
+    ours = average_precision(scores, labels)
+    ref = float(average_precision_score(labels, scores))
+    assert abs(ours - ref) < 1e-9, (ours, ref)

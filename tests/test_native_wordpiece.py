@@ -140,3 +140,27 @@ def test_encode_batch_padded_truncation_and_threads():
     assert (mask == 1).all()
     # all rows identical (same text) regardless of which thread ran them
     assert (ids == ids[0]).all()
+
+
+def test_encode_batch_control_byte_whitespace_parity():
+    """ASCII 0x1c-0x1f are str.split() whitespace in Python; the C path
+    must agree (review regression: they became [UNK] tokens)."""
+    vocab = train_wordpiece_vocab(["alpha beta gamma"], 128, min_freq=1)
+    tok_native = WordPieceTokenizer(vocab, use_native=True)
+    tok_py = WordPieceTokenizer(vocab, use_native=False)
+    if tok_native._native is None:
+        import pytest
+        pytest.skip("no C compiler")
+    texts = ["alpha\x1cbeta", "alpha\x1dbeta\x1egamma", "\x1falpha"]
+    ids_n, mask_n = tok_native.encode_batch(texts, max_len=16)
+    ids_p, mask_p = tok_py.encode_batch(texts, max_len=16)
+    L = max(ids_n.shape[1], ids_p.shape[1])
+
+    def pad(a, fill):
+        out = np.full((a.shape[0], L), fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    np.testing.assert_array_equal(
+        pad(ids_n, tok_py.pad_id), pad(ids_p, tok_py.pad_id)
+    )

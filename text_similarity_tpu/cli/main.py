@@ -19,8 +19,10 @@ src/evaluation, src/compression, src/pipeline — SURVEY.md §2.3 "CLI" row):
   eval-tatoeba         ← src/evaluation/eval_tatoeba.py
   search               ← src/evaluation/eval_semantic_search.py
   mine                 ← src/evaluation/eval_sentence_mining.py
-  cluster / topics     ← src/pipeline/clustering.py / topic_modeling.py
-  bench                ← repo bench.py wrapper
+  topics               ← src/pipeline/clustering.py / topic_modeling.py
+  pretrain-long        ← src/scripts/make_long_transformer.py
+  eval-classification  ← src/evaluation/eval_document_classifier.py
+  (benchmarks: python bench.py at the repo root)
 """
 
 from __future__ import annotations
@@ -64,7 +66,11 @@ def _encoder(args, tokenizer=None, texts=None):
     """Load a SentenceEncoder from --model dir, or init from --arch."""
     from ..models.sentence_encoder import SentenceEncoder
 
-    if getattr(args, "model", None) and os.path.isdir(args.model):
+    if getattr(args, "model", None):
+        if not os.path.isdir(args.model):
+            # a typo'd path must NOT silently fall back to random init —
+            # the user would "fine-tune" a from-scratch model unknowingly
+            raise SystemExit(f"--model dir not found: {args.model!r}")
         return SentenceEncoder.load(args.model, bf16=not args.fp32)
     jax = _jax()
     from ..core.config import ARCH_PRESETS
@@ -638,10 +644,14 @@ def cmd_theseus(args):
     step = distiller.make_train_step(tx, num_classes=num_classes)
     pred_layers = teacher.params["layers"]
     embeddings = teacher.params["embeddings"]
+    step_no = 0
     for epoch in range(cfg.epochs):
         losses = []
         for b in batches:
-            rate = distiller.scheduler.rate(int(jax.device_get(state.step)))
+            # local counter: state.step increments by exactly 1 per call,
+            # and a device_get here would sync the ~30ms relay every batch
+            rate = distiller.scheduler.rate(step_no)
+            step_no += 1
             state, m = step(
                 state, jax.tree.map(jnp.asarray, b), rate,
                 pred_layers, embeddings,
@@ -683,9 +693,13 @@ def cmd_prune(args):
     docs = load_documents_json(args.data)
     labels = sorted({d["label"] for d in docs})
     lab2id = {l: i for i, l in enumerate(labels)}
+    # shuffled: batches are length-sorted, so an unshuffled [:N] slice
+    # would estimate importance only on the SHORTEST documents (pruning
+    # away long-range heads that matter on normal inputs)
     batches = build_sequence_batches(
         tok, [d["text"] for d in docs], [lab2id[d["label"]] for d in docs],
-        batch_size=args.batch_size, max_len=args.max_len, shuffle=False,
+        batch_size=args.batch_size, max_len=args.max_len, shuffle=True,
+        seed=args.seed,
     )[: args.importance_batches]
     hi = head_importance(params, arch, batches)
     fi = ffn_importance(params, arch, batches)
@@ -740,7 +754,7 @@ def cmd_eval_sts(args):
     from ..evaluation.evaluators import ParaphraseEvaluator
     from ..models.sentence_encoder import SentenceEncoder
 
-    rows = load_sts(args.data)
+    rows = load_sts(args.data)[: args.max_pairs]
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
     ev = ParaphraseEvaluator(enc, mode="regression")
     out = ev.evaluate(
@@ -754,7 +768,7 @@ def cmd_eval_paws(args):
     from ..evaluation.evaluators import ParaphraseEvaluator
     from ..models.sentence_encoder import SentenceEncoder
 
-    rows = load_paws(args.data)
+    rows = load_paws(args.data)[: args.max_pairs]
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
     ev = ParaphraseEvaluator(enc, mode="binary")
     out = ev.evaluate(
@@ -977,6 +991,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _jax()   # persistent compile cache for every subcommand (CLAUDE.md 3)
     args.fn(args)
 
 

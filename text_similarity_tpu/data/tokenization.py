@@ -309,9 +309,15 @@ class HFTokenizerAdapter:
     """Wraps a HuggingFace ``tokenizers.Tokenizer`` (from tokenizer.json on
     disk) behind the same batch API."""
 
-    def __init__(self, tok, pad_id: int, cls_id: int, sep_id: int):
+    def __init__(self, tok, pad_id: int, cls_id: int, sep_id: int,
+                 unk_id: int = 0, mask_id: Optional[int] = None):
         self._tok = tok
         self.pad_id, self.cls_id, self.sep_id = pad_id, cls_id, sep_id
+        self.unk_id = unk_id
+        self.mask_id = mask_id if mask_id is not None else unk_id
+        # the HF tokenizer normalizes internally; word-level helpers below
+        # must not lowercase again
+        self.lowercase = False
         self.vocab_size = tok.get_vocab_size()
 
     @classmethod
@@ -325,7 +331,23 @@ class HFTokenizerAdapter:
             pad_id=vocab.get(PAD, 0),
             cls_id=vocab.get(CLS, vocab.get("<s>", 0)),
             sep_id=vocab.get(SEP, vocab.get("</s>", 0)),
+            unk_id=vocab.get(UNK, vocab.get("<unk>", 0)),
+            mask_id=vocab.get(MASK, vocab.get("<mask>")),
         )
+
+    def _wordpiece(self, word: str):
+        """Sub-token ids of one word, no specials — gives the word-level
+        batch builders (WiC/NER) the same surface WordPieceTokenizer has."""
+        enc = self._tok.encode(word, add_special_tokens=False)
+        return list(enc.ids) or [self.unk_id]
+
+    def token_spans(self, text: str):
+        """[(basic_token, subtoken_ids)] — mirrors
+        WordPieceTokenizer.token_spans for the span batch builders."""
+        return [
+            (w, self._wordpiece(w))
+            for w in _basic_tokenize(text, lowercase=False)
+        ]
 
     def _truncate(self, ids, max_len):
         """Truncate but keep the terminal [SEP] — BERT-class models never

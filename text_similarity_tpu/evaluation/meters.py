@@ -160,17 +160,26 @@ def best_threshold_f1(
 
 def average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
     """AP of ranking positives above negatives (reference metrics.py:383-403
-    delegates to sklearn.average_precision_score — same formula)."""
+    delegates to sklearn.average_precision_score). Tied scores are grouped
+    at one threshold exactly as sklearn does — a per-item sweep would give
+    order-dependent AP whenever scores tie (common with bf16/int8 cosine
+    scores)."""
     scores = np.asarray(scores, np.float64)
-    labels = np.asarray(labels).astype(int)
-    order = np.argsort(-scores)
-    l = labels[order]
-    pos = l.sum()
+    labels = np.asarray(labels).astype(bool)
+    pos = int(labels.sum())
     if pos == 0:
         return 0.0
-    hits = np.cumsum(l)
-    prec_at_hit = hits[l == 1] / (np.nonzero(l)[0] + 1)
-    return float(prec_at_hit.sum() / pos)
+    order = np.argsort(-scores, kind="stable")
+    s, y = scores[order], labels[order]
+    tp = np.cumsum(y)
+    fp = np.cumsum(~y)
+    # evaluate at the LAST index of each distinct threshold (groups ties)
+    distinct = np.r_[np.nonzero(np.diff(s))[0], s.size - 1]
+    tp_t, fp_t = tp[distinct], fp[distinct]
+    precision = tp_t / np.maximum(tp_t + fp_t, 1)
+    recall = tp_t / pos
+    prev_recall = np.r_[0.0, recall[:-1]]
+    return float(np.sum((recall - prev_recall) * precision))
 
 
 def binary_similarity_report(

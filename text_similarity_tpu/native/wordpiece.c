@@ -241,8 +241,10 @@ static int wp_is_word_byte(unsigned char c) {
 }
 
 static int wp_is_space_byte(unsigned char c) {
+    /* python str.split() whitespace within ASCII: \t\n\v\f\r space AND
+     * the separator control bytes 0x1c-0x1f (all str.isspace() True) */
     return c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
-           c == '\f' || c == '\v';
+           c == '\f' || c == '\v' || (c >= 0x1c && c <= 0x1f);
 }
 
 typedef struct {
