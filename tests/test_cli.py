@@ -260,3 +260,20 @@ def test_cli_eval_classification(tmp_path, capsys):
     assert res["n"] == 16
     assert 0.0 <= res["accuracy"] <= 1.0
     assert set(res["per_class"]) <= {"a", "b"}
+
+
+def test_cli_cluster(tmp_path, capsys):
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    capsys.readouterr()
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(SENTS))
+    main([
+        "cluster", "--model", str(tmp_path / "run"), "--corpus", str(corpus),
+        "--num-clusters", "2", "--fp32", "--save-path", str(tmp_path / "x"),
+    ])
+    out = capsys.readouterr().out
+    rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 2
+    assert sum(r["size"] for r in rows) == len(SENTS)

@@ -19,7 +19,7 @@ src/evaluation, src/compression, src/pipeline — SURVEY.md §2.3 "CLI" row):
   eval-tatoeba         ← src/evaluation/eval_tatoeba.py
   search               ← src/evaluation/eval_semantic_search.py
   mine                 ← src/evaluation/eval_sentence_mining.py
-  topics               ← src/pipeline/clustering.py / topic_modeling.py
+  cluster / topics     ← src/pipeline/clustering.py / topic_modeling.py
   pretrain-long        ← src/scripts/make_long_transformer.py
   eval-classification  ← src/evaluation/eval_document_classifier.py
   (benchmarks: python bench.py at the repo root)
@@ -849,6 +849,21 @@ def cmd_compare_models(args):
     ))
 
 
+def cmd_cluster(args):
+    """K-means document clustering (reference src/pipeline/clustering.py:
+    8-31): prints cluster id -> member documents as JSON lines."""
+    from ..pipelines.clustering import ClusteringPipeline
+
+    with open(args.corpus, encoding="utf-8") as f:
+        corpus = [l.strip() for l in f if l.strip()]
+    enc = _encoder(args, texts=corpus)
+    pipe = ClusteringPipeline(enc, num_clusters=args.num_clusters)
+    clusters = pipe(corpus)
+    for cid in sorted(clusters):
+        print(json.dumps({"cluster": cid, "size": len(clusters[cid]),
+                          "examples": clusters[cid][:5]}))
+
+
 def cmd_topics(args):
     from ..models.sentence_encoder import SentenceEncoder
     from ..pipelines import TopicModelingPipeline
@@ -980,6 +995,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--num-queries", type=int, default=100)
     p.set_defaults(fn=cmd_compare_models)
+
+    p = sub.add_parser("cluster"); _common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--num-clusters", type=int, default=10)
+    p.set_defaults(fn=cmd_cluster)
 
     p = sub.add_parser("topics"); _common(p)
     p.add_argument("--corpus", required=True)
