@@ -139,3 +139,66 @@ def test_checkpoint_persists_sharding_metadata():
         np.testing.assert_array_equal(
             np.asarray(restored["w"]), np.asarray(params["w"])
         )
+
+
+def test_device_prefetcher_order_and_errors():
+    import numpy as np
+
+    from text_similarity_tpu.train.prefetch import DevicePrefetcher
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(6)]
+    out = list(DevicePrefetcher(iter(batches), depth=2))
+    assert len(out) == 6
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i          # order preserved
+        assert hasattr(b["x"], "devices")        # already device arrays
+
+    def bad_gen():
+        yield {"x": np.zeros((2, 2), np.float32)}
+        raise RuntimeError("producer boom")
+
+    pf = DevicePrefetcher(bad_gen(), depth=1)
+    next(pf)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer boom"):
+        next(pf)
+
+
+def test_trainer_with_prefetcher_trains():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_similarity_tpu.core.config import ARCH_PRESETS, TrainConfig
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.train import (
+        make_optimizer, make_bi_encoder_train_step, init_train_state,
+    )
+    from text_similarity_tpu.train.prefetch import DevicePrefetcher
+
+    arch = ARCH_PRESETS["tiny-test"]
+    cfg = TrainConfig(lr=1e-3, batch_size=4, bf16=False, warmup_ratio=0.0)
+    params = {"encoder": init_params(jax.random.PRNGKey(0), arch)}
+    tx = make_optimizer(cfg, total_steps=6, params_example=params)
+    state = init_train_state(params, tx)
+    step = make_bi_encoder_train_step(arch, tx, loss_type="cosine_mse")
+    rng = np.random.RandomState(0)
+
+    def gen():
+        for _ in range(6):
+            yield {
+                "ids_a": rng.randint(5, arch.vocab_size, (4, 8)).astype(np.int32),
+                "mask_a": np.ones((4, 8), np.int32),
+                "ids_b": rng.randint(5, arch.vocab_size, (4, 8)).astype(np.int32),
+                "mask_b": np.ones((4, 8), np.int32),
+                "target": rng.rand(4).astype(np.float32),
+                "valid": np.ones((4,), np.int32),
+            }
+
+    losses = []
+    for b in DevicePrefetcher(gen(), depth=2):
+        state, m = step(state, b)
+        losses.append(m["loss"])
+    losses = [float(x) for x in jax.device_get(losses)]
+    assert len(losses) == 6 and all(np.isfinite(losses))

@@ -39,7 +39,7 @@ class SemanticSearchPipeline:
         self,
         encoder,                       # SentenceEncoder
         corpus: Optional[Sequence[str]] = None,
-        index_config: IndexConfig = IndexConfig(),
+        index_config: Optional[IndexConfig] = None,  # None = size by corpus
         use_ivf: Optional[bool] = None,  # None = auto by corpus size
         capacity: Optional[int] = None,
         batch_size: int = 128,
@@ -114,7 +114,8 @@ class SemanticSearchPipeline:
             self._id_remap = alive_idx
         else:
             self._id_remap = None
-        self.ivf = IVFIndex.build(data, self.index_config)
+        cfg = self.index_config or IndexConfig.auto(int(data.shape[0]))
+        self.ivf = IVFIndex.build(data, cfg)
         logger.info(
             "built IVF index: %d rows, %d clusters (+%d overflow)",
             int(data.shape[0]),

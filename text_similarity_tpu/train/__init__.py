@@ -1,4 +1,5 @@
 from .optim import make_optimizer, linear_warmup_schedule
+from .prefetch import DevicePrefetcher
 from .steps import (
     make_bi_encoder_train_step,
     make_classifier_train_step,
@@ -21,4 +22,5 @@ __all__ = [
     "shard_batch_for",
     "classifier_forward",
     "init_classifier_head",
+    "DevicePrefetcher",
 ]
