@@ -202,3 +202,62 @@ def test_trainer_with_prefetcher_trains():
         losses.append(m["loss"])
     losses = [float(x) for x in jax.device_get(losses)]
     assert len(losses) == 6 and all(np.isfinite(losses))
+
+
+def test_grad_accumulation_matches_large_batch():
+    """k accumulation micro-steps must produce the same update as one
+    k-times-larger batch (optax.MultiSteps wiring, reference grad-accum
+    semantics learner.py:123-128)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_similarity_tpu.core.config import ARCH_PRESETS, TrainConfig
+    from text_similarity_tpu.models import init_params
+    from text_similarity_tpu.train import (
+        make_optimizer, make_bi_encoder_train_step, init_train_state,
+    )
+
+    arch = ARCH_PRESETS["tiny-test"]
+    rng = np.random.RandomState(0)
+
+    def mk_batch(b, seed):
+        r = np.random.RandomState(seed)
+        return {
+            "ids_a": r.randint(5, arch.vocab_size, (b, 8)).astype(np.int32),
+            "mask_a": np.ones((b, 8), np.int32),
+            "ids_b": r.randint(5, arch.vocab_size, (b, 8)).astype(np.int32),
+            "mask_b": np.ones((b, 8), np.int32),
+            "target": r.rand(b).astype(np.float32),
+            "valid": np.ones((b,), np.int32),
+        }
+
+    big = mk_batch(8, 1)
+    halves = [
+        {k: v[:4] for k, v in big.items()},
+        {k: v[4:] for k, v in big.items()},
+    ]
+    import dataclasses
+
+    base = TrainConfig(lr=1e-3, bf16=False, warmup_ratio=0.0,
+                       weight_decay=0.0, max_grad_norm=0.0)
+
+    def run(cfg, batches, seed=0):
+        params = {"encoder": init_params(jax.random.PRNGKey(7), arch)}
+        tx = make_optimizer(cfg, total_steps=10, params_example=params)
+        state = init_train_state(params, tx, seed=seed)
+        # deterministic dropout path: zero dropout arch
+        step = make_bi_encoder_train_step(
+            arch.replace(hidden_dropout=0.0, attention_dropout=0.0), tx,
+            loss_type="cosine_mse",
+        )
+        for b in batches:
+            state, _ = step(state, jax.tree.map(jnp.asarray, b))
+        return state.params
+
+    p_big = run(dataclasses.replace(base, grad_accum_steps=1), [big])
+    p_acc = run(dataclasses.replace(base, grad_accum_steps=2), halves)
+    for a, b_ in zip(jax.tree.leaves(p_big), jax.tree.leaves(p_acc)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-5,
+        )
