@@ -76,9 +76,16 @@ def main():
     corpus.block_until_ready()
     log(f"corpus built on device: {time.time() - t_start:.1f}s")
 
-    # exact oracle (on device; subset of queries)
+    # exact oracle (on device; subset of queries). The fused Pallas kernel
+    # is exact (tie-aware two-stage merge, verified index-exact vs the XLA
+    # oracle in tests AND on this hardware) and ~25x faster than the
+    # chunked-scan XLA oracle here (2 min -> seconds of bench time).
     t0 = time.time()
-    _, oracle_i = cosine_topk_xla(queries[:N_RECALL], corpus, k=K)
+    oracle_fn = (
+        cosine_topk_pallas if jax.default_backend() == "tpu"
+        else cosine_topk_xla
+    )
+    _, oracle_i = oracle_fn(queries[:N_RECALL], corpus, k=K)
     oracle_i = np.asarray(oracle_i)
     log(f"brute-force oracle: {time.time() - t0:.1f}s")
 
@@ -151,7 +158,7 @@ def main():
         qs = queries[:lb]
         np.asarray(ivf.query(qs, k=K, union_factor=1)[1])  # warm/compile
         lats = []
-        for r in range(30):
+        for r in range(20):
             t0 = time.time()
             _, li = ivf.query(qs, k=K, union_factor=1)
             np.asarray(li)
