@@ -88,6 +88,19 @@ def main():
     _, oracle_i = oracle_fn(queries[:N_RECALL], corpus, k=K)
     oracle_i = np.asarray(oracle_i)
     log(f"brute-force oracle: {time.time() - t0:.1f}s")
+    if oracle_fn is cosine_topk_pallas:
+        # independence gate (ADVICE r2): the Pallas kernel is the system
+        # under test — cross-check a 32-query subset against the XLA
+        # oracle so a hardware-only exactness regression can't silently
+        # inflate the reported recall
+        _, xla_i = cosine_topk_xla(queries[:32], corpus, k=K)
+        xla_i = np.asarray(xla_i)
+        for r in range(32):
+            assert set(oracle_i[r]) == set(xla_i[r]), (
+                f"Pallas oracle disagrees with XLA oracle at row {r}: "
+                f"{sorted(oracle_i[r])} vs {sorted(xla_i[r])}"
+            )
+        log("oracle cross-check vs XLA: 32/32 rows index-exact")
 
     # IVF build on device
     # C ≈ 2·√N: the sweep showed 2048 clusters dominates 1024 on this
@@ -170,10 +183,14 @@ def main():
             f"p95={lats[p95_i]:.1f}ms"
         )
         if lb == 1:
-            # batch-1 results must match the batched path per-query
+            # batch-1 sanity vs the EXACT oracle (the batched path's
+            # block-union probe list is not a superset of a single
+            # query's own probes, so strict subset checks against it can
+            # legitimately fail — ADVICE r2)
             b1 = np.asarray(ivf.query(queries[:1], k=K, union_factor=1)[1])
-            assert set(b1[0]) & set(ivf_i[0]) == set(b1[0]), (
-                "batch-1 recall differs from batched path"
+            b1_hits = len(set(b1[0]) & set(oracle_i[0]))
+            assert b1_hits >= K - 2, (
+                f"batch-1 recall vs oracle too low: {b1_hits}/{K}"
             )
 
     # int8 index on hardware (BASELINE config 5: quantized serving path)

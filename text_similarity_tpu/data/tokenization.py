@@ -205,6 +205,13 @@ class WordPieceTokenizer:
                 mask[i, len(row):] = 0
                 lens[i] = len(row)
             L = pad_to or max(int(lens.max()) if len(lens) else 2, 2)
+            if L > max_len:
+                # the native buffers are (B, max_len); honor pad_to > max_len
+                # exactly like the pure-Python path does (shape parity)
+                extra = L - max_len
+                ids = np.pad(ids, ((0, 0), (0, extra)),
+                             constant_values=self.pad_id)
+                mask = np.pad(mask, ((0, 0), (0, extra)))
             return ids[:, :L], mask[:, :L]
         rows = []
         for t in texts:

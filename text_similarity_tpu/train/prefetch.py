@@ -47,6 +47,9 @@ class DevicePrefetcher:
             self._q.put(self._END)
         except BaseException as e:  # propagate to the consumer
             self._q.put(e)
+            # terminate iteration for consumers that keep calling next()
+            # after catching the error (otherwise they'd block forever)
+            self._q.put(self._END)
 
     def __iter__(self):
         return self

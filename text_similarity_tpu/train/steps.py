@@ -47,12 +47,12 @@ def init_train_state(params: dict, tx: optax.GradientTransformation, seed: int =
 
 def _embed(
     enc_params, ids, mask, *, arch, precision, pooling, rng, deterministic,
-    layer_gate=None, remat=False,
+    layer_gate=None, remat=False, performer_step=None,
 ):
     out = encoder_forward(
         enc_params, ids, mask, arch=arch, precision=precision,
         deterministic=deterministic, dropout_rng=rng, layer_gate=layer_gate,
-        remat=remat,
+        remat=remat, performer_step=performer_step,
     )
     if pooling == "cls":
         pooled = cls_pool(out.last_hidden_state, mask)
@@ -103,6 +103,18 @@ def shard_batch_for(mesh: Optional[Mesh], batch):
     return shard_batch(mesh, batch)
 
 
+def _redraw_step(arch: EncoderArch, state: "TrainState"):
+    """Performer feature-redraw plumbing: when the arch redraws its random
+    features every N steps (reference FastAttention.redraw_projection_matrix,
+    fast_attention.py:137-188), the training step must thread the live step
+    counter into the forward so the projection epoch advances during
+    training. Returns ``state.step`` for such archs, else None (static —
+    keeps non-performer traces free of the extra operand)."""
+    if arch.attention_type == "performer" and arch.performer_redraw_every > 0:
+        return state.step
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Bi-encoder (SBERT) training step
 # ---------------------------------------------------------------------------
@@ -124,18 +136,18 @@ def make_bi_encoder_train_step(
     Twin towers share the encoder (reference parallel_mode,
     sentence_encoder.py:100-113)."""
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, performer_step):
         enc = params["encoder"]
         r1, r2 = jax.random.split(rng)
         u = _embed(
             enc, batch["ids_a"], batch["mask_a"], arch=arch,
             precision=precision, pooling=pooling, rng=r1, deterministic=False,
-            remat=remat,
+            remat=remat, performer_step=performer_step,
         )
         v = _embed(
             enc, batch["ids_b"], batch["mask_b"], arch=arch,
             precision=precision, pooling=pooling, rng=r2, deterministic=False,
-            remat=remat,
+            remat=remat, performer_step=performer_step,
         )
         valid = batch.get("valid")
         target = batch.get("target")
@@ -163,7 +175,7 @@ def make_bi_encoder_train_step(
     def step(state: TrainState, batch) -> tuple:
         rng, sub = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub
+            state.params, batch, sub, _redraw_step(arch, state)
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -410,6 +422,7 @@ def mlm_mask_batch(
 
 def mlm_forward(
     params, ids, mask, *, arch, precision, rng=None, deterministic=True,
+    performer_step=None,
 ):
     """Encoder → tied-embedding output head → (B, S, V) logits. The output
     projection shares the word-embedding matrix (standard BERT weight
@@ -417,6 +430,7 @@ def mlm_forward(
     out = encoder_forward(
         params["encoder"], ids, mask, arch=arch, precision=precision,
         deterministic=deterministic, dropout_rng=rng,
+        performer_step=performer_step,
     )
     emb = params["encoder"]["embeddings"]["word"]
     h = out.last_hidden_state.astype(jnp.float32)
@@ -441,7 +455,7 @@ def make_mlm_train_step(
     state rng — matches HF's DataCollatorForLanguageModeling behavior).
     Pass the tokenizer's real special-token ids via ``special_ids``."""
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, performer_step):
         r_mask, r_drop = jax.random.split(rng)
         corrupted, labels = mlm_mask_batch(
             r_mask, batch["ids"], batch["mask"], arch.vocab_size,
@@ -449,7 +463,7 @@ def make_mlm_train_step(
         )
         logits = mlm_forward(
             params, corrupted, batch["mask"], arch=arch, precision=precision,
-            rng=r_drop, deterministic=False,
+            rng=r_drop, deterministic=False, performer_step=performer_step,
         )
         loss = L.mlm_loss(logits, labels)
         n_pred = jnp.sum((labels >= 0).astype(jnp.float32))
@@ -458,7 +472,7 @@ def make_mlm_train_step(
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub
+            state.params, batch, sub, _redraw_step(arch, state)
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -41,6 +41,8 @@ class Trainer:
         log_every: int = 50,
         checkpoint_every: int = 0,         # steps; 0 = only best/final
         save_optimizer: bool = True,
+        prefetch: int = 2,                 # device-prefetch depth; 0 = off
+        mesh=None,                         # shard prefetched batches here
     ):
         self.step_fn = step_fn
         self.state = state
@@ -51,6 +53,8 @@ class Trainer:
         self.log_every = log_every
         self.checkpoint_every = checkpoint_every
         self.save_optimizer = save_optimizer
+        self.prefetch = prefetch
+        self.mesh = mesh
         self.best_metric = -np.inf if direction == "max" else np.inf
         self.history = []
 
@@ -65,15 +69,26 @@ class Trainer:
         epochs: int = 1,
         write_results: bool = True,
     ) -> Dict:
-        """Run training. ``batches_per_epoch(epoch)`` yields device-ready
-        batch dicts (fixed shapes)."""
+        """Run training. ``batches_per_epoch(epoch)`` yields host or device
+        batch dicts (fixed shapes); with ``prefetch > 0`` (the default) a
+        background thread device_puts (and mesh-shards, when ``mesh`` is
+        set) the next batches while the current step runs, so the step
+        always dequeues device-resident data — unlike the reference's
+        inline per-step transfer (learner.py:202-206)."""
         global_step = int(jax.device_get(self.state.step))
         for epoch in range(epochs):
             t0 = time.time()
             pending = []  # device metric pytrees, fetched at log boundaries
             n_steps = 0
             epoch_metrics: Dict[str, float] = {}
-            for batch in batches_per_epoch(epoch):
+            epoch_batches = batches_per_epoch(epoch)
+            if self.prefetch > 0:
+                from .prefetch import DevicePrefetcher
+
+                epoch_batches = DevicePrefetcher(
+                    epoch_batches, depth=self.prefetch, mesh=self.mesh
+                )
+            for batch in epoch_batches:
                 self.state, metrics = self.step_fn(self.state, batch)
                 pending.append(metrics)
                 n_steps += 1
