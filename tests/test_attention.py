@@ -175,3 +175,66 @@ def test_encoder_window_global_cls():
     b = np.asarray(o2.last_hidden_state)
     assert not np.allclose(a[:, 0], b[:, 0])      # CLS sees position 20
     np.testing.assert_allclose(a[:, 10], b[:, 10], atol=1e-5)  # banded pos
+
+
+def test_flash_global_cls_matches_reference():
+    """Banded flash with global CLS (VERDICT r2 missing #1): forward must
+    match attention_reference(window, global_cls=True) — including padded
+    rows and q/k-blocks whose band excludes block 0."""
+    q, k, v = _qkv(b=2, s=256, h=2, d=32, seed=6)
+    mask = np.ones((2, 256), np.int32)
+    mask[1, 160:] = 0
+    m = jnp.asarray(mask)
+    ref = np.asarray(
+        attention_reference(q, k, v, m, window=24, global_cls=True)
+    )
+    out = np.asarray(
+        flash_attention(
+            q, k, v, m, block_q=32, block_k=32, interpret=True,
+            window=24, global_cls=True,
+        )
+    )
+    keep = mask.astype(bool)
+    np.testing.assert_allclose(out[keep], ref[keep], atol=1e-5)
+
+
+def test_flash_grad_global_cls():
+    """Backward kernels with global-CLS windows vs jax.grad of the oracle:
+    the CLS row/column gradient paths (extra k-block-0 visit in dq, extra
+    q-block-0 visit + full-range CLS column in dkv) must be exact."""
+    q, k, v = _qkv(b=1, s=256, h=2, d=32, seed=7)
+
+    def loss_ref(q_, k_, v_):
+        o = attention_reference(q_, k_, v_, window=24, global_cls=True)
+        return jnp.sum(jnp.sin(o) * jnp.cos(o * 0.5))
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(
+            q_, k_, v_, block_q=32, block_k=32, interpret=True,
+            window=24, global_cls=True,
+        )
+        return jnp.sum(jnp.sin(o) * jnp.cos(o * 0.5))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fl, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_flash_global_cls_dispatch():
+    """multi_head_attention must route window+global_cls through flash
+    (the forced impl='reference' fallback is gone)."""
+    from text_similarity_tpu.ops.attention import multi_head_attention
+
+    q, k, v = _qkv(b=1, s=128, h=2, d=32, seed=8)
+    ref = np.asarray(
+        attention_reference(q, k, v, window=16, global_cls=True)
+    )
+    out = np.asarray(
+        multi_head_attention(
+            q, k, v, impl="flash", window=16, window_global_cls=True
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)

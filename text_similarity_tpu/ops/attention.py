@@ -92,7 +92,7 @@ def attention_reference(
 # Pallas flash attention (non-causal, padding-masked) for encoders.
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sm_scale: float, window: int = 0):
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sm_scale: float, window: int = 0, global_cls: bool = False):
     """One (batch*head-group, q-block) program: stream K/V blocks, online
     softmax, vectorized over a group of G folded sequences.
 
@@ -136,7 +136,14 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                 q_pos = q_start + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, 1), 0
                 )
-                s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
+                keep = jnp.abs(q_pos - key_pos) <= window
+                if global_cls:
+                    # Longformer global CLS: position 0 attends and is
+                    # attended globally (reference
+                    # make_long_transformer.py:56-68). Invalid keys stay
+                    # NEG_INF — the length mask already ran.
+                    keep = keep | (q_pos == 0) | (key_pos == 0)
+                s = jnp.where(keep, s, NEG_INF)
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
             p = jnp.exp(s - m_new[:, None])
             alpha = jnp.exp(m_prev - m_new)
@@ -163,12 +170,29 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                 ),
                 n_valid_blocks,
             )
+            if global_cls:
+                # the CLS-row q-block attends every valid key block
+                hi = jnp.where(
+                    q_start == 0, jnp.minimum(n_blocks, n_valid_blocks), hi
+                )
         else:
             lo, hi = 0, jnp.minimum(n_blocks, n_valid_blocks)
         acc0 = jnp.zeros((block_q, d), jnp.float32)
         m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q,), jnp.float32)
-        acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
+        if window > 0 and global_cls:
+            # every q-block must also visit k-block 0 (the CLS column):
+            # run one extra leading iteration remapped to block 0 when the
+            # band excludes it (index remap — lax.cond carries don't lower
+            # reliably in Mosaic)
+            start = jnp.where(lo > 0, lo - 1, lo)
+            acc, m, l = jax.lax.fori_loop(
+                start, hi,
+                lambda i, c: body(jnp.where(i < lo, 0, i), c),
+                (acc0, m0, l0),
+            )
+        else:
+            acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
         if lse_ref is not None:
             # log-sum-exp residual for the backward pass. Zero-length rows
             # get lse=0: backward sees p = exp(NEG_INF - 0) = 0 everywhere.
@@ -187,7 +211,7 @@ def _flash_fwd_res_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, **kw):
 
 
 def _flash_forward(qf, kf, vf, lf, block_q, block_k, interpret, window,
-                   save_residuals: bool):
+                   save_residuals: bool, global_cls: bool = False):
     """Folded-layout forward: qf/kf/vf (B*H, S, D); lf (B*H,) int32 lengths
     delivered by scalar prefetch (SMEM-resident once, not per-program —
     a full blocked SMEM operand blows the 1MB SMEM budget at large B*H).
@@ -201,7 +225,8 @@ def _flash_forward(qf, kf, vf, lf, block_q, block_k, interpret, window,
     # S=128/G=1 ran BELOW the XLA path on v5e; G recovers it).
     g = 8 if (s <= 256 and bh % 8 == 0) else 1
     grid = (bh // g, s // block_q)
-    kw = dict(block_k=block_k, sm_scale=1.0 / (d ** 0.5), window=window)
+    kw = dict(block_k=block_k, sm_scale=1.0 / (d ** 0.5), window=window,
+              global_cls=global_cls)
     in_specs = [
         pl.BlockSpec((g, block_q, d), lambda i, j, lens: (i, j, 0)),
         pl.BlockSpec((g, s, d), lambda i, j, lens: (i, 0, 0)),
@@ -258,7 +283,7 @@ def _flash_forward(qf, kf, vf, lf, block_q, block_k, interpret, window,
 
 def _flash_bwd_dq_kernel(
     len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
-    *, block_k: int, sm_scale: float, window: int,
+    *, block_k: int, sm_scale: float, window: int, global_cls: bool = False,
 ):
     """Grid (B*H, S/block_q): one q-block accumulates dq over k-blocks."""
     q = q_ref[0]                          # input dtype: bf16-native MXU
@@ -285,7 +310,10 @@ def _flash_bwd_dq_kernel(
             q_pos = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), 0
             )
-            s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
+            keep = jnp.abs(q_pos - key_pos) <= window
+            if global_cls:
+                keep = keep | (q_pos == 0) | (key_pos == 0)
+            s = jnp.where(keep, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())),
@@ -307,18 +335,30 @@ def _flash_bwd_dq_kernel(
             ),
             n_valid_blocks,
         )
+        if global_cls:
+            hi = jnp.where(
+                q_start == 0, jnp.minimum(n_blocks, n_valid_blocks), hi
+            )
     else:
         lo, hi = 0, jnp.minimum(n_blocks, n_valid_blocks)
-    dq = jax.lax.fori_loop(
-        lo, hi, body, jnp.zeros((block_q, d), jnp.float32)
-    )
+    if window > 0 and global_cls:
+        start = jnp.where(lo > 0, lo - 1, lo)
+        dq = jax.lax.fori_loop(
+            start, hi,
+            lambda i, c: body(jnp.where(i < lo, 0, i), c),
+            jnp.zeros((block_q, d), jnp.float32),
+        )
+    else:
+        dq = jax.lax.fori_loop(
+            lo, hi, body, jnp.zeros((block_q, d), jnp.float32)
+        )
     dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(
     len_ref, k_ref, q_ref, v_ref, do_ref, lse_ref, di_ref,
     dk_ref, dv_ref,
-    *, block_q: int, sm_scale: float, window: int,
+    *, block_q: int, sm_scale: float, window: int, global_cls: bool = False,
 ):
     """Grid (B*H, S/block_k): one k-block accumulates dk/dv over q-blocks."""
     k = k_ref[0]                          # (block_k, d) input dtype
@@ -344,7 +384,10 @@ def _flash_bwd_dkv_kernel(
             q_pos = j * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), 0
             )
-            s = jnp.where(jnp.abs(q_pos - key_pos) <= window, s, NEG_INF)
+            keep = jnp.abs(q_pos - key_pos) <= window
+            if global_cls:
+                keep = keep | (q_pos == 0) | (key_pos == 0)
+            s = jnp.where(keep, s, NEG_INF)
         p = jnp.exp(s - lse_blk[:, None])
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
@@ -367,17 +410,30 @@ def _flash_bwd_dkv_kernel(
         hi = jnp.minimum(
             (k_start + block_k - 1 + window) // block_q + 1, n_blocks
         )
+        if global_cls:
+            # the CLS-column k-block is attended by every q-block
+            hi = jnp.where(k_start == 0, n_blocks, hi)
     else:
         lo, hi = 0, n_blocks
     z = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(lo, hi, body, (z, z))
+    if window > 0 and global_cls:
+        # every k-block also receives gradient from q-block 0 (CLS row):
+        # one extra leading iteration remapped to q-block 0
+        start = jnp.where(lo > 0, lo - 1, lo)
+        dk, dv = jax.lax.fori_loop(
+            start, hi,
+            lambda i, c: body(jnp.where(i < lo, 0, i), c),
+            (z, z),
+        )
+    else:
+        dk, dv = jax.lax.fori_loop(lo, hi, body, (z, z))
     # keys past valid_len contribute p=0 rows → dk/dv already 0 there
     dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_backward(qf, kf, vf, lf, of, lse, dof,
-                    block_q, block_k, interpret, window):
+                    block_q, block_k, interpret, window, global_cls=False):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, s, d = qf.shape
@@ -404,7 +460,7 @@ def _flash_backward(qf, kf, vf, lf, of, lse, dof,
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale,
-            window=window,
+            window=window, global_cls=global_cls,
         ),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((bh, s, d), qf.dtype),
@@ -433,7 +489,7 @@ def _flash_backward(qf, kf, vf, lf, of, lse, dof,
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale,
-            window=window,
+            window=window, global_cls=global_cls,
         ),
         grid_spec=dkv_spec,
         out_shape=[
@@ -448,29 +504,33 @@ def _flash_backward(qf, kf, vf, lf, of, lse, dof,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_folded(qf, kf, vf, lf, block_q, block_k, interpret, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_folded(qf, kf, vf, lf, block_q, block_k, interpret, window,
+                  global_cls):
     out, _ = _flash_forward(
         qf, kf, vf, lf, block_q, block_k, interpret, window,
-        save_residuals=False,
+        save_residuals=False, global_cls=global_cls,
     )
     return out
 
 
-def _flash_folded_fwd(qf, kf, vf, lf, block_q, block_k, interpret, window):
+def _flash_folded_fwd(qf, kf, vf, lf, block_q, block_k, interpret, window,
+                      global_cls):
     out, lse = _flash_forward(
         qf, kf, vf, lf, block_q, block_k, interpret, window,
-        save_residuals=True,
+        save_residuals=True, global_cls=global_cls,
     )
     return out, (qf, kf, vf, lf, out, lse)
 
 
-def _flash_folded_bwd(block_q, block_k, interpret, window, res, dof):
+def _flash_folded_bwd(block_q, block_k, interpret, window, global_cls,
+                      res, dof):
     import numpy as _np
 
     qf, kf, vf, lf, of, lse = res
     dq, dk, dv = _flash_backward(
-        qf, kf, vf, lf, of, lse, dof, block_q, block_k, interpret, window
+        qf, kf, vf, lf, of, lse, dof, block_q, block_k, interpret, window,
+        global_cls,
     )
     dlf = _np.zeros(lf.shape, dtype=jax.dtypes.float0)  # int arg: no grad
     return dq, dk, dv, dlf
@@ -480,7 +540,9 @@ _flash_folded.defvjp(_flash_folded_fwd, _flash_folded_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "window")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "window",
+                     "global_cls"),
 )
 def flash_attention(
     q: jax.Array,  # (B, S, H, D)
@@ -491,6 +553,7 @@ def flash_attention(
     block_k: int = 128,
     interpret: bool = False,
     window: int = 0,   # >0: sliding-window (banded) attention
+    global_cls: bool = False,  # with window: position 0 global both ways
 ) -> jax.Array:
     """Blockwise exact attention, differentiable (custom_vjp with flash
     backward kernels). S must be a multiple of block sizes (callers pad to
@@ -514,7 +577,10 @@ def flash_attention(
     qf, kf, vf = fold(q), fold(k), fold(v)
     lf = jnp.repeat(lengths, h, axis=0)  # (B*H,) scalar-prefetch operand
 
-    out = _flash_folded(qf, kf, vf, lf, block_q, block_k, interpret, window)
+    out = _flash_folded(
+        qf, kf, vf, lf, block_q, block_k, interpret, window,
+        global_cls and window > 0,
+    )
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
@@ -581,9 +647,6 @@ def multi_head_attention(
         if head_mask is not None:
             out = out * head_mask[None, None, :, None].astype(out.dtype)
         return out
-    if impl == "auto" and window > 0 and window_global_cls:
-        # global-CLS windows only exist on the XLA path
-        impl = "reference"
     if impl == "auto":
         # Measured on v5e (MiniLM shapes, d=32 heads): the XLA path wins
         # at every S up to 2048 (bf16 score tensor + fused softmax,
@@ -602,13 +665,9 @@ def multi_head_attention(
     if impl == "flash":
         if head_mask is not None:
             raise ValueError("flash attention does not support head_mask")
-        if window > 0 and window_global_cls:
-            raise ValueError(
-                "flash attention implements the pure band; use the "
-                "reference path for global-CLS windows"
-            )
         return flash_attention(
-            q, k, v, mask, interpret=not _on_tpu(), window=window
+            q, k, v, mask, interpret=not _on_tpu(), window=window,
+            global_cls=window_global_cls,
         )
     return attention_reference(
         q, k, v, mask, head_mask, window=window,
