@@ -871,7 +871,10 @@ def cmd_topics(args):
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
     with open(args.corpus, encoding="utf-8") as f:
         corpus = [l.strip() for l in f if l.strip()]
-    res = TopicModelingPipeline(enc, num_topics=args.num_topics)(corpus)
+    res = TopicModelingPipeline(
+        enc, num_topics=args.num_topics, method=args.method,
+        reduce=args.reduce,
+    )(corpus)
     for t, words in sorted(res["topics"].items()):
         print(t, res["sizes"].get(t, 0), [w for w, _ in words])
 
@@ -1004,6 +1007,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("topics"); _common(p)
     p.add_argument("--corpus", required=True)
     p.add_argument("--num-topics", type=int, default=10)
+    p.add_argument("--method", default="kmeans",
+                   choices=["kmeans", "density", "hdbscan"])
+    p.add_argument("--reduce", default="pca", choices=["pca", "spectral"])
     p.set_defaults(fn=cmd_topics)
 
     return ap

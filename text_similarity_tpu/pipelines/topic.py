@@ -57,6 +57,40 @@ def pca_reduce(emb: jnp.ndarray, dim: int) -> jnp.ndarray:
     return xc @ vt[:dim].T
 
 
+def spectral_reduce(
+    emb: jnp.ndarray, dim: int, n_neighbors: int = 15
+) -> jnp.ndarray:
+    """Nonlinear neighbor-graph reduction (Laplacian eigenmaps) — the
+    manifold-preserving option next to linear PCA, standing in for the
+    reference's UMAP stage (topic_modeling.py:90-96) with TPU-friendly
+    ops only: k-NN graph via the fused cosine top-k, symmetric normalized
+    adjacency, ``jnp.linalg.eigh`` for the leading eigenvectors.
+
+    Dense (N, N) adjacency + eigh: O(N²) memory, O(N³) solve — sized for
+    topic-modeling corpora (N ≲ 20k on one chip); use PCA beyond that."""
+    from ..ops.topk import cosine_topk_xla
+
+    x = l2_normalize(jnp.asarray(emb, jnp.float32))
+    n = x.shape[0]
+    k = min(n_neighbors + 1, n)          # +1: top-1 is the row itself
+    _, idx = cosine_topk_xla(x, x, k=k)
+    a = jnp.zeros((n, n), jnp.float32)
+    rows = jnp.repeat(jnp.arange(n), k)
+    a = a.at[rows, idx.reshape(-1)].set(1.0)
+    a = jnp.maximum(a, a.T)              # undirected graph
+    a = a * (1.0 - jnp.eye(n))           # no self loops
+    deg = jnp.maximum(jnp.sum(a, axis=1), 1e-6)
+    dinv = jax.lax.rsqrt(deg)
+    a_norm = a * dinv[:, None] * dinv[None, :]
+    # bottom eigenvectors of L_sym = I − A_norm ⇔ top eigenvectors of
+    # A_norm. The leading ones are kept (not dropped as "trivial"): for a
+    # disconnected k-NN graph the whole eigenvalue-1 subspace consists of
+    # component indicators — exactly the separating directions.
+    _, v = jnp.linalg.eigh(a_norm)       # ascending eigenvalues
+    take = min(dim, n)
+    return v[:, n - take:][:, ::-1]
+
+
 def class_tfidf(
     docs_per_topic: Dict[int, List[str]], top_n: int = 10
 ) -> Dict[int, List[Tuple[str, float]]]:
@@ -94,9 +128,12 @@ class TopicModelingPipeline:
         top_n_words: int = 10,
         outlier_quantile: float = 0.0,  # 0 = no outliers; e.g. 0.05
         batch_size: int = 128,
-        method: str = "kmeans",     # "kmeans" | "density" (HDBSCAN-class)
+        method: str = "kmeans",     # "kmeans" | "density" (fixed-ε DBSCAN)
+                                    # | "hdbscan" (multi-ε stability)
         density_eps: float = 0.3,
         density_min_samples: int = 3,
+        reduce: str = "pca",        # "pca" | "spectral" (Laplacian eigenmaps)
+        spectral_neighbors: int = 15,
     ):
         self.encoder = encoder
         self.num_topics = num_topics
@@ -107,24 +144,38 @@ class TopicModelingPipeline:
         self.method = method
         self.density_eps = density_eps
         self.density_min_samples = density_min_samples
+        self.reduce = reduce
+        self.spectral_neighbors = spectral_neighbors
 
     def __call__(self, corpus: Sequence[str]) -> dict:
         emb = self.encoder.encode(corpus, batch_size=self.batch_size)
         x = jnp.asarray(emb)
         if self.reduce_dim and self.reduce_dim < x.shape[1]:
-            x = pca_reduce(x, self.reduce_dim)
+            if self.reduce == "spectral":
+                x = spectral_reduce(
+                    x, self.reduce_dim, n_neighbors=self.spectral_neighbors
+                )
+            else:
+                x = pca_reduce(x, self.reduce_dim)
         x = l2_normalize(x)
 
-        if self.method == "density":
+        if self.method in ("density", "hdbscan"):
             # noise-aware density clustering (the reference's HDBSCAN
             # stage, topic_modeling.py:98-104): topic count emerges from
-            # the data, low-density docs become topic −1
-            from ..ops.density import dbscan_cosine
+            # the data, low-density docs become topic −1. "hdbscan" needs
+            # no ε: the multi-ε stability selection lets clusters of
+            # different densities coexist.
+            from ..ops.density import dbscan_cosine, hdbscan_cosine
 
-            assign = dbscan_cosine(
-                x, eps=self.density_eps,
-                min_samples=self.density_min_samples,
-            )
+            if self.method == "hdbscan":
+                assign = hdbscan_cosine(
+                    x, min_samples=self.density_min_samples
+                )
+            else:
+                assign = dbscan_cosine(
+                    x, eps=self.density_eps,
+                    min_samples=self.density_min_samples,
+                )
             ks = [t for t in np.unique(assign) if t >= 0]
             centroids = np.stack([
                 np.asarray(jnp.mean(x[jnp.asarray(assign == t)], axis=0))
