@@ -584,6 +584,183 @@ def flash_attention(
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
+# ---------------------------------------------------------------------------
+# Head-packed attention for small head dims (d < 128): P = 128/d heads fold
+# into the 128-lane dim per program. Per head, the score dot runs lane-MASKED
+# q against the full packed K — every MXU op is full 128 lanes wide (a d=32
+# dot alone uses 1/4 of the systolic array's contraction depth), softmax
+# stays in VMEM (no (B,H,S,S) HBM traffic), and PV packs the outputs back
+# into lanes. Costs P× redundant score FLOPs at full MXU rate — a net win
+# whenever attention is small next to the QKV/MLP matmuls (short S), which
+# is exactly the regime where the flash kernel's 32-lane ops lose to XLA
+# (measured r2: MiniLM d=32 encode 27.7% MFU vs bert-base d=64 50.1%).
+# ---------------------------------------------------------------------------
+
+def _packed_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                   head_dim: int):
+    """One (B*G, q-block) program; lanes hold P=128/head_dim packed heads.
+    q_ref (1, block_q, 128); k_ref/v_ref (1, S, 128)."""
+    q = q_ref[0]                       # input dtype (bf16-native MXU)
+    k = k_ref[0]
+    v = v_ref[0]
+    seq_len = k.shape[0]
+    block_q = q.shape[0]
+    valid_len = len_ref[pl.program_id(0)]
+    p_heads = 128 // head_dim
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, seq_len), 1)
+    key_valid = key_pos < valid_len
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // head_dim
+
+    out = jnp.zeros((block_q, 128), jnp.float32)
+    for p in range(p_heads):           # unrolled: P full-width dot pairs
+        qm = jnp.where(lane == p, q, jnp.zeros((), q.dtype))
+        s = jax.lax.dot_general(
+            qm, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                   # (block_q, S): head p only (other
+                                       # lanes of qm are zero)
+        s = jnp.where(key_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # exact-zero weights for masked keys (finite NEG_INF would give
+        # exp(0)=1 on fully-masked rows and average V)
+        pr = jnp.where(s > NEG_INF / 2, jnp.exp(s - m), 0.0)
+        l = jnp.sum(pr, axis=-1)
+        vm = jnp.where(lane == p, v, jnp.zeros((), v.dtype))
+        o = jax.lax.dot_general(
+            pr.astype(v.dtype), vm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                              # nonzero only in head-p lanes
+        out = out + o / jnp.where(l == 0.0, 1.0, l)[:, None]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _packed_forward(qp, kp, vp, lengths, block_q, interpret, head_dim):
+    from jax.experimental.pallas import tpu as pltpu
+
+    bg, s, lanes = qp.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bg, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, lanes), lambda i, j, lens: (i, j, 0)),
+            pl.BlockSpec((1, s, lanes), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((1, s, lanes), lambda i, j, lens: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, lanes), lambda i, j, lens: (i, j, 0)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _packed_kernel, sm_scale=1.0 / (head_dim ** 0.5),
+            head_dim=head_dim,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bg, s, lanes), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths, qp, kp, vp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("head_dim", "block_q", "interpret")
+)
+def packed_attention(
+    q: jax.Array,  # (B, S, H, D), D * P == 128
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    head_dim: int = 32,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exact attention via the head-packed kernel; differentiable (the
+    backward recomputes through the XLA reference formula — attention is
+    a small share of training FLOPs at the short S this kernel targets).
+    Requires D*P==128, H % P == 0, S % block_q == 0."""
+    b, s, h, d = q.shape
+    assert d == head_dim and 128 % d == 0
+    p = 128 // d
+    g = h // p
+    if mask is None:
+        lengths = jnp.full((b,), s, jnp.int32)
+    else:
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
+
+    def pack(x):
+        # (B,S,H,D) → (B,G,S,P*D): heads g*P+p land in lane block p
+        return (
+            x.reshape(b, s, g, p, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b * g, s, p * d)
+        )
+
+    lf = jnp.repeat(lengths, g, axis=0)
+    out = _packed_folded(
+        pack(q), pack(k), pack(v), lf, mask, b, s, h, d,
+        min(block_q, s), interpret,
+    )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _packed_folded(qp, kp, vp, lf, mask, b, s, h, d, block_q, interpret):
+    out = _packed_forward(qp, kp, vp, lf, block_q, interpret, d)
+    p = 128 // d
+    return (
+        out.reshape(b, h // p, s, p, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, s, h, d)
+    )
+
+
+def _packed_folded_fwd(qp, kp, vp, lf, mask, b, s, h, d, block_q, interpret):
+    return (
+        _packed_folded(qp, kp, vp, lf, mask, b, s, h, d, block_q, interpret),
+        (qp, kp, vp, mask),
+    )
+
+
+def _packed_folded_bwd(b, s, h, d, block_q, interpret, res, g_out):
+    import numpy as _np
+
+    qp, kp, vp, mask = res
+    p = 128 // d
+    grp = h // p
+
+    def unpack(x):
+        return (
+            x.reshape(b, grp, s, p, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b, s, h, d)
+        )
+
+    def ref(qu, ku, vu):
+        return attention_reference(qu, ku, vu, mask)
+
+    _, vjp = jax.vjp(ref, unpack(qp), unpack(kp), unpack(vp))
+    dq, dk, dv = vjp(g_out)
+
+    def repack(x):
+        return (
+            x.reshape(b, s, grp, p, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b * grp, s, p * d)
+        )
+
+    dlf = _np.zeros((b * grp,), dtype=jax.dtypes.float0)
+    dmask = (
+        None if mask is None
+        else _np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    )
+    return repack(dq), repack(dk), repack(dv), dlf, dmask
+
+
+_packed_folded.defvjp(_packed_folded_fwd, _packed_folded_bwd)
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -649,19 +826,40 @@ def multi_head_attention(
         return out
     if impl == "auto":
         # Measured on v5e (MiniLM shapes, d=32 heads): the XLA path wins
-        # at every S up to 2048 (bf16 score tensor + fused softmax,
-        # 16-27% MFU vs the Pallas kernel's ~6% — 32-lane operands waste
-        # 3/4 of every load/VPU op). Flash takes over where XLA's
-        # materialized (B,H,S,S) stops fitting: S≥4096 (b·12·S²·2 bytes
-        # ≳ HBM). Both paths are differentiable (flash via custom_vjp),
-        # so the choice is safe under jax.grad.
+        # over the plain flash kernel at every S up to 2048 (the 32-lane
+        # operands waste 3/4 of every load/VPU op), but the HEAD-PACKED
+        # kernel beats both at short S for d<128 (full-lane MXU dots, no
+        # (B,H,S,S) HBM softmax traffic). Flash takes over where XLA's
+        # materialized score tensor stops fitting: S≥4096. All paths are
+        # differentiable (custom_vjp), so the choice is safe under
+        # jax.grad.
+        s_, h_, d_ = q.shape[1], q.shape[2], q.shape[3]
+        use_packed = (
+            _on_tpu()
+            and head_mask is None
+            and window == 0
+            and not causal
+            and d_ < 128
+            and 128 % d_ == 0
+            and h_ % (128 // d_) == 0
+            and s_ % 128 == 0
+            and s_ <= 2048
+        )
         use_flash = (
             _on_tpu()
             and head_mask is None
-            and q.shape[1] % 128 == 0
-            and q.shape[1] >= 4096
+            and s_ % 128 == 0
+            and s_ >= 4096
         )
-        impl = "flash" if use_flash else "reference"
+        impl = (
+            "packed" if use_packed else "flash" if use_flash else "reference"
+        )
+    if impl == "packed":
+        if head_mask is not None:
+            raise ValueError("packed attention does not support head_mask")
+        return packed_attention(
+            q, k, v, mask, head_dim=q.shape[3], interpret=not _on_tpu()
+        )
     if impl == "flash":
         if head_mask is not None:
             raise ValueError("flash attention does not support head_mask")
