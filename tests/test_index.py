@@ -325,3 +325,69 @@ def test_ivf_save_load_without_npz_suffix(tmp_path):
     ivf2 = IVFIndex.load(str(tmp_path / "idx"))
     _, i = ivf2.query_xla(corpus[:4], k=1)
     np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(4))
+
+
+def test_ivf_int8_two_pass_rescore_recovers_recall():
+    """Two-pass query (int8 coarse scan -> exact bf16 re-score of the
+    top-k' candidates, VERDICT r2 next-round #2): on a corpus of
+    near-duplicates, int8 quantization scrambles fine-grained ranks;
+    the rescore must recover them. Probes cover every cluster so the
+    difference isolates quantization, not coverage."""
+    rng = np.random.RandomState(5)
+    # tie width (32 near-duplicates) < k_coarse (40): the int8 scan's
+    # candidate set covers the whole duplicate group, so the exact f32
+    # rescore can fully restore the fine-grained ranking
+    d, n_clusters, per = 64, 8, 32
+    centers = rng.randn(n_clusters, d).astype(np.float32)
+    rows = np.repeat(centers, per, axis=0) + 0.004 * rng.randn(
+        n_clusters * per, d
+    ).astype(np.float32)
+    x = l2_normalize(jnp.asarray(rows))
+    queries = l2_normalize(
+        x[:: per][:n_clusters].astype(jnp.float32)
+        + 0.002 * jnp.asarray(rng.randn(n_clusters, d), jnp.float32)
+    )
+    cfg = IndexConfig(
+        num_clusters=n_clusters, num_probes=n_clusters, kmeans_iters=8,
+        quantize_int8=True,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    assert ivf.rescore_data is not None     # kept by default for int8
+
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+
+    def recall(ii):
+        ii = np.asarray(ii)
+        return np.mean([
+            len(set(ii[r]) & set(np.asarray(true_i)[r])) / 10
+            for r in range(len(queries))
+        ])
+
+    _, raw_i = ivf.query(queries, k=10, impl="pallas", k_coarse=-1)
+    _, ref_i = ivf.query(queries, k=10, impl="pallas")  # rescore default
+    r_raw, r_ref = recall(raw_i), recall(ref_i)
+    assert r_ref >= 0.98, (r_raw, r_ref)
+    assert r_ref > r_raw + 0.05, (r_raw, r_ref)
+
+
+def test_ivf_rescore_after_add(tmp_path):
+    """rescore_data stays consistent through add() and save/load."""
+    x = _clustered_corpus(n=1024, d=32)
+    cfg = IndexConfig(
+        num_clusters=16, num_probes=16, kmeans_iters=5, quantize_int8=True
+    )
+    ivf = IVFIndex.build(x, cfg)
+    new_rows = l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(3), (8, 32))
+    )
+    ids = ivf.add(new_rows, start_id=1024)
+    assert ivf.rescore_data.shape[0] >= 1032
+    _, qi = ivf.query(new_rows, k=1, impl="pallas")
+    assert (np.asarray(qi)[:, 0] == ids).all()
+    p = str(tmp_path / "ivf_rs.npz")
+    ivf.save(p)
+    loaded = IVFIndex.load(p)
+    assert loaded.rescore_data is not None
+    _, qi2 = loaded.query(new_rows, k=1, impl="pallas")
+    assert (np.asarray(qi2)[:, 0] == ids).all()

@@ -52,11 +52,14 @@ class IVFIndex:
         config: IndexConfig,
         scales_padded: Optional[jax.Array] = None,  # (C_tot, Mc) f32 when
                                                     # data_padded is int8
+        rescore_data: Optional[jax.Array] = None,   # (N, D) exact rows for
+                                                    # the two-pass refine
     ):
         self.centroids = centroids
         self.data_padded = data_padded
         self.ids_padded = ids_padded
         self.scales_padded = scales_padded
+        self.rescore_data = rescore_data
         self.num_base_clusters = num_base_clusters
         self.num_overflow = data_padded.shape[0] - num_base_clusters
         self.config = config
@@ -73,6 +76,10 @@ class IVFIndex:
         key: Optional[jax.Array] = None,
         data_dtype=jnp.float32,
         spill_choices: int = 3,
+        keep_rescore: Optional[bool] = None,  # default: on for int8 builds
+        rescore_dtype=jnp.float32,  # f32 = oracle-exact refine; bf16 halves
+                                    # memory but its ~0.4% resolution caps
+                                    # recall on near-duplicate corpora
     ) -> "IVFIndex":
         """Build with a spill-balanced layout: rows overflowing their
         cluster's Mc slots go to their 2nd/3rd nearest centroid's free
@@ -147,6 +154,8 @@ class IVFIndex:
         ids_flat = np.full((c_tot * mc,), -1, np.int32)
         ids_flat[slot_of_row] = np.arange(n, dtype=np.int32)
 
+        if keep_rescore is None:
+            keep_rescore = scales_padded is not None
         return cls(
             centroids=centroids,
             data_padded=flat.reshape(c_tot, mc, d),
@@ -154,6 +163,9 @@ class IVFIndex:
             num_base_clusters=c,
             config=config,
             scales_padded=scales_padded,
+            rescore_data=(
+                corpus.astype(rescore_dtype) if keep_rescore else None
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -192,7 +204,8 @@ class IVFIndex:
 
     def query(
         self, queries, k: int = 10, probes: Optional[int] = None,
-        block_q: int = 16, union_factor: int = 3, impl: str = "auto",
+        block_q: int = 32, union_factor: int = 3, impl: str = "auto",
+        k_coarse: int = 0,
     ) -> Tuple[jax.Array, jax.Array]:
         """One fused jitted call: normalize → probe-union → Pallas scan.
         (Eager intermediate ops would each cost a device round trip —
@@ -210,11 +223,14 @@ class IVFIndex:
         union = min(
             _round_up(probes * union_factor, 8), self.num_base_clusters
         )
+        if k_coarse == 0 and self.rescore_data is not None:
+            k_coarse = 4 * k      # the standard IVF refine width
         s, i = _ivf_query_fused(
             q, self.centroids, self.data_padded, self.ids_padded,
             self.scales_padded,
             self.num_base_clusters, k, probes, block_q, union,
             jax.default_backend() != "tpu",
+            rescore_data=self.rescore_data, k_coarse=k_coarse,
         )
         return s[:b], i[:b]
 
@@ -312,6 +328,17 @@ class IVFIndex:
             jnp.asarray(new_ids)
         )
         self.ids_padded = ids_flat.reshape(c_tot, mc)
+        if self.rescore_data is not None:
+            need = start_id + n
+            have = self.rescore_data.shape[0]
+            if need > have:
+                self.rescore_data = jnp.concatenate([
+                    self.rescore_data,
+                    jnp.zeros((need - have, d), self.rescore_data.dtype),
+                ])
+            self.rescore_data = self.rescore_data.at[
+                jnp.asarray(new_ids)
+            ].set(rows.astype(self.rescore_data.dtype))
         return new_ids
 
     # ------------------------------------------------------------------
@@ -349,6 +376,11 @@ class IVFIndex:
             extra["scales_padded"] = np.asarray(
                 jax.device_get(self.scales_padded)
             )
+        if self.rescore_data is not None:
+            # persist as f32 (bf16 has no numpy dtype; upcast is lossless)
+            extra["rescore_data"] = np.asarray(
+                jax.device_get(self.rescore_data.astype(jnp.float32))
+            )
         np.savez(
             path,
             centroids=np.asarray(jax.device_get(self.centroids)),
@@ -379,17 +411,22 @@ class IVFIndex:
                     jnp.asarray(z["scales_padded"])
                     if "scales_padded" in z.files else None
                 ),
+                rescore_data=(
+                    jnp.asarray(z["rescore_data"])
+                    if "rescore_data" in z.files else None
+                ),
             )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_base", "k", "probes", "block_q", "union", "interpret"),
+    static_argnames=("num_base", "k", "probes", "block_q", "union",
+                     "interpret", "k_coarse"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
     num_base: int, k: int, probes: int, block_q: int, union: int,
-    interpret: bool,
+    interpret: bool, rescore_data=None, k_coarse: int = 0,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
@@ -427,10 +464,27 @@ def _ivf_query_fused(
             (probe_ids.shape[0], 1),
         )
         probe_ids = jnp.concatenate([probe_ids, over], axis=1)
+    k_scan = k_coarse if (rescore_data is not None and k_coarse > k) else k
     s, i = _ivf_query_pallas(
-        q, probe_ids, data_padded, ids_padded, scales_padded, k, block_q,
-        interpret=interpret,
+        q, probe_ids, data_padded, ids_padded, scales_padded, k_scan,
+        block_q, interpret=interpret,
     )
+    if rescore_data is not None and k_scan > k:
+        # two-pass refine (VERDICT r2 next-round #2): the scan kept the
+        # top-k_coarse candidates under the coarse (e.g. int8) metric;
+        # re-score just those exactly against the full-precision rows and
+        # take the true top-k — recovers quantization-induced recall at
+        # scan speed (the candidate gather + (B, k', D) einsum is tiny
+        # next to the cluster scan)
+        n_rows = rescore_data.shape[0]
+        cand = rescore_data[jnp.clip(i, 0, n_rows - 1)]
+        es = jnp.einsum(
+            "bd,bkd->bk", q, cand.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        es = jnp.where(i >= 0, es, -jnp.inf)
+        s, tl = jax.lax.top_k(es, k)
+        i = jnp.take_along_axis(i, tl, axis=1)
     inv = jnp.argsort(order)
     return s[inv], i[inv]
 
@@ -509,8 +563,16 @@ def _ivf_body(
         acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
         acc_i[...] = jnp.full_like(acc_i, -1)
 
-    q = q_ref[...].astype(jnp.float32)          # (block_q, D)
-    data = data_ref[0].astype(jnp.float32)      # (Mc, D); int8 dequants on-chip
+    # bf16/int8 payloads run the dot in NATIVE bf16 (f32 accumulation):
+    # upcasting operands to f32 would push the matmul onto the ~4x-slower
+    # f32 MXU path. Measured on HW: recall@10 identical to the f32 dot at
+    # every tested config (queries round to bf16; scores accumulate f32).
+    if data_ref.dtype in (jnp.bfloat16, jnp.int8):
+        q = q_ref[...].astype(jnp.bfloat16)
+        data = data_ref[0].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+        data = data_ref[0].astype(jnp.float32)
     ids = ids_ref[0, 0]                          # (Mc,)
     mc = data.shape[0]
     block_q = q.shape[0]
