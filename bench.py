@@ -105,8 +105,12 @@ def main():
     # IVF build on device
     # C ≈ 2·√N: the sweep showed 2048 clusters dominates 1024 on this
     # corpus (recall 0.988 vs 0.961 at higher QPS — smaller clusters scan
-    # fewer padded rows per probe)
-    cfg = IndexConfig(num_clusters=2048, num_probes=24, kmeans_iters=8)
+    # fewer padded rows per probe). probes=56 with 64-query blocks is the
+    # round-3 sweet spot: the scan is per-grid-step bound (QPS invariant
+    # to dot dtype, storage dtype, and merge width at k=10), so 4x bigger
+    # query blocks + a wider shared probe union raised QPS ~32% AND
+    # recall (0.9922 -> 0.9961); see docs/ROUND3.md sweep table.
+    cfg = IndexConfig(num_clusters=2048, num_probes=56, kmeans_iters=8)
     t0 = time.time()
     ivf = IVFIndex.build(
         corpus, cfg, key=jax.random.PRNGKey(7), data_dtype=jnp.bfloat16
@@ -120,7 +124,7 @@ def main():
 
     # recall gate + warm the query kernel
     t0 = time.time()
-    _, ivf_i = ivf.query(queries, k=K, union_factor=1)
+    _, ivf_i = ivf.query(queries, k=K, union_factor=1, block_q=64)
     ivf_i = np.asarray(ivf_i)
     log(f"IVF query compile+run: {time.time() - t0:.1f}s")
     recall = np.mean([
@@ -145,12 +149,12 @@ def main():
             best = min(best, (time.time() - t0) / ITERS)
         return best
 
-    ivf_dt = timed(lambda: ivf.query(queries, k=K, union_factor=1))
+    ivf_dt = timed(lambda: ivf.query(queries, k=K, union_factor=1, block_q=64))
     ivf_qps = N_QUERIES / ivf_dt
     # single-call (sync) latency for the record
     t0 = time.time()
     for _ in range(5):
-        _, i = ivf.query(queries, k=K, union_factor=1)
+        _, i = ivf.query(queries, k=K, union_factor=1, block_q=64)
         np.asarray(i)
     ivf_lat = (time.time() - t0) / 5
 
@@ -169,11 +173,11 @@ def main():
     # search_pipeline.py:138)
     for lb in (1, 16):
         qs = queries[:lb]
-        np.asarray(ivf.query(qs, k=K, union_factor=1)[1])  # warm/compile
+        np.asarray(ivf.query(qs, k=K, union_factor=1, block_q=64)[1])  # warm/compile
         lats = []
         for r in range(20):
             t0 = time.time()
-            _, li = ivf.query(qs, k=K, union_factor=1)
+            _, li = ivf.query(qs, k=K, union_factor=1, block_q=64)
             np.asarray(li)
             lats.append(time.time() - t0)
         lats = np.sort(np.asarray(lats)) * 1e3
@@ -187,27 +191,38 @@ def main():
             # block-union probe list is not a superset of a single
             # query's own probes, so strict subset checks against it can
             # legitimately fail — ADVICE r2)
-            b1 = np.asarray(ivf.query(queries[:1], k=K, union_factor=1)[1])
+            b1 = np.asarray(ivf.query(queries[:1], k=K, union_factor=1, block_q=64)[1])
             b1_hits = len(set(b1[0]) & set(oracle_i[0]))
             assert b1_hits >= K - 2, (
                 f"batch-1 recall vs oracle too low: {b1_hits}/{K}"
             )
 
-    # int8 index on hardware (BASELINE config 5: quantized serving path)
+    # int8 index on hardware (BASELINE config 5: quantized serving path):
+    # raw scan + the two-pass exact-rescore point (coarse top-k' under
+    # int8, exact f32 re-score inside the same jit)
     t0 = time.time()
     ivf8 = IVFIndex.build(
         corpus, cfg, key=jax.random.PRNGKey(7), data_dtype=jnp.int8
     )
     log(f"int8 IVF build: {time.time() - t0:.1f}s")
-    _, i8 = ivf8.query(queries, k=K, union_factor=1)
+    _, i8 = ivf8.query(queries, k=K, union_factor=1, block_q=64, k_coarse=-1)
     i8 = np.asarray(i8)
     rec8 = np.mean([
         len(set(i8[r]) & set(oracle_i[r])) / K for r in range(N_RECALL)
     ])
-    ivf8_dt = timed(lambda: ivf8.query(queries, k=K, union_factor=1))
+    ivf8_dt = timed(
+        lambda: ivf8.query(queries, k=K, union_factor=1, block_q=64, k_coarse=-1)
+    )
+    _, i8r = ivf8.query(queries, k=K, union_factor=1, block_q=64)  # rescore default
+    i8r = np.asarray(i8r)
+    rec8r = np.mean([
+        len(set(i8r[r]) & set(oracle_i[r])) / K for r in range(N_RECALL)
+    ])
+    ivf8r_dt = timed(lambda: ivf8.query(queries, k=K, union_factor=1, block_q=64))
     log(
-        f"int8 IVF: {N_QUERIES / ivf8_dt:.0f} QPS at recall@10={rec8:.4f} "
-        f"(bf16 path: {ivf_qps:.0f} QPS)"
+        f"int8 IVF raw: {N_QUERIES / ivf8_dt:.0f} QPS at recall@10={rec8:.4f}"
+        f" | int8+rescore: {N_QUERIES / ivf8r_dt:.0f} QPS at "
+        f"recall@10={rec8r:.4f} (bf16 path: {ivf_qps:.0f} QPS)"
     )
 
     # encode throughput (BASELINE.md: "encode sentences/sec measured &
@@ -368,7 +383,8 @@ def main():
         "value": round(ivf_qps, 1),
         "unit": (
             f"queries/sec (top-10, 1M x 384, recall@10={recall:.3f} "
-            f"vs brute force; int8 {N_QUERIES / ivf8_dt:.0f} QPS@{rec8:.3f}; "
+            f"vs brute force; int8 {N_QUERIES / ivf8_dt:.0f} QPS@{rec8:.3f}, "
+            f"+rescore {N_QUERIES / ivf8r_dt:.0f} QPS@{rec8r:.3f}; "
             f"encode {enc_rate:.0f} sent/s; train {train_rate:.0f} pairs/s; "
             f"rerank {rerank_rate:.0f} pairs/s)"
         ),

@@ -598,57 +598,79 @@ def flash_attention(
 
 def _packed_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
                    head_dim: int):
-    """One (B*G, q-block) program; lanes hold P=128/head_dim packed heads.
-    q_ref (1, block_q, 128); k_ref/v_ref (1, S, 128)."""
-    q = q_ref[0]                       # input dtype (bf16-native MXU)
-    k = k_ref[0]
-    v = v_ref[0]
-    seq_len = k.shape[0]
-    block_q = q.shape[0]
-    valid_len = len_ref[pl.program_id(0)]
-    p_heads = 128 // head_dim
-    key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, seq_len), 1)
-    key_valid = key_pos < valid_len
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // head_dim
+    """One program: G batch rows x ONE lane-packed head group. Lanes hold
+    P=128/head_dim heads. q_ref/k_ref/v_ref/o_ref: (G, S, 128) — a direct
+    view of the natural (B, S, H*D) activation layout (heads of a group
+    are contiguous there), so NO host-side pack/unpack transposes exist:
+    the v2 grouped kernel still lost to XLA because its (B,S,H,D)->(B*G,
+    S,128) transposes moved ~as many HBM bytes as the score tensor it
+    eliminated.
 
-    out = jnp.zeros((block_q, 128), jnp.float32)
-    for p in range(p_heads):           # unrolled: P full-width dot pairs
-        qm = jnp.where(lane == p, q, jnp.zeros((), q.dtype))
+    Per row: the P heads' lane-masked queries STACK along the M dim into
+    one (P*S, 128) operand, so scores and PV are each ONE full-width MXU
+    dot (M=P*S, K=128) instead of 2P narrow-K ones; softmax runs
+    uniformly over the stacked (P*S, S) scores."""
+    g = q_ref.shape[0]
+    seq_len = q_ref.shape[1]
+    p_heads = 128 // head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // head_dim
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, seq_len), 1)
+
+    for gi in range(g):                # unrolled
+        q = q_ref[gi]                  # (S, 128) input dtype (bf16 MXU)
+        k = k_ref[gi]
+        v = v_ref[gi]
+        valid_len = len_ref[pl.program_id(0) * g + gi]
+        key_valid = key_pos < valid_len
+
+        qs = jnp.concatenate(
+            [
+                jnp.where(lane == p, q, jnp.zeros((), q.dtype))
+                for p in range(p_heads)
+            ],
+            axis=0,
+        )                              # (P*S, 128): head p in row block p
         s = jax.lax.dot_general(
-            qm, k, (((1,), (1,)), ((), ())),
+            qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                   # (block_q, S): head p only (other
-                                       # lanes of qm are zero)
+        ) * sm_scale                   # (P*S, S)
         s = jnp.where(key_valid, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         # exact-zero weights for masked keys (finite NEG_INF would give
         # exp(0)=1 on fully-masked rows and average V)
         pr = jnp.where(s > NEG_INF / 2, jnp.exp(s - m), 0.0)
-        l = jnp.sum(pr, axis=-1)
-        vm = jnp.where(lane == p, v, jnp.zeros((), v.dtype))
-        o = jax.lax.dot_general(
-            pr.astype(v.dtype), vm, (((1,), (0,)), ((), ())),
+        l = jnp.sum(pr, axis=-1, keepdims=True)
+        pr = pr / jnp.where(l == 0.0, 1.0, l)
+        o_all = jax.lax.dot_general(
+            pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                              # nonzero only in head-p lanes
-        out = out + o / jnp.where(l == 0.0, 1.0, l)[:, None]
-    o_ref[0] = out.astype(o_ref.dtype)
+        )                              # (P*S, 128): row block p x ALL
+                                       # heads' lanes; head p's answer
+                                       # lives in its own lane block
+        out = jnp.zeros((seq_len, 128), jnp.float32)
+        for p in range(p_heads):
+            out = out + jnp.where(
+                lane == p, o_all[p * seq_len:(p + 1) * seq_len, :], 0.0
+            )
+        o_ref[gi] = out.astype(o_ref.dtype)
 
 
-def _packed_forward(qp, kp, vp, lengths, block_q, interpret, head_dim):
+def _packed_forward(qv, kv, vv, lengths, interpret, head_dim):
+    """qv/kv/vv: (B, S, G*128) views of the natural layout."""
     from jax.experimental.pallas import tpu as pltpu
 
-    bg, s, lanes = qp.shape
+    b, s, lanes_tot = qv.shape
+    n_groups = lanes_tot // 128
+    g = 8 if b % 8 == 0 else (4 if b % 4 == 0 else 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bg, s // block_q),
+        grid=(b // g, n_groups),
         in_specs=[
-            pl.BlockSpec((1, block_q, lanes), lambda i, j, lens: (i, j, 0)),
-            pl.BlockSpec((1, s, lanes), lambda i, j, lens: (i, 0, 0)),
-            pl.BlockSpec((1, s, lanes), lambda i, j, lens: (i, 0, 0)),
+            pl.BlockSpec((g, s, 128), lambda i, j, lens: (i, 0, j)),
+            pl.BlockSpec((g, s, 128), lambda i, j, lens: (i, 0, j)),
+            pl.BlockSpec((g, s, 128), lambda i, j, lens: (i, 0, j)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, lanes), lambda i, j, lens: (i, j, 0)
-        ),
+        out_specs=pl.BlockSpec((g, s, 128), lambda i, j, lens: (i, 0, j)),
     )
     return pl.pallas_call(
         functools.partial(
@@ -656,12 +678,12 @@ def _packed_forward(qp, kp, vp, lengths, block_q, interpret, head_dim):
             head_dim=head_dim,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bg, s, lanes), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s, lanes_tot), qv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(lengths, qp, kp, vp)
+    )(lengths, qv, kv, vv)
 
 
 @functools.partial(
@@ -673,92 +695,53 @@ def packed_attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     head_dim: int = 32,
-    block_q: int = 128,
+    block_q: int = 128,    # unused; kept for API compatibility
     interpret: bool = False,
 ) -> jax.Array:
     """Exact attention via the head-packed kernel; differentiable (the
     backward recomputes through the XLA reference formula — attention is
     a small share of training FLOPs at the short S this kernel targets).
-    Requires D*P==128, H % P == 0, S % block_q == 0."""
+    Requires D*P==128 and H % P == 0."""
     b, s, h, d = q.shape
-    assert d == head_dim and 128 % d == 0
-    p = 128 // d
-    g = h // p
+    assert d == head_dim and 128 % d == 0 and h % (128 // d) == 0
     if mask is None:
         lengths = jnp.full((b,), s, jnp.int32)
     else:
         lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
+    return _packed_core(q, k, v, lengths, mask, d, interpret)
 
-    def pack(x):
-        # (B,S,H,D) → (B,G,S,P*D): heads g*P+p land in lane block p
-        return (
-            x.reshape(b, s, g, p, d)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(b * g, s, p * d)
-        )
 
-    lf = jnp.repeat(lengths, g, axis=0)
-    out = _packed_folded(
-        pack(q), pack(k), pack(v), lf, mask, b, s, h, d,
-        min(block_q, s), interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _packed_core(q, k, v, lengths, mask, d, interpret):
+    b, s, h, _ = q.shape
+    view = lambda x: x.reshape(b, s, h * d)   # free: heads contiguous
+    out = _packed_forward(
+        view(q), view(k), view(v), lengths, interpret, d
     )
-    return out
+    return out.reshape(b, s, h, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _packed_folded(qp, kp, vp, lf, mask, b, s, h, d, block_q, interpret):
-    out = _packed_forward(qp, kp, vp, lf, block_q, interpret, d)
-    p = 128 // d
-    return (
-        out.reshape(b, h // p, s, p, d)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(b, s, h, d)
-    )
+def _packed_core_fwd(q, k, v, lengths, mask, d, interpret):
+    return _packed_core(q, k, v, lengths, mask, d, interpret), (q, k, v, mask)
 
 
-def _packed_folded_fwd(qp, kp, vp, lf, mask, b, s, h, d, block_q, interpret):
-    return (
-        _packed_folded(qp, kp, vp, lf, mask, b, s, h, d, block_q, interpret),
-        (qp, kp, vp, mask),
-    )
-
-
-def _packed_folded_bwd(b, s, h, d, block_q, interpret, res, g_out):
+def _packed_core_bwd(d, interpret, res, g_out):
     import numpy as _np
 
-    qp, kp, vp, mask = res
-    p = 128 // d
-    grp = h // p
-
-    def unpack(x):
-        return (
-            x.reshape(b, grp, s, p, d)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(b, s, h, d)
-        )
-
-    def ref(qu, ku, vu):
-        return attention_reference(qu, ku, vu, mask)
-
-    _, vjp = jax.vjp(ref, unpack(qp), unpack(kp), unpack(vp))
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, mask), q, k, v
+    )
     dq, dk, dv = vjp(g_out)
-
-    def repack(x):
-        return (
-            x.reshape(b, s, grp, p, d)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(b * grp, s, p * d)
-        )
-
-    dlf = _np.zeros((b * grp,), dtype=jax.dtypes.float0)
+    dlen = _np.zeros((q.shape[0],), dtype=jax.dtypes.float0)
     dmask = (
         None if mask is None
         else _np.zeros(mask.shape, dtype=jax.dtypes.float0)
     )
-    return repack(dq), repack(dk), repack(dv), dlf, dmask
+    return dq, dk, dv, dlen, dmask
 
 
-_packed_folded.defvjp(_packed_folded_fwd, _packed_folded_bwd)
+_packed_core.defvjp(_packed_core_fwd, _packed_core_bwd)
 
 
 def _on_tpu() -> bool:
@@ -826,34 +809,23 @@ def multi_head_attention(
         return out
     if impl == "auto":
         # Measured on v5e (MiniLM shapes, d=32 heads): the XLA path wins
-        # over the plain flash kernel at every S up to 2048 (the 32-lane
-        # operands waste 3/4 of every load/VPU op), but the HEAD-PACKED
-        # kernel beats both at short S for d<128 (full-lane MXU dots, no
-        # (B,H,S,S) HBM softmax traffic). Flash takes over where XLA's
+        # at every S up to 2048 — over the plain flash kernel (32-lane
+        # operands waste 3/4 of every load/VPU op) AND over the
+        # head-packed kernel (r3: three packed variants measured; the
+        # transpose-free one lands within 4% of XLA — 18.3k vs 19.0k
+        # sent/s MiniLM encode — but its P-fold redundant score FLOPs +
+        # lane-mask VPU work offset the full-lane MXU and score-HBM
+        # savings; docs/ROUND3.md). Flash takes over where XLA's
         # materialized score tensor stops fitting: S≥4096. All paths are
         # differentiable (custom_vjp), so the choice is safe under
         # jax.grad.
-        s_, h_, d_ = q.shape[1], q.shape[2], q.shape[3]
-        use_packed = (
-            _on_tpu()
-            and head_mask is None
-            and window == 0
-            and not causal
-            and d_ < 128
-            and 128 % d_ == 0
-            and h_ % (128 // d_) == 0
-            and s_ % 128 == 0
-            and s_ <= 2048
-        )
         use_flash = (
             _on_tpu()
             and head_mask is None
-            and s_ % 128 == 0
-            and s_ >= 4096
+            and q.shape[1] % 128 == 0
+            and q.shape[1] >= 4096
         )
-        impl = (
-            "packed" if use_packed else "flash" if use_flash else "reference"
-        )
+        impl = "flash" if use_flash else "reference"
     if impl == "packed":
         if head_mask is not None:
             raise ValueError("packed attention does not support head_mask")
