@@ -314,6 +314,46 @@ def main():
         f"b={tb}, s={ts}, MFU={train_mfu * 100:.1f}%)"
     )
 
+    # bert-base train proof point (r2 verdict: report alongside MiniLM —
+    # shows the framework, not the runtime, sets the MiniLM geometry
+    # ceiling). Config = measured best of the r3 remat/batch A/B.
+    bb = ARCH_PRESETS["bert-base"]
+    bb_b = 128
+    bb_params = {"encoder": init_params(jax.random.PRNGKey(4), bb)}
+    bb_tx = make_optimizer(tcfg, total_steps=1000, params_example=bb_params)
+    bb_state = init_train_state(bb_params, bb_tx)
+    bb_step = make_bi_encoder_train_step(
+        bb, bb_tx, loss_type="cosine_mse", remat=True
+    )
+    bb_batch = {
+        "ids_a": jnp.asarray(rng_np.randint(5, bb.vocab_size, (bb_b, ts)), jnp.int32),
+        "mask_a": jnp.ones((bb_b, ts), jnp.int32),
+        "ids_b": jnp.asarray(rng_np.randint(5, bb.vocab_size, (bb_b, ts)), jnp.int32),
+        "mask_b": jnp.ones((bb_b, ts), jnp.int32),
+        "target": jnp.asarray(rng_np.rand(bb_b), jnp.float32),
+        "valid": jnp.ones((bb_b,), jnp.int32),
+    }
+    bb_state, bm = bb_step(bb_state, bb_batch)
+    float(jax.device_get(bm["loss"]))
+    bb_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(TITERS):
+            bb_state, bm = bb_step(bb_state, bb_batch)
+        float(jax.device_get(bm["loss"]))
+        bb_dt = min(bb_dt, (time.time() - t0) / TITERS)
+    bbh, bbi, bbl = bb.hidden_size, bb.intermediate_size, bb.num_layers
+    bb_flops = bbl * (2 * ts * (4 * bbh * bbh + 2 * bbh * bbi)
+                      + 4 * ts * ts * bbh)
+    bb_rate = bb_b / bb_dt
+    bb_mfu = bb_rate * 2 * 3 * bb_flops / V5E_PEAK
+    log(
+        f"train bert-base: {bb_rate:.0f} pairs/sec "
+        f"({bb_dt * 1e3:.1f}ms/step, b={bb_b}, s={ts}, "
+        f"MFU={bb_mfu * 100:.1f}%)"
+    )
+    del bb_state, bb_params
+
     # rerank throughput (BASELINE config 4: cross-encoder scoring of the
     # bi-encoder's top-100 candidates): batched (query, candidate) pair
     # scoring through a MiniLM-class cross encoder (reference

@@ -233,3 +233,32 @@ def test_sentence_encoder_from_hf():
     pooled /= np.linalg.norm(pooled, axis=1, keepdims=True)
     got = np.asarray(enc.embed_tokens(ids, mask))
     np.testing.assert_allclose(got, pooled, atol=5e-4, rtol=1e-2)
+
+
+def test_remat_gradient_equivalence():
+    """remat=True and remat="dots" (matmul-output-saving checkpoint policy)
+    must change only the backward schedule, never values: forward outputs
+    and parameter gradients match remat=False exactly (both are pure
+    rematerialization of the same computation)."""
+    arch = ARCH_PRESETS["tiny-test"]
+    params = init_params(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(7)
+    ids = jnp.asarray(rng.randint(5, arch.vocab_size, size=(2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+
+    def loss(p, remat):
+        out = encoder_forward(
+            p, ids, mask, arch=arch, precision=FP32_PRECISION, remat=remat,
+        ).last_hidden_state
+        return jnp.sum(out * out)
+
+    base, g_base = jax.value_and_grad(lambda p: loss(p, False))(params)
+    for mode in (True, "dots"):
+        v, g = jax.value_and_grad(lambda p: loss(p, mode))(params)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(base), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            ),
+            g, g_base,
+        )

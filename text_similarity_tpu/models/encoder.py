@@ -397,8 +397,19 @@ def encoder_forward(
     body = layer_body
     if remat:
         # trade FLOPs for HBM: the backward pass recomputes each layer's
-        # activations instead of saving them across the whole scan
-        body = jax.checkpoint(layer_body)
+        # activations instead of saving them across the whole scan.
+        # remat="dots" keeps every matmul OUTPUT resident (the FLOPs-heavy
+        # part of recompute) and re-derives only the cheap elementwise
+        # chain — the middle ground when activations fit HBM. (Full
+        # remat=False crashes this environment's remote XLA compiler on
+        # every tested config — docs/ROUND3.md.)
+        if remat == "dots":
+            body = jax.checkpoint(
+                layer_body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            body = jax.checkpoint(layer_body)
     final, ys = jax.lax.scan(body, x, scanned)
 
     hidden_states = None

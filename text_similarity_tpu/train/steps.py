@@ -138,6 +138,10 @@ def make_bi_encoder_train_step(
 
     def loss_fn(params, batch, rng, performer_step):
         enc = params["encoder"]
+        # Two separate tower passes (shared weights). A fused single pass
+        # over the concatenated (2B, S) batch was measured-and-rejected
+        # in r3: ~10% SLOWER on v5e (1966 vs 2203 pairs/s MiniLM b=256)
+        # — XLA pipelines two B-sized scans better than one 2B scan.
         r1, r2 = jax.random.split(rng)
         u = _embed(
             enc, batch["ids_a"], batch["mask_a"], arch=arch,
