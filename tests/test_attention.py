@@ -295,3 +295,20 @@ def test_packed_attention_zero_length_rows():
     ))
     assert np.all(out[0] == 0.0)
     assert np.isfinite(out).all()
+
+
+def test_packed_rejects_window():
+    """impl="packed" must fail loudly for windowed configs rather than
+    silently computing full attention (r3 review finding)."""
+    import pytest
+
+    from text_similarity_tpu.ops.attention import multi_head_attention
+
+    q, k, v = _qkv(b=1, s=128, h=4, d=32, seed=11)
+    m = jnp.ones((1, 128), jnp.int32)
+    with pytest.raises(ValueError, match="window"):
+        multi_head_attention(q, k, v, m, impl="packed", window=32)
+    with pytest.raises(ValueError, match="window"):
+        multi_head_attention(
+            q, k, v, m, impl="packed", window=32, window_global_cls=True
+        )

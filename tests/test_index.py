@@ -351,7 +351,13 @@ def test_ivf_int8_two_pass_rescore_recovers_recall():
         num_clusters=n_clusters, num_probes=n_clusters, kmeans_iters=8,
         quantize_int8=True,
     )
-    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    # rescore must be f32 here: the duplicates are separated by ~0.4% —
+    # right at bf16 resolution — so the default bf16 rescore copy cannot
+    # re-rank them (measured: recall stays ~0.31). Real corpora separate
+    # top-10 neighbors far more coarsely (bench 1M: bf16 == f32 recall).
+    ivf = IVFIndex.build(
+        x, cfg, key=jax.random.PRNGKey(0), rescore_dtype=jnp.float32
+    )
     assert ivf.rescore_data is not None     # kept by default for int8
 
     brute = BruteForceIndex.from_embeddings(x)
@@ -400,3 +406,38 @@ def test_ivf_rescore_after_add(tmp_path):
     assert loaded.rescore_data is not None
     _, qi2 = loaded.query(new_rows, k=1, impl="pallas")
     assert (np.asarray(qi2)[:, 0] == ids).all()
+
+
+def test_ivf_save_load_bf16_and_int8_rescore(tmp_path):
+    """bf16 storage (and the int8 build's bf16 rescore copy) must survive
+    save/load bit-exactly — np.savez silently degrades raw bf16 arrays to
+    void bytes (r3 review finding), so the npz stores uint16 bit views
+    with dtype tags."""
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(num_clusters=16, num_probes=16, kmeans_iters=5)
+
+    bf = IVFIndex.build(x, cfg, data_dtype=jnp.bfloat16)
+    p = str(tmp_path / "bf16.npz")
+    bf.save(p)
+    lb = IVFIndex.load(p)
+    assert lb.data_padded.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(lb.data_padded, np.float32),
+        np.asarray(bf.data_padded, np.float32),
+    )
+    q = x[:8]
+    _, i1 = bf.query_xla(q, k=5)
+    _, i2 = lb.query_xla(q, k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    q8 = IVFIndex.build(x, cfg, data_dtype=jnp.int8)
+    assert q8.rescore_data is not None
+    assert q8.rescore_data.dtype == jnp.bfloat16  # default rescore dtype
+    p8 = str(tmp_path / "int8.npz")
+    q8.save(p8)
+    l8 = IVFIndex.load(p8)
+    assert l8.rescore_data.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(l8.rescore_data, np.float32),
+        np.asarray(q8.rescore_data, np.float32),
+    )

@@ -232,8 +232,14 @@ class ShardedIVFIndex:
             )
             ids = jnp.full((trash + 1,), -1, jnp.int32).at[slot].set(gid)
             # corpus rows clipped into the trash slot would silently
-            # vanish from the index — count them so build can fail loudly
-            n_dropped = jnp.sum((real & over_full).astype(jnp.int32))
+            # vanish from the index — count them so build can fail loudly.
+            # Only overflow rows can land in the trash (in-cap slots are
+            # never clipped); over_rank is a cumsum over ALL positions,
+            # so without the ~in_cap term every later in-cap row would be
+            # miscounted as dropped once the slack cluster fills.
+            n_dropped = jnp.sum(
+                (real & ~in_cap & over_full).astype(jnp.int32)
+            )
             return (
                 flat[:-1].reshape(c_tot, mc, d),
                 ids[:-1].reshape(c_tot, mc),

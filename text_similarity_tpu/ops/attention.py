@@ -829,6 +829,14 @@ def multi_head_attention(
     if impl == "packed":
         if head_mask is not None:
             raise ValueError("packed attention does not support head_mask")
+        if window or window_global_cls:
+            # silently computing FULL attention would diverge from the
+            # banded flash/reference paths — fail loudly like flash does
+            # for head_mask
+            raise ValueError(
+                "packed attention does not support sliding windows; use "
+                "impl='flash' or 'reference' for windowed models"
+            )
         return packed_attention(
             q, k, v, mask, head_dim=q.shape[3], interpret=not _on_tpu()
         )

@@ -82,26 +82,34 @@ class Trainer:
             n_steps = 0
             epoch_metrics: Dict[str, float] = {}
             epoch_batches = batches_per_epoch(epoch)
+            prefetcher = None
             if self.prefetch > 0:
                 from .prefetch import DevicePrefetcher
 
-                epoch_batches = DevicePrefetcher(
+                epoch_batches = prefetcher = DevicePrefetcher(
                     epoch_batches, depth=self.prefetch, mesh=self.mesh
                 )
-            for batch in epoch_batches:
-                self.state, metrics = self.step_fn(self.state, batch)
-                pending.append(metrics)
-                n_steps += 1
-                global_step += 1
-                if len(pending) >= self.log_every:
-                    epoch_metrics = self._drain(pending, epoch_metrics)
-                    pending = []
-                if (
-                    self.checkpoint_every
-                    and self.save_path
-                    and global_step % self.checkpoint_every == 0
-                ):
-                    self._save(global_step, tag=None)
+            try:
+                for batch in epoch_batches:
+                    self.state, metrics = self.step_fn(self.state, batch)
+                    pending.append(metrics)
+                    n_steps += 1
+                    global_step += 1
+                    if len(pending) >= self.log_every:
+                        epoch_metrics = self._drain(pending, epoch_metrics)
+                        pending = []
+                    if (
+                        self.checkpoint_every
+                        and self.save_path
+                        and global_step % self.checkpoint_every == 0
+                    ):
+                        self._save(global_step, tag=None)
+            finally:
+                # a step_fn exception must not abandon the producer
+                # thread blocked on a full queue (it would pin depth+1
+                # device-resident batches for the process lifetime)
+                if prefetcher is not None:
+                    prefetcher.close()
             epoch_metrics = self._drain(pending, epoch_metrics)
             dt = time.time() - t0
             avg = {
