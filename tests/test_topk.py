@@ -106,3 +106,21 @@ def test_pallas_exact_with_score_ties_and_lane_collision():
     # 0 and 512 must both be found (0.9 and 0.8); third is any 0.5 doc
     for r in range(4):
         assert {0, 512} <= set(np.asarray(i)[r]), np.asarray(i)[r]
+
+
+def test_pallas_bf16_corpus_near_exact():
+    """A bf16 corpus flips the kernel to native bf16 MXU dots (serving
+    path): results must agree with the exact f32 kernel up to bf16 input
+    rounding — here, high top-10 overlap on a well-separated corpus."""
+    rng = np.random.RandomState(11)
+    corpus = l2_normalize(jnp.asarray(rng.randn(4096, 64), jnp.float32))
+    queries = l2_normalize(jnp.asarray(rng.randn(32, 64), jnp.float32))
+    _, exact_i = cosine_topk_pallas(queries, corpus, k=10, interpret=True)
+    _, b16_i = cosine_topk_pallas(
+        queries, corpus.astype(jnp.bfloat16), k=10, interpret=True
+    )
+    exact_i, b16_i = np.asarray(exact_i), np.asarray(b16_i)
+    overlap = np.mean([
+        len(set(exact_i[r]) & set(b16_i[r])) / 10 for r in range(32)
+    ])
+    assert overlap >= 0.95, overlap

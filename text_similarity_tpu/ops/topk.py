@@ -214,11 +214,12 @@ def _topk_kernel(
     out_i_ref,  # (block_q, k)
     acc_s,      # VMEM scratch (block_q, k) f32
     acc_i,      # VMEM scratch (block_q, k) i32
-    s_scr,      # VMEM scratch (block_q, block_c) f32 — merge staging
+    s_scr,      # VMEM scratch (block_q, merge_width) f32 — merge staging
     *,
     k: int,
     block_c: int,
     n_total: int,
+    merge_width: int,
 ):
     j = pl.program_id(1)
     n_c_blocks = pl.num_programs(1)
@@ -228,23 +229,39 @@ def _topk_kernel(
         acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
         acc_i[...] = jnp.zeros_like(acc_i)
 
-    q = q_ref[...].astype(jnp.float32)
-    c = c_ref[...].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_c)
-    block_q = s.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_c), 1)
-    global_idx = j * block_c + col
-    # Mask out padding rows beyond the true corpus size.
-    s = jnp.where(global_idx < n_total, s, -jnp.inf)
-
-    def ids_fn(lo, hi):
-        return j * block_c + lo + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, hi - lo), 1
+    # Corpus dtype picks the MXU mode: f32 corpus → f32 dot (bit-exact vs
+    # the XLA oracle — this kernel doubles as the bench's recall oracle);
+    # bf16 corpus → native bf16 MXU dot with f32 accumulation (scores then
+    # carry bf16 input rounding ~0.4%, so near-ties can reorder — a
+    # serving option, not an oracle). Measured at 1M×384 the two run at
+    # the SAME QPS: the kernel is per-grid-step bound, not matmul bound
+    # (docs/ROUND3.md) — hence block_c spans several merge_width slices,
+    # each processed with its own proven-shape dot + merge (any (bq,
+    # ≥4096) staged dot intermediate fails to compile).
+    if c_ref.dtype == jnp.bfloat16:
+        q = q_ref[...].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+    block_q = q.shape[0]
+    for off in range(0, block_c, merge_width):
+        c = c_ref[off:off + merge_width, :]  # sublane ref slice: plain load
+        c = c.astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, merge_width) f32
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, merge_width), 1
         )
+        # Mask out padding rows beyond the true corpus size.
+        s = jnp.where(j * block_c + off + col < n_total, s, -jnp.inf)
 
-    _merge_block_topk(acc_s, acc_i, s_scr, s, ids_fn, k)
+        def ids_fn(lo, hi, _off=off):
+            return j * block_c + _off + lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, hi - lo), 1
+            )
+
+        _merge_block_topk(acc_s, acc_i, s_scr, s, ids_fn, k)
 
     @pl.when(j == n_c_blocks - 1)
     def _flush():
@@ -262,14 +279,22 @@ def cosine_topk_pallas(
     # 256-query blocks halve the per-corpus-block merge + fixed costs
     # (48.6k QPS exact at 1M x 384 vs 41.5k at 128; 512 fails to compile).
     block_q: int = 256,
-    # 2048 is the widest block the two-stage merge compiles at (Mosaic
-    # rejects the 4096-wide fallback rounds).
+    # Per-grid-step corpus span. 2048 is the measured best: wider blocks
+    # (chunked into merge_width dot+merge slices) either fail to compile
+    # (every bc>=4096 config except bq128/bc4096) or run slower (41.3k vs
+    # 49.4k QPS at bq128/bc4096) — the r3 sweep, docs/ROUND3.md.
     block_c: int = 2048,
+    # widest span the two-stage merge compiles at (Mosaic rejects the
+    # 4096-wide fallback rounds)
+    merge_width: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
     n = corpus.shape[0]
     block_q = min(block_q, _round_up(q_n, 8))
+    merge_width = min(merge_width, block_c)
+    if block_c % merge_width:
+        raise ValueError("block_c must be a multiple of merge_width")
     pad_q = _round_up(q_n, block_q)
     pad_n = _round_up(n, block_c)
     if pad_q != q_n:
@@ -280,7 +305,8 @@ def cosine_topk_pallas(
     grid = (pad_q // block_q, pad_n // block_c)
     out_s, out_i = pl.pallas_call(
         functools.partial(
-            _topk_kernel, k=k, block_c=block_c, n_total=n
+            _topk_kernel, k=k, block_c=block_c, n_total=n,
+            merge_width=merge_width,
         ),
         grid=grid,
         in_specs=[
@@ -298,7 +324,7 @@ def cosine_topk_pallas(
         scratch_shapes=[
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
-            pltpu.VMEM((block_q, block_c), jnp.float32),
+            pltpu.VMEM((block_q, merge_width), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
