@@ -277,3 +277,24 @@ def test_cli_cluster(tmp_path, capsys):
     rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
     assert len(rows) == 2
     assert sum(r["size"] for r in rows) == len(SENTS)
+
+
+def test_cli_topics_with_lexicon(tmp_path, capsys):
+    from text_similarity_tpu.utils.lexicon import demo_lexicon
+
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    capsys.readouterr()
+    lex = tmp_path / "lex.json"
+    demo_lexicon().to_json(str(lex))
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(SENTS * 2))
+    main([
+        "topics", "--model", str(tmp_path / "run"), "--corpus", str(corpus),
+        "--num-topics", "2", "--fp32", "--save-path", str(tmp_path / "x"),
+        "--lexicon", str(lex),
+    ])
+    out = capsys.readouterr().out
+    # one row per topic: id, size, [words], names (possibly empty string)
+    assert len(out.strip().splitlines()) == 2

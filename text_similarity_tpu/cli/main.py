@@ -871,12 +871,24 @@ def cmd_topics(args):
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
     with open(args.corpus, encoding="utf-8") as f:
         corpus = [l.strip() for l in f if l.strip()]
+    lexicon = None
+    if args.lexicon:
+        from ..utils.lexicon import Lexicon
+
+        if args.lexicon == "wordnet":
+            lexicon = Lexicon.from_wordnet()  # needs nltk corpus data
+        else:
+            lexicon = Lexicon.from_json(args.lexicon)
     res = TopicModelingPipeline(
         enc, num_topics=args.num_topics, method=args.method,
-        reduce=args.reduce,
+        reduce=args.reduce, lexicon=lexicon,
     )(corpus)
+    names = res.get("names", {})
     for t, words in sorted(res["topics"].items()):
-        print(t, res["sizes"].get(t, 0), [w for w, _ in words])
+        row = [t, res["sizes"].get(t, 0), [w for w, _ in words]]
+        if lexicon is not None:
+            row.append("/".join(names.get(t, [])))
+        print(*row)
 
 
 # ---------------------------------------------------------------------------
@@ -1010,6 +1022,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="kmeans",
                    choices=["kmeans", "density", "hdbscan"])
     p.add_argument("--reduce", default="pca", choices=["pca", "spectral"])
+    p.add_argument("--lexicon", default=None,
+                   help="taxonomy JSON for hypernym topic names "
+                        "(or 'wordnet' to use the nltk corpus if installed)")
     p.set_defaults(fn=cmd_topics)
 
     return ap

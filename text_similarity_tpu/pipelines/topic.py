@@ -12,7 +12,9 @@ SURVEY.md §7 stage 7:
   HDBSCAN's noise label,
 - c-TF-IDF scoring and topic merge implemented exactly as the reference's
   math (topic_modeling.py:106-118 — tf·log(1+A/w) formulation; :129-151
-  merge of least-frequent topics into nearest neighbor).
+  merge of least-frequent topics into nearest neighbor),
+- hypernym topic naming (topic_modeling.py:120-127,171-190) via
+  ``utils/lexicon.py`` — pass ``lexicon=`` to get a ``names`` result key.
 """
 
 from __future__ import annotations
@@ -134,6 +136,7 @@ class TopicModelingPipeline:
         density_min_samples: int = 3,
         reduce: str = "pca",        # "pca" | "spectral" (Laplacian eigenmaps)
         spectral_neighbors: int = 15,
+        lexicon=None,               # utils.lexicon.Lexicon → topic names
     ):
         self.encoder = encoder
         self.num_topics = num_topics
@@ -146,6 +149,7 @@ class TopicModelingPipeline:
         self.density_min_samples = density_min_samples
         self.reduce = reduce
         self.spectral_neighbors = spectral_neighbors
+        self.lexicon = lexicon
 
     def __call__(self, corpus: Sequence[str]) -> dict:
         emb = self.encoder.encode(corpus, batch_size=self.batch_size)
@@ -200,12 +204,22 @@ class TopicModelingPipeline:
             docs_per_topic.setdefault(int(t), []).append(corpus[i])
         words = class_tfidf(docs_per_topic, self.top_n_words)
         sizes = {t: len(d) for t, d in docs_per_topic.items()}
-        return {
+        out = {
             "assignments": assign,
             "topics": words,
             "sizes": sizes,
             "centroids": centroids,
         }
+        if self.lexicon is not None:
+            out["names"] = self._name(words)
+        return out
+
+    def _name(self, words: Dict[int, List[Tuple[str, float]]]):
+        """Hypernym-based topic names (reference find_general_categories,
+        topic_modeling.py:171-190) via the offline taxonomy lexicon."""
+        from ..utils.lexicon import name_topics
+
+        return name_topics(words, self.lexicon)
 
     def reduce_topics(
         self, result: dict, corpus: Sequence[str], target: int
@@ -233,9 +247,13 @@ class TopicModelingPipeline:
         docs_per_topic: Dict[int, List[str]] = {}
         for i, t in enumerate(assign):
             docs_per_topic.setdefault(int(t), []).append(corpus[i])
-        return {
+        words = class_tfidf(docs_per_topic, self.top_n_words)
+        out = {
             "assignments": assign,
-            "topics": class_tfidf(docs_per_topic, self.top_n_words),
+            "topics": words,
             "sizes": {t: len(d) for t, d in docs_per_topic.items()},
             "centroids": centroids,
         }
+        if self.lexicon is not None:
+            out["names"] = self._name(words)
+        return out
