@@ -364,3 +364,67 @@ def test_topic_pipeline_hdbscan_and_spectral():
     # every group of 3 consecutive docs spans the 3 distinct topics
     assert len(set(a2[:3])) == 3
     assert all(tuple(a2[i:i + 3]) == tuple(a2[:3]) for i in range(0, 30, 3))
+
+
+def test_search_server_end_to_end(encoder, tmp_path):
+    """HTTP serving daemon over the search pipeline (reference
+    APISearchPipeline intent): health, search, encode, add, remove, save
+    through a real socket."""
+    import json as _json
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import SearchServer
+
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    server = SearchServer(pipe, port=0)  # ephemeral port
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def call(path, payload=None):
+        if payload is None:
+            req = urllib.request.Request(base + path)
+        else:
+            req = urllib.request.Request(
+                base + path,
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return _json.loads(r.read())
+
+    try:
+        h = call("/health")
+        assert h["status"] == "ok" and h["size"] == len(CORPUS)
+
+        # self-retrieval through the HTTP layer
+        res = call("/search", {"queries": [CORPUS[0]], "k": 3})
+        top = res["results"][0][0]
+        assert top["document"] == CORPUS[0]
+        assert top["score"] == pytest.approx(1.0, abs=1e-3)
+
+        emb = call("/encode", {"texts": [CORPUS[0], CORPUS[1]]})
+        assert np.asarray(emb["embeddings"]).shape == (
+            2, encoder.embedding_dim,
+        )
+
+        added = call("/add", {"texts": ["a brand new document about boats"]})
+        assert len(added["ids"]) == 1
+        new_id = added["ids"][0]
+        res = call("/search", {"queries": "a brand new document about boats", "k": 1})
+        assert res["results"][0][0]["id"] == new_id
+
+        assert call("/remove", {"ids": [new_id]})["removed"] == 1
+        res = call("/search", {"queries": "a brand new document about boats", "k": 1})
+        got = res["results"][0]
+        assert not got or got[0]["id"] != new_id
+
+        saved = call("/save", {"path": str(tmp_path / "served")})
+        assert (tmp_path / "served" / "store.npz").exists(), saved
+
+        # error paths: bad body, unknown endpoint, missing key
+        import urllib.error
+        for path, payload in [("/search", {"nope": 1}), ("/bogus", {})]:
+            with pytest.raises(urllib.error.HTTPError):
+                call(path, payload)
+    finally:
+        server.shutdown()

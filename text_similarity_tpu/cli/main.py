@@ -817,6 +817,28 @@ def cmd_search(args):
             print(f"{row[1]:.4f}\t{row[0]}")
 
 
+def cmd_serve(args):
+    """Search serving daemon (the reference's APISearchPipeline intent,
+    search_pipeline.py:178-226, as a JSON-over-HTTP service)."""
+    from ..models.sentence_encoder import SentenceEncoder
+    from ..pipelines import SemanticSearchPipeline
+    from ..pipelines.serve import SearchServer
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    pipe = SemanticSearchPipeline(enc)
+    if args.load:
+        pipe.load_corpus(args.load)
+    elif args.corpus:
+        with open(args.corpus, encoding="utf-8") as f:
+            pipe.add_documents([l.strip() for l in f if l.strip()])
+    server = SearchServer(pipe, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
 def cmd_mine(args):
     from ..models.sentence_encoder import SentenceEncoder
     from ..pipelines import SentenceMiningPipeline
@@ -996,6 +1018,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clusters", type=int, default=1024)
     p.add_argument("--probes", type=int, default=16)
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("serve"); _common(p)
+    p.add_argument("--corpus", help="text file, one document per line")
+    p.add_argument("--load", help="saved pipeline dir (from /save or save())")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("mine"); _common(p)
     p.add_argument("--corpus", required=True)

@@ -2,6 +2,7 @@ from .search import SemanticSearchPipeline, SentenceMiningPipeline
 from .rerank import RankingPipeline
 from .clustering import ClusteringPipeline
 from .topic import TopicModelingPipeline
+from .serve import SearchServer
 
 __all__ = [
     "SemanticSearchPipeline",
@@ -9,4 +10,5 @@ __all__ = [
     "RankingPipeline",
     "ClusteringPipeline",
     "TopicModelingPipeline",
+    "SearchServer",
 ]
