@@ -51,6 +51,11 @@ N_QUERIES = 16384
 N_RECALL = 256     # recall oracle over a subset (oracle cost is O(Q*N))
 K = 10
 ITERS = 5
+# serving query config: 64-query blocks sharing a 56-probe union, and the
+# deferred ("approx") merge — per probe step only a per-lane-class running
+# max is folded; the k-round merge runs once per block (r3: 339k vs 235k
+# QPS at IDENTICAL measured recall 0.9961; docs/ROUND3.md)
+QARGS = dict(union_factor=1, block_q=64, approx_width=2048)
 
 
 def log(msg):
@@ -124,7 +129,7 @@ def main():
 
     # recall gate + warm the query kernel
     t0 = time.time()
-    _, ivf_i = ivf.query(queries, k=K, union_factor=1, block_q=64)
+    _, ivf_i = ivf.query(queries, k=K, **QARGS)
     ivf_i = np.asarray(ivf_i)
     log(f"IVF query compile+run: {time.time() - t0:.1f}s")
     recall = np.mean([
@@ -149,12 +154,12 @@ def main():
             best = min(best, (time.time() - t0) / ITERS)
         return best
 
-    ivf_dt = timed(lambda: ivf.query(queries, k=K, union_factor=1, block_q=64))
+    ivf_dt = timed(lambda: ivf.query(queries, k=K, **QARGS))
     ivf_qps = N_QUERIES / ivf_dt
     # single-call (sync) latency for the record
     t0 = time.time()
     for _ in range(5):
-        _, i = ivf.query(queries, k=K, union_factor=1, block_q=64)
+        _, i = ivf.query(queries, k=K, **QARGS)
         np.asarray(i)
     ivf_lat = (time.time() - t0) / 5
 
@@ -173,11 +178,11 @@ def main():
     # search_pipeline.py:138)
     for lb in (1, 16):
         qs = queries[:lb]
-        np.asarray(ivf.query(qs, k=K, union_factor=1, block_q=64)[1])  # warm/compile
+        np.asarray(ivf.query(qs, k=K, **QARGS)[1])  # warm/compile
         lats = []
         for r in range(20):
             t0 = time.time()
-            _, li = ivf.query(qs, k=K, union_factor=1, block_q=64)
+            _, li = ivf.query(qs, k=K, **QARGS)
             np.asarray(li)
             lats.append(time.time() - t0)
         lats = np.sort(np.asarray(lats)) * 1e3
@@ -191,7 +196,7 @@ def main():
             # block-union probe list is not a superset of a single
             # query's own probes, so strict subset checks against it can
             # legitimately fail — ADVICE r2)
-            b1 = np.asarray(ivf.query(queries[:1], k=K, union_factor=1, block_q=64)[1])
+            b1 = np.asarray(ivf.query(queries[:1], k=K, **QARGS)[1])
             b1_hits = len(set(b1[0]) & set(oracle_i[0]))
             assert b1_hits >= K - 2, (
                 f"batch-1 recall vs oracle too low: {b1_hits}/{K}"
@@ -205,20 +210,20 @@ def main():
         corpus, cfg, key=jax.random.PRNGKey(7), data_dtype=jnp.int8
     )
     log(f"int8 IVF build: {time.time() - t0:.1f}s")
-    _, i8 = ivf8.query(queries, k=K, union_factor=1, block_q=64, k_coarse=-1)
+    _, i8 = ivf8.query(queries, k=K, k_coarse=-1, **QARGS)
     i8 = np.asarray(i8)
     rec8 = np.mean([
         len(set(i8[r]) & set(oracle_i[r])) / K for r in range(N_RECALL)
     ])
     ivf8_dt = timed(
-        lambda: ivf8.query(queries, k=K, union_factor=1, block_q=64, k_coarse=-1)
+        lambda: ivf8.query(queries, k=K, k_coarse=-1, **QARGS)
     )
-    _, i8r = ivf8.query(queries, k=K, union_factor=1, block_q=64)  # rescore default
+    _, i8r = ivf8.query(queries, k=K, **QARGS)  # rescore default
     i8r = np.asarray(i8r)
     rec8r = np.mean([
         len(set(i8r[r]) & set(oracle_i[r])) / K for r in range(N_RECALL)
     ])
-    ivf8r_dt = timed(lambda: ivf8.query(queries, k=K, union_factor=1, block_q=64))
+    ivf8r_dt = timed(lambda: ivf8.query(queries, k=K, **QARGS))
     log(
         f"int8 IVF raw: {N_QUERIES / ivf8_dt:.0f} QPS at recall@10={rec8:.4f}"
         f" | int8+rescore: {N_QUERIES / ivf8r_dt:.0f} QPS at "

@@ -2,6 +2,7 @@
 IVF recall vs brute force (the north-star property, SURVEY.md §4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -441,3 +442,64 @@ def test_ivf_save_load_bf16_and_int8_rescore(tmp_path):
         np.asarray(l8.rescore_data, np.float32),
         np.asarray(q8.rescore_data, np.float32),
     )
+
+
+def test_ivf_approx_merge_recall():
+    """Deferred-merge scan (approx_width): per-lane-class running max per
+    probe, ONE k-round merge per block. On a clustered corpus recall must
+    stay within a hair of the exact merge (collision loss ~k^2/2/width)."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+    _, exact_i = ivf.query(queries, k=10, impl="pallas")
+    exact_rec = np.mean([
+        len(set(np.asarray(exact_i)[r]) & set(true_i[r])) / 10
+        for r in range(64)
+    ])
+    for pps in (1, 2, 4):
+        _, ai = ivf.query(
+            queries, k=10, impl="pallas", approx_width=2048,
+            probes_per_step=pps,
+        )
+        ai = np.asarray(ai)
+        rec = np.mean([
+            len(set(ai[r]) & set(true_i[r])) / 10 for r in range(64)
+        ])
+        assert rec >= exact_rec - 0.02, (pps, rec, exact_rec)
+
+
+def test_ivf_approx_merge_int8_rescore():
+    """approx merge composes with the int8 coarse scan + exact rescore."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf8 = IVFIndex.build(
+        x, cfg, key=jax.random.PRNGKey(0), data_dtype=jnp.int8
+    )
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+    _, ai = ivf8.query(
+        queries, k=10, impl="pallas", approx_width=2048, k_coarse=20,
+    )
+    ai = np.asarray(ai)
+    rec = np.mean([
+        len(set(ai[r]) & set(true_i[r])) / 10 for r in range(64)
+    ])
+    assert rec >= 0.9, rec
+
+
+def test_ivf_approx_rejects_per_probe():
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(num_clusters=16, num_probes=4, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg)
+    with pytest.raises(ValueError):
+        ivf.query(
+            x[:8], k=5, impl="pallas", approx_width=512, per_probe=True
+        )

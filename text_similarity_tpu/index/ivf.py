@@ -35,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import IndexConfig
 from ..ops.kmeans import kmeans, assign_clusters, assign_clusters_topk
-from ..ops.topk import l2_normalize, topk_merge
+from ..ops.topk import (
+    l2_normalize,
+    topk_merge,
+    _exact_merge_rounds as _topk_exact_merge_rounds,
+)
 
 
 def _round_up(x, m):
@@ -212,12 +216,21 @@ class IVFIndex:
         self, queries, k: int = 10, probes: Optional[int] = None,
         block_q: int = 32, union_factor: int = 3, impl: str = "auto",
         k_coarse: int = 0, per_probe: bool = False,
+        approx_width: int = 0,
+        probes_per_step: int = 1,  # >1 (approx only): scan P probed
+                                   # clusters per grid step — divides the
+                                   # fixed per-step cost by P   # >0: deferred-merge scan — per-lane-class
+                                 # running max per probe, ONE k-round merge
+                                 # per query block (expected recall cost
+                                 # ~k²/2/width; big QPS win — _ivf_body)
     ) -> Tuple[jax.Array, jax.Array]:
         """One fused jitted call: normalize → probe-union → Pallas scan.
         (Eager intermediate ops would each cost a device round trip —
         measured 10× QPS loss through a remote-device relay.)"""
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if approx_width and per_probe:
+            raise ValueError("approx_width and per_probe are exclusive")
         if impl == "xla":
             return self.query_xla(queries, k, probes)
         probes = min(
@@ -237,7 +250,8 @@ class IVFIndex:
             self.num_base_clusters, k, probes, block_q, union,
             jax.default_backend() != "tpu",
             rescore_data=self.rescore_data, k_coarse=k_coarse,
-            per_probe=per_probe,
+            per_probe=per_probe, approx_width=approx_width,
+            probes_per_step=probes_per_step,
         )
         return s[:b], i[:b]
 
@@ -452,13 +466,15 @@ class IVFIndex:
 @functools.partial(
     jax.jit,
     static_argnames=("num_base", "k", "probes", "block_q", "union",
-                     "interpret", "k_coarse", "per_probe"),
+                     "interpret", "k_coarse", "per_probe", "approx_width",
+                     "probes_per_step"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
     num_base: int, k: int, probes: int, block_q: int, union: int,
     interpret: bool, rescore_data=None, k_coarse: int = 0,
-    per_probe: bool = False,
+    per_probe: bool = False, approx_width: int = 0,
+    probes_per_step: int = 1,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
@@ -539,7 +555,8 @@ def _ivf_query_fused(
         k_scan = k_coarse if do_rescore else k
         s, i = _ivf_query_pallas(
             q, probe_ids, data_padded, ids_padded, scales_padded, k_scan,
-            block_q, interpret=interpret,
+            block_q, interpret=interpret, approx_width=approx_width,
+            probes_per_step=probes_per_step,
         )
         if do_rescore:
             s, i = rescore(s, i)
@@ -607,6 +624,7 @@ def _ivf_query_xla(
 def _ivf_body(
     q_ref, data_ref, ids_ref, scales_ref, out_s_ref, out_i_ref,
     acc_s, acc_i, s_scr, k: int, per_probe: bool = False,
+    approx_width: int = 0,
 ):
     """Shared body: one (query-block, probed-cluster) step of the scan.
 
@@ -661,6 +679,37 @@ def _ivf_body(
             ids_ref[0, 0, lo:hi][None, :], (block_q, hi - lo)
         )
 
+    if approx_width:
+        # Deferred merge (the round-3 per-step-cost lever): the k-round
+        # masked-max merge is ~80% of each probe step's cost (measured:
+        # per-step time is invariant to DMA bytes, dot dtype, and reduce
+        # width but linear in k — docs/ROUND3.md). So per step only FOLD
+        # this cluster's scores into a running per-lane-class max
+        # accumulator (one compare pass over Mc), and run the k rounds
+        # ONCE per query block at the last probe. A lane class keeps a
+        # single winner, so two true top-k hits landing in the same class
+        # anywhere in the probe union lose the weaker one — expected
+        # recall cost ~k²/2/approx_width (~0.1% at 2048 for k=10);
+        # the exact path (approx_width=0) remains for oracles.
+        w = approx_width
+        s_scr[...] = s                       # stage: lane-slicing a dot
+        for off in range(0, mc, w):          # result aborts Mosaic
+            sl = s_scr[:, off:off + w]
+            il = ids_fn(off, off + w)
+            upd = sl > acc_s[...]
+            acc_s[...] = jnp.where(upd, sl, acc_s[...])
+            acc_i[...] = jnp.where(upd, il, acc_i[...])
+
+        @pl.when(u == n_u - 1)
+        def _flush_approx():
+            new_s, new_i = _topk_exact_merge_rounds(
+                acc_s[...], acc_i[...], k
+            )
+            out_s_ref[...] = new_s
+            out_i_ref[...] = new_i
+
+        return
+
     # Two-stage exact merge (reduce → k cheap rounds → detect → fallback),
     # shared with the brute-force kernel (ops/topk._merge_block_topk).
     from ..ops.topk import _merge_block_topk
@@ -677,22 +726,82 @@ def _ivf_body(
             out_i_ref[...] = acc_i[...]
 
 
+def _ivf_kernel_multiprobe(
+    probes_ref, q_ref, *refs, k: int, n_data: int, has_scales: bool,
+):
+    """P probes per grid step (approx/deferred-merge mode only).
+
+    The single-probe scan is bound by a ~3µs fixed per-grid-step cost
+    (measured: per-step time invariant to DMA bytes, dot dtype, and — once
+    the merge is deferred — to everything but the step count). Fetching P
+    probed clusters per step through P scalar-prefetch-indexed operands
+    divides that fixed cost by P; the marginal work per extra probe is
+    just its dot + fold. approx_width == Mc here, so scores fold
+    full-width into the running per-lane-class max (no staging scratch,
+    no lane-slicing of dot results)."""
+    P = n_data
+    data_refs = refs[:P]
+    ids_refs = refs[P:2 * P]
+    off = 2 * P
+    scales_refs = refs[off:off + P] if has_scales else None
+    out_s_ref, out_i_ref, acc_s, acc_i = refs[-4:]
+
+    u = pl.program_id(1)
+    n_u = pl.num_programs(1)
+
+    @pl.when(u == 0)
+    def _init():
+        acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+        acc_i[...] = jnp.full_like(acc_i, -1)
+
+    if data_refs[0].dtype in (jnp.bfloat16, jnp.int8):
+        q = q_ref[...].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+    block_q = q.shape[0]
+
+    for p in range(P):
+        data = data_refs[p][0].astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, data, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, Mc)
+        if scales_refs is not None:
+            s = s * scales_refs[p][0, 0][None, :]
+        ids = ids_refs[p][0, 0]
+        ids_b = jnp.broadcast_to(ids[None, :], (block_q, ids.shape[0]))
+        s = jnp.where(ids_b >= 0, s, -jnp.inf)
+        upd = s > acc_s[...]
+        acc_s[...] = jnp.where(upd, s, acc_s[...])
+        acc_i[...] = jnp.where(upd, ids_b, acc_i[...])
+
+    @pl.when(u == n_u - 1)
+    def _flush():
+        new_s, new_i = _topk_exact_merge_rounds(acc_s[...], acc_i[...], k)
+        out_s_ref[...] = new_s
+        out_i_ref[...] = new_i
+
+
 def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,
                 out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
-                per_probe: bool = False):
+                per_probe: bool = False, approx_width: int = 0):
     _ivf_body(q_ref, data_ref, ids_ref, None,
-              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe)
+              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe,
+              approx_width)
 
 
 def _ivf_kernel_int8(probes_ref, q_ref, data_ref, ids_ref, scales_ref,
                      out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
-                     per_probe: bool = False):
+                     per_probe: bool = False, approx_width: int = 0):
     _ivf_body(q_ref, data_ref, ids_ref, scales_ref,
-              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe)
+              out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe,
+              approx_width)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "interpret", "per_probe")
+    jax.jit,
+    static_argnames=("k", "block_q", "interpret", "per_probe",
+                     "approx_width", "probes_per_step"),
 )
 def _ivf_query_pallas(
     q,            # (B, D) padded to block_q
@@ -704,6 +813,8 @@ def _ivf_query_pallas(
     block_q: int,
     interpret: bool = False,
     per_probe: bool = False,
+    approx_width: int = 0,
+    probes_per_step: int = 1,
 ):
     """``per_probe=False``: returns the merged (B, k). ``per_probe=True``:
     returns per-probe top-k as (U, B, k) — the leading probe axis keeps
@@ -712,6 +823,75 @@ def _ivf_query_pallas(
     b, d = q.shape
     n_blocks, u_tot = probe_list.shape
     c_tot, mc, _ = data_padded.shape
+    if approx_width:
+        if per_probe:
+            raise ValueError("approx_width and per_probe are exclusive")
+        approx_width = min(approx_width, mc)
+        if mc % approx_width:
+            approx_width = mc   # single fold — always valid
+    if probes_per_step > 1:
+        if not approx_width or per_probe:
+            raise ValueError("probes_per_step>1 needs the approx path")
+        approx_width = mc       # full-width fold, no staging scratch
+        P = probes_per_step
+        if u_tot % P:
+            # pad by repeating the last probe — rescanning a cluster is
+            # idempotent for the fold and deduped by the final k rounds
+            pad = P - u_tot % P
+            probe_list = jnp.concatenate(
+                [probe_list] + [probe_list[:, -1:]] * pad, axis=1
+            )
+            u_tot += pad
+        in_specs = [pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0))]
+        operands = [probe_list, q]
+        for p in range(P):
+            in_specs.append(pl.BlockSpec(
+                (1, mc, d),
+                lambda i, j, probes, p=p: (probes[i, j * P + p], 0, 0),
+            ))
+            operands.append(data_padded)
+        for p in range(P):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, mc),
+                lambda i, j, probes, p=p: (probes[i, j * P + p], 0, 0),
+            ))
+            operands.append(ids_padded[:, None, :])
+        if scales_padded is not None:
+            for p in range(P):
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, mc),
+                    lambda i, j, probes, p=p: (probes[i, j * P + p], 0, 0),
+                ))
+                operands.append(scales_padded[:, None, :])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks, u_tot // P),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, mc), jnp.float32),
+                pltpu.VMEM((block_q, mc), jnp.int32),
+            ],
+        )
+        out_s, out_i = pl.pallas_call(
+            functools.partial(
+                _ivf_kernel_multiprobe, k=k, n_data=P,
+                has_scales=scales_padded is not None,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, k), jnp.float32),
+                jax.ShapeDtypeStruct((b, k), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*operands)
+        return out_s, out_i
 
     in_specs = [
         pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
@@ -719,13 +899,18 @@ def _ivf_query_pallas(
         pl.BlockSpec((1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0)),
     ]
     operands = [probe_list, q, data_padded, ids_padded[:, None, :]]
-    kernel = functools.partial(_ivf_kernel, k=k, per_probe=per_probe)
+    kernel = functools.partial(
+        _ivf_kernel, k=k, per_probe=per_probe, approx_width=approx_width
+    )
     if scales_padded is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0))
         )
         operands.append(scales_padded[:, None, :])
-        kernel = functools.partial(_ivf_kernel_int8, k=k, per_probe=per_probe)
+        kernel = functools.partial(
+            _ivf_kernel_int8, k=k, per_probe=per_probe,
+            approx_width=approx_width,
+        )
 
     if per_probe:
         out_specs = [
@@ -754,8 +939,8 @@ def _ivf_query_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((block_q, k), jnp.float32),
-            pltpu.VMEM((block_q, k), jnp.int32),
+            pltpu.VMEM((block_q, approx_width or k), jnp.float32),
+            pltpu.VMEM((block_q, approx_width or k), jnp.int32),
             pltpu.VMEM((block_q, mc), jnp.float32),
         ],
     )

@@ -133,7 +133,14 @@ class SemanticSearchPipeline:
         if self._want_ivf():
             if self.ivf is None:
                 self._build_ivf()
-            s, i = self.ivf.query(q_emb, k=max_num_results)
+            # deferred-merge scan for big clusters: same measured recall,
+            # +44% QPS (docs/ROUND3.md); tiny clusters keep the exact
+            # merge (lane-class collision loss scales as k²/2/Mc)
+            mc = self.ivf.data_padded.shape[1]
+            s, i = self.ivf.query(
+                q_emb, k=max_num_results,
+                approx_width=2048 if mc >= 1024 else 0,
+            )
             s, i = np.asarray(s), np.asarray(i)
             if self._id_remap is not None:
                 i = np.where(i >= 0, self._id_remap[np.maximum(i, 0)], -1)
