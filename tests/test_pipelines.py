@@ -428,3 +428,55 @@ def test_search_server_end_to_end(encoder, tmp_path):
                 call(path, payload)
     finally:
         server.shutdown()
+
+
+def test_search_server_micro_batching(encoder):
+    """Concurrent /search requests coalesce into one pipeline call via
+    the micro-batcher; every client still gets exactly its own rows."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import SearchServer
+
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    calls = []
+    orig = pipe.__class__.__call__
+
+    class _Counting:
+        def __call__(self, queries, max_num_results=10):
+            calls.append(len(queries))
+            return orig(pipe, queries, max_num_results)
+
+    server = SearchServer(_Counting(), port=0, batch_window=0.05)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+
+    results = {}
+
+    def one(idx, text):
+        req = urllib.request.Request(
+            base + "/search",
+            data=_json.dumps({"queries": [text], "k": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            results[idx] = _json.loads(r.read())["results"][0]
+
+    try:
+        threads = [
+            threading.Thread(target=one, args=(i, CORPUS[i]))
+            for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # each client got its own self-retrieval row
+        for i in range(6):
+            assert results[i][0]["document"] == CORPUS[i], (i, results[i])
+        # and the 6 requests ran in fewer than 6 pipeline calls
+        assert len(calls) < 6, calls
+        assert sum(calls) == 6, calls
+    finally:
+        server.shutdown()

@@ -831,7 +831,10 @@ def cmd_serve(args):
     elif args.corpus:
         with open(args.corpus, encoding="utf-8") as f:
             pipe.add_documents([l.strip() for l in f if l.strip()])
-    server = SearchServer(pipe, host=args.host, port=args.port)
+    server = SearchServer(
+        pipe, host=args.host, port=args.port,
+        batch_window=args.batch_window_ms / 1000.0,
+    )
     print(f"serving on http://{args.host}:{server.port}", flush=True)
     try:
         server.serve_forever()
@@ -1024,6 +1027,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", help="saved pipeline dir (from /save or save())")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="micro-batch window for concurrent /search "
+                        "requests (0 disables)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("mine"); _common(p)

@@ -130,6 +130,22 @@ class SemanticSearchPipeline:
         q_emb = self.encoder.encode(
             queries, batch_size=self.batch_size, device_output=True
         )
+        # snap the query count to a power-of-2 bucket so a serving mix of
+        # request sizes hits a handful of compiled shapes instead of one
+        # XLA specialization per distinct count (same trick as the
+        # encoder's length buckets). Pad rows REPLICATE the last query —
+        # zero rows would hijack the kernel's block-max probe union.
+        n_q = q_emb.shape[0]
+        bucket = 1
+        while bucket < n_q:
+            bucket *= 2
+        if bucket != n_q:
+            q_emb = jnp.concatenate([
+                q_emb,
+                jnp.broadcast_to(
+                    q_emb[-1:], (bucket - n_q, q_emb.shape[1])
+                ),
+            ])
         if self._want_ivf():
             if self.ivf is None:
                 self._build_ivf()

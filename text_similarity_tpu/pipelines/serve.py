@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -36,12 +38,90 @@ from ..utils.logging import get_logger
 logger = get_logger("serve")
 
 
+class _MicroBatcher:
+    """Coalesce concurrent /search requests into one device call.
+
+    TPU throughput is batch-bound (one fused dispatch costs the same
+    relay round trip whether it carries 1 or 16k queries — CLAUDE.md
+    perf notes), so under concurrent load the winning serving shape is:
+    take the first waiting request, linger ``window`` seconds for
+    companions, run ONE pipeline call over the concatenated queries, and
+    scatter the per-request slices back. Single-request latency pays at
+    most ``window``; aggregate QPS approaches the batched kernel rate."""
+
+    def __init__(self, pipeline, lock, window: float, max_batch: int = 4096):
+        self.pipeline = pipeline
+        self.lock = lock           # the server's pipeline mutation lock
+        self.window = window
+        self.max_batch = max_batch
+        self._cv = threading.Condition()
+        self._queue: deque = deque()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, queries, k: int):
+        item = {
+            "q": queries, "k": k, "ev": threading.Event(),
+            "res": None, "err": None,
+        }
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["ev"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["res"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                first = self._queue.popleft()
+            if self.window > 0:
+                time.sleep(self.window)   # linger for companions
+            batch = [first]
+            with self._cv:
+                while (
+                    self._queue
+                    and self._queue[0]["k"] == first["k"]
+                    and sum(len(b["q"]) for b in batch) < self.max_batch
+                ):
+                    batch.append(self._queue.popleft())
+            all_q = [q for b in batch for q in b["q"]]
+            try:
+                with self.lock:
+                    results = self.pipeline(
+                        all_q, max_num_results=first["k"]
+                    )
+                off = 0
+                for b in batch:
+                    b["res"] = results[off:off + len(b["q"])]
+                    off += len(b["q"])
+            except Exception as e:  # surface to every waiting request
+                for b in batch:
+                    b["err"] = e
+            for b in batch:
+                b["ev"].set()
+
+
 class SearchServer:
     """Owns the pipeline, the lock, and the HTTP server object."""
 
-    def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(
+        self,
+        pipeline,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        batch_window: float = 0.0,  # >0: micro-batch concurrent /search
+                                    # requests (seconds of linger)
+    ):
         self.pipeline = pipeline
         self.lock = threading.Lock()
+        self.batcher = (
+            _MicroBatcher(pipeline, self.lock, batch_window)
+            if batch_window > 0 else None
+        )
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -81,6 +161,10 @@ class SearchServer:
                 if req is None:
                     return self._reply(400, {"error": "invalid JSON body"})
                 try:
+                    if self.path == "/search" and server.batcher is not None:
+                        # the batcher worker takes the pipeline lock —
+                        # waiting under it here would deadlock
+                        return self._reply(200, server._search_batched(req))
                     handler = {
                         "/search": server._search,
                         "/encode": server._encode,
@@ -100,12 +184,8 @@ class SearchServer:
 
     # -- request handlers (called under self.lock) -------------------------
 
-    def _search(self, req: dict) -> dict:
-        queries = req["queries"]
-        if isinstance(queries, str):
-            queries = [queries]
-        k = int(req.get("k", 10))
-        results = self.pipeline(queries, max_num_results=k)
+    @staticmethod
+    def _format_results(results) -> dict:
         return {
             "results": [
                 [
@@ -115,6 +195,22 @@ class SearchServer:
                 for row in results
             ]
         }
+
+    def _search(self, req: dict) -> dict:
+        queries = req["queries"]
+        if isinstance(queries, str):
+            queries = [queries]
+        k = int(req.get("k", 10))
+        return self._format_results(
+            self.pipeline(queries, max_num_results=k)
+        )
+
+    def _search_batched(self, req: dict) -> dict:
+        queries = req["queries"]
+        if isinstance(queries, str):
+            queries = [queries]
+        k = int(req.get("k", 10))
+        return self._format_results(self.batcher.submit(queries, k))
 
     def _encode(self, req: dict) -> dict:
         texts = req["texts"]
