@@ -214,13 +214,14 @@ class IndexConfig:
     @classmethod
     def auto(cls, n: int) -> "IndexConfig":
         """Size the index from the corpus: C ≈ 2·√N rounded to a power of
-        two, probes ≈ C/85 — the operating point of the 1M×384 sweep
-        (C=2048, probes=24 → recall@10=0.992 at 176k QPS on one v5e)."""
+        two, probes ≈ C/37 — the round-3 operating point of the 1M×384
+        sweep (C=2048, 56-probe block union → recall@10=0.9961 at 342k
+        QPS on one v5e with the deferred merge; docs/ROUND3.md)."""
         import math
 
         c = 2 ** int(round(math.log2(max(2.0 * math.sqrt(max(n, 1)), 8.0))))
         c = max(8, min(c, max(n // 32, 8)))
-        probes = max(4, min(c, int(round(c / 85)) or 4))
+        probes = max(4, min(c, int(round(c / 37)) or 4))
         return cls(num_clusters=c, num_probes=probes)
 
 

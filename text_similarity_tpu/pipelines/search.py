@@ -155,6 +155,9 @@ class SemanticSearchPipeline:
             mc = self.ivf.data_padded.shape[1]
             s, i = self.ivf.query(
                 q_emb, k=max_num_results,
+                # measured serving sweet spot (docs/ROUND3.md): 64-query
+                # blocks sharing the config's probe count as the union
+                block_q=64, union_factor=1,
                 approx_width=2048 if mc >= 1024 else 0,
             )
             s, i = np.asarray(s), np.asarray(i)
