@@ -124,3 +124,42 @@ def test_pallas_bf16_corpus_near_exact():
         len(set(exact_i[r]) & set(b16_i[r])) / 10 for r in range(32)
     ])
     assert overlap >= 0.95, overlap
+
+
+def test_two_pass_certified_exact():
+    """Pass A (deferred lane-class fold) + pass B (count certification):
+    results must be index-exact vs the XLA oracle on random corpora."""
+    from text_similarity_tpu.ops.topk import cosine_topk_pallas_2pass
+
+    rng = np.random.RandomState(3)
+    corpus = l2_normalize(jnp.asarray(rng.randn(4096 + 77, 64), jnp.float32))
+    queries = l2_normalize(jnp.asarray(rng.randn(40, 64), jnp.float32))
+    _, oi = cosine_topk_xla(queries, corpus, k=10)
+    _, ti = cosine_topk_pallas_2pass(queries, corpus, k=10, interpret=True)
+    oi, ti = np.asarray(oi), np.asarray(ti)
+    for r in range(40):
+        assert set(oi[r]) == set(ti[r]), (r, oi[r], ti[r])
+
+
+def test_two_pass_collision_falls_back_exact():
+    """Two top-k docs sharing a lane class (positions ≡ mod block_c) hide
+    one in pass A; certification must detect it and the fallback must
+    restore exactness."""
+    from text_similarity_tpu.ops.topk import cosine_topk_pallas_2pass
+
+    rng = np.random.RandomState(4)
+    d = 64
+    corpus = rng.randn(4096, d).astype(np.float32) * 0.01
+    target = rng.randn(d).astype(np.float32)
+    # two near-duplicates of the query at the SAME lane class (block_c
+    # = 2048 apart) → same fold lane; both belong in the top-10
+    corpus[5] = target + 0.001 * rng.randn(d)
+    corpus[5 + 2048] = target + 0.001 * rng.randn(d)
+    corpus = l2_normalize(jnp.asarray(corpus))
+    queries = l2_normalize(jnp.asarray(target[None, :].repeat(8, axis=0)))
+    _, oi = cosine_topk_xla(queries, corpus, k=10)
+    _, ti = cosine_topk_pallas_2pass(queries, corpus, k=10, interpret=True)
+    oi, ti = np.asarray(oi), np.asarray(ti)
+    for r in range(8):
+        assert {5, 5 + 2048} <= set(ti[r]), ti[r]
+        assert set(oi[r]) == set(ti[r])

@@ -334,6 +334,176 @@ def cosine_topk_pallas(
     return out_s[:q_n], out_i[:q_n]
 
 
+def _topk_fold_kernel(
+    q_ref, c_ref, out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k: int, block_c: int, n_total: int,
+):
+    """Pass A of the certified two-pass scan: fold each corpus block's
+    scores into a running per-lane-class max (one compare pass — no
+    per-block k-round merge), k rounds once at the last block. A lane
+    class (corpus position mod block_c) keeps one winner, so two true
+    top-k docs sharing a class lose the weaker — pass B detects that."""
+    j = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+        acc_i[...] = jnp.full_like(acc_i, -1)
+
+    if c_ref.dtype == jnp.bfloat16:
+        q = q_ref[...].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+    c = c_ref[...].astype(q.dtype)
+    s = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_c)
+    block_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_c), 1)
+    ids = j * block_c + col
+    s = jnp.where(ids < n_total, s, -jnp.inf)
+    upd = s > acc_s[...]
+    acc_s[...] = jnp.where(upd, s, acc_s[...])
+    acc_i[...] = jnp.where(upd, ids, acc_i[...])
+
+    @pl.when(j == n_c - 1)
+    def _flush():
+        new_s, new_i = _exact_merge_rounds(acc_s[...], acc_i[...], k)
+        out_s_ref[...] = new_s
+        out_i_ref[...] = new_i
+
+
+def _topk_count_kernel(
+    q_ref, c_ref, thr_ref, out_cnt_ref, acc,
+    *, block_c: int, n_total: int,
+):
+    """Pass B: exact count of corpus scores strictly above each query's
+    reported k-th winner. Equality with the reported count certifies the
+    fold result (same strictly-above criterion as _merge_block_topk's
+    per-block check)."""
+    j = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    if c_ref.dtype == jnp.bfloat16:
+        q = q_ref[...].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+    c = c_ref[...].astype(q.dtype)
+    s = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    block_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_c), 1)
+    s = jnp.where(j * block_c + col < n_total, s, -jnp.inf)
+    thr = thr_ref[:, 0:1]                       # (block_q, 1) ref slice
+    cnt = jnp.sum((s > thr).astype(jnp.float32), axis=1)
+    acc[...] = acc[...] + cnt[:, None]
+
+    @pl.when(j == n_c - 1)
+    def _flush():
+        out_cnt_ref[...] = acc[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_c", "interpret")
+)
+def cosine_topk_pallas_2pass(
+    queries: jax.Array,  # (Q, D) L2-normalized
+    corpus: jax.Array,   # (N, D) L2-normalized
+    k: int = 10,
+    block_q: int = 256,
+    block_c: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Certified two-pass exact top-k.
+
+    The one-pass kernel pays a k-round masked-max merge per corpus block
+    (~80% of its per-step cost — docs/ROUND3.md). Here pass A replaces it
+    with a per-lane-class running max (deferred merge, one k-round flush
+    per query block) and pass B re-streams the corpus once to COUNT
+    scores strictly above each reported k-th winner: a count mismatch
+    means a lane-class collision hid a true winner, and the whole call
+    falls back to the proven exact kernel (`lax.cond`). Exactness is
+    certified at the computed score resolution (f32 dots for an f32
+    corpus — the oracle mode; bf16-input rounding applies to bf16
+    corpora, as in `cosine_topk_pallas`)."""
+    q_n, d = queries.shape
+    n = corpus.shape[0]
+    block_q = min(block_q, _round_up(q_n, 8))
+    pad_q = _round_up(q_n, block_q)
+    pad_n = _round_up(n, block_c)
+    q_p = jnp.pad(queries, ((0, pad_q - q_n), (0, 0))) if pad_q != q_n else queries
+    c_p = jnp.pad(corpus, ((0, pad_n - n), (0, 0))) if pad_n != n else corpus
+
+    grid = (pad_q // block_q, pad_n // block_c)
+    out_s, out_i = pl.pallas_call(
+        functools.partial(
+            _topk_fold_kernel, k=k, block_c=block_c, n_total=n
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_c, d), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_q, k), jnp.float32),
+            jax.ShapeDtypeStruct((pad_q, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, block_c), jnp.float32),
+            pltpu.VMEM((block_q, block_c), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, c_p)
+
+    thr = out_s[:, k - 1]
+    thr_in = jnp.broadcast_to(thr[:, None], (pad_q, 128))
+    cnt = pl.pallas_call(
+        functools.partial(_topk_count_kernel, block_c=block_c, n_total=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_c, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_q, 128), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_q, 128), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((pad_q, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, c_p, thr_in)[:, 0]
+
+    cnt_rep = jnp.sum(
+        (out_s > thr[:, None]).astype(jnp.float32), axis=1
+    )
+    valid = jnp.arange(pad_q) < q_n
+    ok = jnp.all(jnp.where(valid, cnt == cnt_rep, True))
+
+    def _fast(_):
+        return out_s[:q_n], out_i[:q_n]
+
+    def _exact(_):
+        return cosine_topk_pallas(
+            queries, corpus, k=k, block_q=block_q, interpret=interpret
+        )
+
+    return jax.lax.cond(ok, _fast, _exact, None)
+
+
 def cosine_topk(
     queries: jax.Array,
     corpus: jax.Array,
