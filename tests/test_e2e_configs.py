@@ -167,3 +167,38 @@ def test_multilingual_distillation(teacher):
     s_emb = student.encode(tgt)
     cos = np.sum(t_emb * s_emb, axis=1)
     assert cos.mean() > 0.3, cos.mean()  # moved toward teacher space
+
+
+def test_albert_shared_layer_train_step_decreases_loss():
+    """ALBERT-style shared-layer encoder trains end to end: the bi-encoder
+    cosine-MSE step runs with a stack-depth-1 parameter set and the loss
+    decreases (gradients flow through all scan iterations into the one
+    shared layer)."""
+    from text_similarity_tpu.core.config import TrainConfig
+    from text_similarity_tpu.train import (
+        init_train_state, make_bi_encoder_train_step, make_optimizer,
+    )
+
+    arch = ARCH_PRESETS["tiny-test"].replace(
+        share_layers=True, embed_factor_size=32
+    )
+    params = {"encoder": init_params(jax.random.PRNGKey(0), arch)}
+    assert params["encoder"]["layers"]["attn"]["q"]["w"].shape[0] == 1
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, max_seq_len=16)
+    tx = make_optimizer(tcfg, total_steps=20, params_example=params)
+    state = init_train_state(params, tx)
+    step = make_bi_encoder_train_step(arch, tx, loss_type="cosine_mse")
+    rng = np.random.RandomState(0)
+    batch = {
+        "ids_a": jnp.asarray(rng.randint(5, arch.vocab_size, (8, 16)), jnp.int32),
+        "mask_a": jnp.ones((8, 16), jnp.int32),
+        "ids_b": jnp.asarray(rng.randint(5, arch.vocab_size, (8, 16)), jnp.int32),
+        "mask_b": jnp.ones((8, 16), jnp.int32),
+        "target": jnp.asarray(rng.rand(8), jnp.float32),
+        "valid": jnp.ones((8,), jnp.int32),
+    }
+    losses = []
+    for _ in range(12):
+        state, m = step(state, batch)
+        losses.append(float(jax.device_get(m["loss"])))
+    assert losses[-1] < losses[0], losses

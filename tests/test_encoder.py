@@ -262,3 +262,71 @@ def test_remat_gradient_equivalence():
             ),
             g, g_base,
         )
+
+
+def test_albert_parity_with_hf():
+    """ALBERT: shared layer stack + factorized embeddings (the reference
+    trains albert-japanese classifiers, BASELINE.md). Logit parity vs a
+    random-init transformers AlbertModel."""
+    cfg = transformers.AlbertConfig(
+        vocab_size=512,
+        embedding_size=32,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=96,
+        type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    model = transformers.AlbertModel(cfg).eval()
+    params, arch = convert_hf_model(model)
+    assert arch.share_layers and arch.embed_factor_size == 32
+    # one shared parameter set on the stack axis
+    assert params["layers"]["attn"]["q"]["w"].shape[0] == 1
+    ids, mask = _random_batch(cfg.vocab_size)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        )
+    out = encoder_forward(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        arch=arch,
+        precision=FP32_PRECISION,
+        attention_impl="reference",
+    )
+    got = np.asarray(out.last_hidden_state, np.float32)
+    want = ref.last_hidden_state.numpy()
+    m = mask.astype(bool)
+    np.testing.assert_allclose(got[m], want[m], atol=2e-4, rtol=2e-3)
+    pooled = np.asarray(out.pooler_output, np.float32)
+    np.testing.assert_allclose(
+        pooled, ref.pooler_output.numpy(), atol=2e-4, rtol=2e-3
+    )
+
+
+def test_albert_random_init_runs_and_shares():
+    """init_params honors share_layers/embed_factor_size and the forward
+    runs all num_layers iterations (output differs from a 1-layer run)."""
+    from text_similarity_tpu.models import init_params as _init
+
+    arch = ARCH_PRESETS["tiny-test"].replace(
+        share_layers=True, embed_factor_size=32
+    )
+    params = _init(jax.random.PRNGKey(0), arch)
+    assert params["layers"]["attn"]["q"]["w"].shape[0] == 1
+    assert params["embeddings"]["word"].shape[1] == 32
+    ids, mask = _random_batch(arch.vocab_size)
+    out2 = encoder_forward(
+        params, jnp.asarray(ids), jnp.asarray(mask), arch=arch,
+        precision=FP32_PRECISION,
+    ).last_hidden_state
+    out1 = encoder_forward(
+        params, jnp.asarray(ids), jnp.asarray(mask),
+        arch=arch.replace(num_layers=1), precision=FP32_PRECISION,
+    ).last_hidden_state
+    assert not np.allclose(np.asarray(out2), np.asarray(out1))

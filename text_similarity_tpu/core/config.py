@@ -76,6 +76,12 @@ class EncoderArch:
     # (fast_attention.py:257-307, local_attn_heads).
     performer_local_heads: int = 0
     performer_local_window: int = 64
+    # ALBERT-family knobs (reference trains albert-japanese classifiers,
+    # BASELINE.md results table): one parameter set shared by all
+    # num_layers blocks, and factorized embeddings — tables live at
+    # embed_factor_size and a learned projection maps them to hidden.
+    share_layers: bool = False
+    embed_factor_size: int = 0   # 0 = embeddings at hidden_size (no proj)
     # Sliding-window (Longformer-style local) attention radius; 0 = full.
     attention_window: int = 0
     # With a window, keep position 0 (CLS) globally attending/attended —
@@ -135,6 +141,12 @@ ARCH_PRESETS = {
         layer_norm_eps=1e-5,
         pad_token_id=1,
         position_offset=2,
+    ),
+    "albert-base": EncoderArch(
+        vocab_size=30000,
+        hidden_act="gelu_new",
+        share_layers=True,
+        embed_factor_size=128,
     ),
     "tiny-test": EncoderArch(
         vocab_size=1024,

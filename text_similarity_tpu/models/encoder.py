@@ -48,7 +48,12 @@ def _dense_init(key, fan_in, fan_out, stddev=0.02):
 def init_params(key: jax.Array, arch: EncoderArch) -> dict:
     """Random-init params (HF-style trunc-normal-ish, std=0.02)."""
     keys = jax.random.split(key, 16)
-    h, i, l = arch.hidden_size, arch.intermediate_size, arch.num_layers
+    h, i = arch.hidden_size, arch.intermediate_size
+    # ALBERT layer sharing: ONE parameter set on the stack axis; the
+    # forward scan still runs num_layers iterations over it.
+    l = 1 if arch.share_layers else arch.num_layers
+    # ALBERT factorized embeddings: tables at E, projected to H.
+    e = arch.embed_factor_size or h
 
     def stack(fn, key, *shape_args):
         ks = jax.random.split(key, l)
@@ -56,9 +61,9 @@ def init_params(key: jax.Array, arch: EncoderArch) -> dict:
 
     params = {
         "embeddings": {
-            "word": jax.random.normal(keys[0], (arch.vocab_size, h)) * 0.02,
-            "position": jax.random.normal(keys[1], (arch.max_position, h)) * 0.02,
-            "ln": {"scale": jnp.ones((h,)), "bias": jnp.zeros((h,))},
+            "word": jax.random.normal(keys[0], (arch.vocab_size, e)) * 0.02,
+            "position": jax.random.normal(keys[1], (arch.max_position, e)) * 0.02,
+            "ln": {"scale": jnp.ones((e,)), "bias": jnp.zeros((e,))},
         },
         "layers": {
             "attn": {
@@ -77,8 +82,13 @@ def init_params(key: jax.Array, arch: EncoderArch) -> dict:
     }
     if arch.has_token_type:
         params["embeddings"]["token_type"] = (
-            jax.random.normal(keys[8], (arch.type_vocab_size, h)) * 0.02
+            jax.random.normal(keys[8], (arch.type_vocab_size, e)) * 0.02
         )
+    if arch.embed_factor_size:
+        params["embeddings"]["proj"] = {
+            "w": _dense_init(keys[11], e, h),
+            "b": jnp.zeros((h,)),
+        }
     if arch.has_pooler:
         params["pooler"] = {
             "w": _dense_init(keys[9], h, h),
@@ -123,6 +133,8 @@ def param_pspecs(arch: EncoderArch, model_axis: str = "model") -> dict:
     }
     if arch.has_token_type:
         specs["embeddings"]["token_type"] = P(None, None)
+    if arch.embed_factor_size:
+        specs["embeddings"]["proj"] = {"w": P(None, None), "b": P(None)}
     if arch.has_pooler:
         specs["pooler"] = {"w": P(None, None), "b": P(None)}
     if arch.projection_dim:
@@ -296,6 +308,16 @@ def embed_inputs(
         x, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 997),
         deterministic,
     )
+    if arch.embed_factor_size and "proj" in emb:
+        # ALBERT factorized embeddings: tables live at E; map E→H before
+        # the layer stack (HF embedding_hidden_mapping_in semantics)
+        x = (
+            jnp.einsum(
+                "bse,eh->bsh", x, emb["proj"]["w"],
+                preferred_element_type=precision.accum_dtype,
+            )
+            + emb["proj"]["b"]
+        )
     return x.astype(precision.compute_dtype)
 
 
@@ -372,9 +394,21 @@ def encoder_forward(
             )
         attention_impl = "performer"
 
+    # ALBERT layer sharing: the single parameter set is closed over the
+    # scan body (it's a traced function argument, not a baked constant)
+    # and every iteration reuses it.
+    shared_lp = (
+        jax.tree.map(lambda p: p[0], layer_params)
+        if arch.share_layers else None
+    )
+
     def layer_body(carry, scanned):
         hx = carry
-        lp, hm, gate, layer_idx = scanned
+        if shared_lp is None:
+            lp, hm, gate, layer_idx = scanned
+        else:
+            hm, gate, layer_idx = scanned
+            lp = shared_lp
         hx2 = transformer_layer(
             hx, lp, attention_mask,
             arch=arch, precision=precision,
@@ -389,11 +423,12 @@ def encoder_forward(
         return out, out if output_hidden_states else None
 
     scanned = (
-        layer_params,
         hm_stack,
         layer_gate.astype(precision.compute_dtype),
         jnp.arange(l, dtype=jnp.int32),
     )
+    if shared_lp is None:
+        scanned = (layer_params,) + scanned
     body = layer_body
     if remat:
         # trade FLOPs for HBM: the backward pass recomputes each layer's

@@ -2,7 +2,7 @@
 
 Capability parity with the reference's ``AutoModel.from_pretrained``
 bootstrap (reference: src/models/modeling.py:32-33): any BERT / MiniLM /
-DistilBERT / RoBERTa / XLM-R checkpoint converts into this framework's
+DistilBERT / RoBERTa / XLM-R / ALBERT checkpoint converts into this framework's
 stacked-layer pytree. Works from either a live ``transformers`` torch model
 or a raw state_dict (numpy'd), so converted checkpoints can be produced
 offline and shipped as npz.
@@ -41,6 +41,31 @@ def arch_from_hf_config(cfg) -> EncoderArch:
             pad_token_id=cfg.pad_token_id,
             has_token_type=False,
             has_pooler=False,
+        )
+    if mt == "albert":
+        if (
+            getattr(cfg, "num_hidden_groups", 1) != 1
+            or getattr(cfg, "inner_group_num", 1) != 1
+        ):
+            raise ValueError("only single-group ALBERT is supported")
+        return EncoderArch(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            num_layers=cfg.num_hidden_layers,
+            num_heads=cfg.num_attention_heads,
+            intermediate_size=cfg.intermediate_size,
+            max_position=cfg.max_position_embeddings,
+            type_vocab_size=cfg.type_vocab_size,
+            layer_norm_eps=cfg.layer_norm_eps,
+            hidden_act=cfg.hidden_act,
+            pad_token_id=cfg.pad_token_id or 0,
+            has_token_type=cfg.type_vocab_size > 0,
+            has_pooler=True,
+            share_layers=True,
+            embed_factor_size=(
+                cfg.embedding_size
+                if cfg.embedding_size != cfg.hidden_size else 0
+            ),
         )
     if mt in ("bert", "roberta", "xlm-roberta", "camembert"):
         offset = 2 if mt != "bert" else 0
@@ -101,6 +126,28 @@ _DISTILBERT_LAYER = {
     ("mlp_ln", "bias"): "transformer.layer.{i}.output_layer_norm.bias",
 }
 
+# ALBERT: one shared parameter set (layer group 0, inner layer 0) — the
+# {i} template index is unused and the stack depth is 1 (the forward scan
+# reuses it num_layers times; encoder.py share_layers).
+_ALBERT_LAYER = {
+    ("attn", "q", "w"): "encoder.albert_layer_groups.0.albert_layers.0.attention.query.weight",
+    ("attn", "q", "b"): "encoder.albert_layer_groups.0.albert_layers.0.attention.query.bias",
+    ("attn", "k", "w"): "encoder.albert_layer_groups.0.albert_layers.0.attention.key.weight",
+    ("attn", "k", "b"): "encoder.albert_layer_groups.0.albert_layers.0.attention.key.bias",
+    ("attn", "v", "w"): "encoder.albert_layer_groups.0.albert_layers.0.attention.value.weight",
+    ("attn", "v", "b"): "encoder.albert_layer_groups.0.albert_layers.0.attention.value.bias",
+    ("attn", "o", "w"): "encoder.albert_layer_groups.0.albert_layers.0.attention.dense.weight",
+    ("attn", "o", "b"): "encoder.albert_layer_groups.0.albert_layers.0.attention.dense.bias",
+    ("attn_ln", "scale"): "encoder.albert_layer_groups.0.albert_layers.0.attention.LayerNorm.weight",
+    ("attn_ln", "bias"): "encoder.albert_layer_groups.0.albert_layers.0.attention.LayerNorm.bias",
+    ("mlp", "in", "w"): "encoder.albert_layer_groups.0.albert_layers.0.ffn.weight",
+    ("mlp", "in", "b"): "encoder.albert_layer_groups.0.albert_layers.0.ffn.bias",
+    ("mlp", "out", "w"): "encoder.albert_layer_groups.0.albert_layers.0.ffn_output.weight",
+    ("mlp", "out", "b"): "encoder.albert_layer_groups.0.albert_layers.0.ffn_output.bias",
+    ("mlp_ln", "scale"): "encoder.albert_layer_groups.0.albert_layers.0.full_layer_layer_norm.weight",
+    ("mlp_ln", "bias"): "encoder.albert_layer_groups.0.albert_layers.0.full_layer_layer_norm.bias",
+}
+
 _EMB = {
     "bert": {
         "word": "embeddings.word_embeddings.weight",
@@ -112,6 +159,13 @@ _EMB = {
     "distilbert": {
         "word": "embeddings.word_embeddings.weight",
         "position": "embeddings.position_embeddings.weight",
+        "ln_scale": "embeddings.LayerNorm.weight",
+        "ln_bias": "embeddings.LayerNorm.bias",
+    },
+    "albert": {
+        "word": "embeddings.word_embeddings.weight",
+        "position": "embeddings.position_embeddings.weight",
+        "token_type": "embeddings.token_type_embeddings.weight",
         "ln_scale": "embeddings.LayerNorm.weight",
         "ln_bias": "embeddings.LayerNorm.bias",
     },
@@ -130,7 +184,7 @@ def convert_state_dict(
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     # Strip a top-level prefix like "bert." / "distilbert." / "roberta."
-    prefixes = ("bert.", "distilbert.", "roberta.", "model.")
+    prefixes = ("bert.", "distilbert.", "roberta.", "albert.", "model.")
     for p in prefixes:
         if any(k.startswith(p) for k in sd):
             sd = {
@@ -138,10 +192,18 @@ def convert_state_dict(
             }
             break
 
-    fam = "distilbert" if family == "distilbert" else "bert"
+    if family in ("distilbert", "albert"):
+        fam = family
+    else:
+        fam = "bert"
     emb_map = _EMB[fam]
-    layer_map = _DISTILBERT_LAYER if fam == "distilbert" else _BERT_LAYER
-    l = arch.num_layers
+    layer_map = {
+        "distilbert": _DISTILBERT_LAYER,
+        "albert": _ALBERT_LAYER,
+        "bert": _BERT_LAYER,
+    }[fam]
+    # ALBERT shares one parameter set across all layers — stack depth 1
+    l = 1 if arch.share_layers else arch.num_layers
 
     def stacked(template: str, transpose: bool) -> jnp.ndarray:
         mats = []
@@ -179,10 +241,25 @@ def convert_state_dict(
         params["embeddings"]["token_type"] = jnp.asarray(
             sd[emb_map["token_type"]], jnp.float32
         )
+    if arch.embed_factor_size and "encoder.embedding_hidden_mapping_in.weight" in sd:
+        params["embeddings"]["proj"] = {
+            "w": jnp.asarray(
+                sd["encoder.embedding_hidden_mapping_in.weight"].T,
+                jnp.float32,
+            ),
+            "b": jnp.asarray(
+                sd["encoder.embedding_hidden_mapping_in.bias"], jnp.float32
+            ),
+        }
     if arch.has_pooler and "pooler.dense.weight" in sd:
         params["pooler"] = {
             "w": jnp.asarray(sd["pooler.dense.weight"].T, jnp.float32),
             "b": jnp.asarray(sd["pooler.dense.bias"], jnp.float32),
+        }
+    elif arch.has_pooler and "pooler.weight" in sd:   # ALBERT: bare Linear
+        params["pooler"] = {
+            "w": jnp.asarray(sd["pooler.weight"].T, jnp.float32),
+            "b": jnp.asarray(sd["pooler.bias"], jnp.float32),
         }
     return params
 
@@ -208,9 +285,12 @@ def extend_positions(params: dict, arch: EncoderArch, new_max: int) -> Tuple[dic
 
 def convert_hf_model(hf_model) -> Tuple[dict, EncoderArch]:
     """Convert a live transformers model (BertModel/DistilBertModel/
-    RobertaModel) into (params, arch)."""
+    RobertaModel/AlbertModel) into (params, arch)."""
     arch = arch_from_hf_config(hf_model.config)
     family = hf_model.config.model_type
-    fam = "distilbert" if family == "distilbert" else "bert"
+    if family in ("distilbert", "albert"):
+        fam = family
+    else:
+        fam = "bert"
     params = convert_state_dict(hf_model.state_dict(), arch, family=fam)
     return params, arch
