@@ -115,7 +115,10 @@ class SemanticSearchPipeline:
         else:
             self._id_remap = None
         cfg = self.index_config or IndexConfig.auto(int(data.shape[0]))
-        self.ivf = IVFIndex.build(data, cfg)
+        # bf16 cluster storage: measured identical QPS and recall to f32
+        # on the 1M bench corpus (native bf16 MXU dots, f32 accumulation)
+        # at half the HBM footprint — docs/ROUND3.md
+        self.ivf = IVFIndex.build(data, cfg, data_dtype=jnp.bfloat16)
         logger.info(
             "built IVF index: %d rows, %d clusters (+%d overflow)",
             int(data.shape[0]),
