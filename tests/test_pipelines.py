@@ -480,3 +480,58 @@ def test_search_server_micro_batching(encoder):
         assert sum(calls) == 6, calls
     finally:
         server.shutdown()
+
+
+def test_search_server_internal_error_returns_500(encoder):
+    """An unexpected pipeline exception returns a JSON 500 and the daemon
+    keeps serving subsequent requests."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import SearchServer
+
+    class _Flaky:
+        def __init__(self):
+            self.pipe = SemanticSearchPipeline(
+                encoder, corpus=CORPUS, use_ivf=False
+            )
+            self.store = self.pipe.store
+            self.ivf = None
+            self.boom = True
+
+        def __call__(self, queries, max_num_results=10):
+            if self.boom:
+                self.boom = False
+                raise RuntimeError("synthetic device failure")
+            return self.pipe(queries, max_num_results)
+
+        @property
+        def encoder(self):
+            return self.pipe.encoder
+
+    server = SearchServer(_Flaky(), port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def call(payload):
+        req = urllib.request.Request(
+            base + "/search",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return _json.loads(r.read())
+
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            call({"queries": [CORPUS[0]], "k": 3})
+        assert ei.value.code == 500
+        assert "synthetic device failure" in _json.loads(
+            ei.value.read()
+        )["error"]
+        # daemon still alive and correct afterwards
+        res = call({"queries": [CORPUS[0]], "k": 3})
+        assert res["results"][0][0]["document"] == CORPUS[0]
+    finally:
+        server.shutdown()

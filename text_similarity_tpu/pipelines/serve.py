@@ -178,6 +178,9 @@ class SearchServer:
                         self._reply(200, handler(req))
                 except (KeyError, TypeError, ValueError) as e:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                except Exception as e:  # unexpected: 500, keep serving
+                    logger.exception("request failed")
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True
