@@ -264,13 +264,16 @@ def test_remat_gradient_equivalence():
         )
 
 
-def test_albert_parity_with_hf():
+@pytest.mark.parametrize("embedding_size", [32, 64])
+def test_albert_parity_with_hf(embedding_size):
     """ALBERT: shared layer stack + factorized embeddings (the reference
     trains albert-japanese classifiers, BASELINE.md). Logit parity vs a
-    random-init transformers AlbertModel."""
+    random-init transformers AlbertModel. The E == H case matters: HF
+    applies embedding_hidden_mapping_in unconditionally, so the converter
+    must keep the projection even when no dimension change happens."""
     cfg = transformers.AlbertConfig(
         vocab_size=512,
-        embedding_size=32,
+        embedding_size=embedding_size,
         hidden_size=64,
         num_hidden_layers=3,
         num_attention_heads=4,
@@ -281,7 +284,8 @@ def test_albert_parity_with_hf():
     torch.manual_seed(0)
     model = transformers.AlbertModel(cfg).eval()
     params, arch = convert_hf_model(model)
-    assert arch.share_layers and arch.embed_factor_size == 32
+    assert arch.share_layers and arch.embed_factor_size == embedding_size
+    assert "proj" in params["embeddings"]
     # one shared parameter set on the stack axis
     assert params["layers"]["attn"]["q"]["w"].shape[0] == 1
     ids, mask = _random_batch(cfg.vocab_size)

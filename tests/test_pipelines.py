@@ -68,12 +68,19 @@ def test_search_pipeline_self_retrieval(encoder):
     assert results[1][0][0] == CORPUS[5]
 
 
+def test_search_pipeline_empty_queries(encoder):
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    assert pipe([], max_num_results=3) == []
+
+
 def test_search_pipeline_add_remove(encoder):
     pipe = SemanticSearchPipeline(encoder, corpus=CORPUS[:6], use_ivf=False)
     new_ids = pipe.add_documents(["completely new document about whales"])
     res = pipe(["completely new document about whales"], 1)
     assert res[0][0][2] == new_ids[0]
-    pipe.remove_documents(new_ids)
+    # removal count reflects rows actually alive: 1, then 0 on repeat
+    assert pipe.remove_documents(new_ids) == 1
+    assert pipe.remove_documents(new_ids) == 0
     res = pipe(["completely new document about whales"], 1)
     assert res[0][0][2] != new_ids[0]
 
@@ -435,6 +442,7 @@ def test_search_server_micro_batching(encoder):
     the micro-batcher; every client still gets exactly its own rows."""
     import json as _json
     import threading
+    import time
     import urllib.request
 
     from text_similarity_tpu.pipelines import SearchServer
@@ -444,11 +452,26 @@ def test_search_server_micro_batching(encoder):
     orig = pipe.__class__.__call__
 
     class _Counting:
+        # set after server construction; lets the first pipeline call wait
+        # until every other request is queued, so coalescing is
+        # deterministic rather than a bet on thread scheduling
+        server = None
+
         def __call__(self, queries, max_num_results=10):
+            if not calls and self.server is not None:
+                want = 6 - len(queries)
+                deadline = time.time() + 10.0
+                while (
+                    len(self.server.batcher._queue) < want
+                    and time.time() < deadline
+                ):
+                    time.sleep(0.005)
             calls.append(len(queries))
             return orig(pipe, queries, max_num_results)
 
-    server = SearchServer(_Counting(), port=0, batch_window=0.05)
+    counting = _Counting()
+    server = SearchServer(counting, port=0, batch_window=0.05)
+    counting.server = server
     server.start_background()
     base = f"http://127.0.0.1:{server.port}"
 
@@ -475,8 +498,9 @@ def test_search_server_micro_batching(encoder):
         # each client got its own self-retrieval row
         for i in range(6):
             assert results[i][0]["document"] == CORPUS[i], (i, results[i])
-        # and the 6 requests ran in fewer than 6 pipeline calls
-        assert len(calls) < 6, calls
+        # and the 6 requests coalesced: the gated first call plus at most
+        # one batch carrying everyone who queued behind it
+        assert len(calls) <= 2, calls
         assert sum(calls) == 6, calls
     finally:
         server.shutdown()

@@ -216,13 +216,14 @@ class IVFIndex:
         self, queries, k: int = 10, probes: Optional[int] = None,
         block_q: int = 32, union_factor: int = 3, impl: str = "auto",
         k_coarse: int = 0, per_probe: bool = False,
-        approx_width: int = 0,
+        approx_width: int = 0,     # >0: deferred-merge scan — per-lane-
+                                   # class running max per probe, ONE
+                                   # k-round merge per query block
+                                   # (expected recall cost ~k²/2/width;
+                                   # the big QPS lever — _ivf_body)
         probes_per_step: int = 1,  # >1 (approx only): scan P probed
-                                   # clusters per grid step — divides the
-                                   # fixed per-step cost by P   # >0: deferred-merge scan — per-lane-class
-                                 # running max per probe, ONE k-round merge
-                                 # per query block (expected recall cost
-                                 # ~k²/2/width; big QPS win — _ivf_body)
+                                   # clusters per grid step (measured
+                                   # slower on v5e; kept as an option)
     ) -> Tuple[jax.Array, jax.Array]:
         """One fused jitted call: normalize → probe-union → Pallas scan.
         (Eager intermediate ops would each cost a device round trip —

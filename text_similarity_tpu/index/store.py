@@ -77,10 +77,14 @@ class EmbeddingStore:
         self.size += n
         return ids
 
-    def mark_deleted(self, ids: Sequence[int]) -> None:
+    def mark_deleted(self, ids: Sequence[int]) -> int:
+        """Tombstone the given row ids; returns how many were alive."""
         alive = np.array(jax.device_get(self.alive))  # writable copy
-        alive[np.asarray(list(ids))] = False
+        idx = np.asarray(list(ids), dtype=np.int64)
+        n_alive = int(alive[idx].sum())
+        alive[idx] = False
         self.alive = jnp.asarray(alive)
+        return n_alive
 
     def grow(self, new_capacity: int) -> None:
         """Resize (analogue of hnswlib resize_index)."""

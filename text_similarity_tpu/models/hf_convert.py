@@ -62,10 +62,11 @@ def arch_from_hf_config(cfg) -> EncoderArch:
             has_token_type=cfg.type_vocab_size > 0,
             has_pooler=True,
             share_layers=True,
-            embed_factor_size=(
-                cfg.embedding_size
-                if cfg.embedding_size != cfg.hidden_size else 0
-            ),
+            # HF ALBERT applies embedding_hidden_mapping_in UNCONDITIONALLY
+            # (even when embedding_size == hidden_size), so the factor size
+            # must stay set either way or the learned projection is
+            # silently dropped from converted checkpoints.
+            embed_factor_size=cfg.embedding_size,
         )
     if mt in ("bert", "roberta", "xlm-roberta", "camembert"):
         offset = 2 if mt != "bert" else 0

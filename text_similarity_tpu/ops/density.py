@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .topk import _round_up
+
 
 def _compact_labels(labels: np.ndarray) -> np.ndarray:
     """Renumber labels 0..k−1 in first-appearance order (noise stays −1)."""
@@ -65,10 +67,6 @@ def dbscan_cosine(
     )
     labels = np.asarray(jax.device_get(labels))[:n]
     return _compact_labels(labels)
-
-
-def _round_up(a: int, m: int) -> int:
-    return (a + m - 1) // m * m
 
 
 @partial(jax.jit, static_argnames=("min_samples", "max_sweeps", "chunk"))
@@ -232,8 +230,7 @@ def _stability_select(levels: np.ndarray, lam: np.ndarray, n: int) -> np.ndarray
         # survivors at the chain end persist to the densest λ reached
         end_level = ck[0]
         in_end = np.isin(node.members, raw[ck])
-        leave = np.where(in_end, lam[0] if end_level == 0 else lam[end_level],
-                         leave)
+        leave = np.where(in_end, lam[end_level], leave)
         node.stab = float(np.sum(leave - birth_lam))
         node.chain_members = raw[ck]
         for kid in child_of.get(ck, []):

@@ -270,7 +270,8 @@ def _topk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "block_c", "interpret")
+    jax.jit,
+    static_argnames=("k", "block_q", "block_c", "merge_width", "interpret"),
 )
 def cosine_topk_pallas(
     queries: jax.Array,  # (Q, D) L2-normalized
@@ -497,8 +498,12 @@ def cosine_topk_pallas_2pass(
         return out_s[:q_n], out_i[:q_n]
 
     def _exact(_):
+        # keep the caller's geometry: both cond branches are traced, so a
+        # default block_c here could fail to compile even when the
+        # fallback never runs at runtime
         return cosine_topk_pallas(
-            queries, corpus, k=k, block_q=block_q, interpret=interpret
+            queries, corpus, k=k, block_q=block_q, block_c=block_c,
+            merge_width=min(block_c, 2048), interpret=interpret,
         )
 
     return jax.lax.cond(ok, _fast, _exact, None)

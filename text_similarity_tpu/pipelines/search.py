@@ -81,10 +81,11 @@ class SemanticSearchPipeline:
             self.ivf = None
         return ids
 
-    def remove_documents(self, ids: Sequence[int]) -> None:
+    def remove_documents(self, ids: Sequence[int]) -> int:
         """In-place delete (hnswlib mark_deleted): tombstone the store rows
-        AND clear the IVF slots — no index rebuild on the next query."""
-        self.store.mark_deleted(ids)
+        AND clear the IVF slots — no index rebuild on the next query.
+        Returns how many rows were actually alive and got removed."""
+        n_removed = self.store.mark_deleted(ids)
         if self.ivf is not None:
             if getattr(self, "_id_remap", None) is None:
                 self.ivf.remove(ids)
@@ -95,6 +96,7 @@ class SemanticSearchPipeline:
                 pos = np.clip(pos, 0, len(remap) - 1)
                 hit = remap[pos] == np.asarray(ids)
                 self.ivf.remove(pos[hit])
+        return n_removed
 
     # ------------------------------------------------------------------
 
@@ -130,6 +132,8 @@ class SemanticSearchPipeline:
         self, queries: Sequence[str], max_num_results: int = 10
     ) -> List[List[Tuple[str, float, int]]]:
         """→ per query: [(document, score, corpus_id), ...] best-first."""
+        if len(queries) == 0:
+            return []
         q_emb = self.encoder.encode(
             queries, batch_size=self.batch_size, device_output=True
         )

@@ -231,8 +231,8 @@ class SearchServer:
 
     def _remove(self, req: dict) -> dict:
         ids = [int(i) for i in req["ids"]]
-        self.pipeline.remove_documents(ids)
-        return {"removed": len(ids)}
+        n = self.pipeline.remove_documents(ids)
+        return {"removed": int(n)}
 
     def _save(self, req: dict) -> dict:
         path = str(req["path"])

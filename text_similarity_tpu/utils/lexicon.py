@@ -45,6 +45,7 @@ class Lexicon:
         self.hypernym_map = {k: list(v) for k, v in hypernym_map.items()}
         self.names = dict(names or {})
         self._depth_cache: Dict[str, int] = {}
+        self._anc_cache: Dict[str, Dict[str, int]] = {}
 
     # -- core graph ops ---------------------------------------------------
 
@@ -56,7 +57,12 @@ class Lexicon:
 
     def ancestors(self, synset: str) -> Dict[str, int]:
         """All hypernym ancestors of ``synset`` (inclusive) with the
-        shortest hop-distance to each."""
+        shortest hop-distance to each. Memoized: the LCH all-pairs loop
+        and the coverage scorer both hit the same synsets repeatedly
+        (a real-WordNet topic does thousands of lookups per naming call)."""
+        cached = self._anc_cache.get(synset)
+        if cached is not None:
+            return cached
         dist = {synset: 0}
         frontier = [synset]
         while frontier:
@@ -68,6 +74,7 @@ class Lexicon:
                         dist[h] = d
                         nxt.append(h)
             frontier = nxt
+        self._anc_cache[synset] = dist
         return dist
 
     def depth(self, synset: str) -> int:
