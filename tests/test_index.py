@@ -503,3 +503,78 @@ def test_ivf_approx_rejects_per_probe():
         ivf.query(
             x[:8], k=5, impl="pallas", approx_width=512, per_probe=True
         )
+
+
+def test_ivf_sentinel_idless_scores_and_recall():
+    """Sentinel layout (default for f32/bf16): the idless approx scan —
+    no streamed ids operand, slot ids from the scalar-prefetched probe —
+    returns true cosine scores (shift removed) and brute-force-level
+    recall."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    assert ivf.sentinel and ivf.data_padded.shape[-1] == 65
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+    s, i = ivf.query(queries, k=10, impl="pallas", approx_width=512)
+    s, i = np.asarray(s), np.asarray(i)
+    rec = np.mean([
+        len(set(i[r]) & set(true_i[r])) / 10 for r in range(64)
+    ])
+    assert rec >= 0.95, rec
+    # scores are real cosines: recompute from the raw corpus
+    xh = np.asarray(x)
+    qh = np.asarray(queries)
+    for r in range(0, 64, 7):
+        for c in range(10):
+            if i[r, c] < 0:
+                continue
+            want = float(qh[r] @ xh[i[r, c]])
+            assert abs(s[r, c] - want) < 1e-3, (r, c, s[r, c], want)
+
+
+def test_ivf_sentinel_remove_then_add_idless():
+    """remove() zeroes the sentinel column, so the idless scan (which
+    never reads ids) drops removed rows too; add() writes it back."""
+    rng = np.random.RandomState(0)
+    corpus = l2_normalize(jnp.asarray(rng.randn(512, 32), jnp.float32))
+    ivf = IVFIndex.build(corpus, IndexConfig(num_clusters=8, num_probes=8))
+    assert ivf.sentinel
+    q = corpus[:8]
+    _, before = ivf.query(q, k=3, impl="pallas", approx_width=256)
+    assert (np.asarray(before)[:, 0] == np.arange(8)).all()
+    assert ivf.remove(np.arange(8)) == 8
+    _, after = ivf.query(q, k=3, impl="pallas", approx_width=256)
+    assert not np.isin(np.asarray(after), np.arange(8)).any()
+    # re-insert fresh rows into the freed slots; they must be findable
+    new_rows = l2_normalize(jnp.asarray(rng.randn(4, 32), jnp.float32))
+    new_ids = ivf.add(new_rows, start_id=512)
+    _, qi = ivf.query(new_rows, k=1, impl="pallas", approx_width=256)
+    assert (np.asarray(qi)[:, 0] == new_ids).all()
+
+
+def test_ivf_sentinel_off_still_works():
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(num_clusters=16, num_probes=6, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg, sentinel=False)
+    assert not ivf.sentinel and ivf.data_padded.shape[-1] == 32
+    _, i_a = ivf.query(x[:16], k=5, impl="pallas", approx_width=512)
+    _, i_b = ivf.query_xla(x[:16], k=5)
+    assert (np.asarray(i_a)[:, 0] == np.asarray(i_b)[:, 0]).all()
+
+
+def test_ivf_sentinel_save_load_roundtrip(tmp_path):
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(num_clusters=16, num_probes=6, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg)
+    assert ivf.sentinel
+    p = str(tmp_path / "sent.npz")
+    ivf.save(p)
+    loaded = IVFIndex.load(p)
+    assert loaded.sentinel
+    _, i1 = ivf.query(x[:8], k=5, impl="pallas", approx_width=256)
+    _, i2 = loaded.query(x[:8], k=5, impl="pallas", approx_width=256)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -67,6 +67,14 @@ class IVFIndex:
         self.num_base_clusters = num_base_clusters
         self.num_overflow = data_padded.shape[0] - num_base_clusters
         self.config = config
+        # Sentinel layout (derived from shape, so persistence is free):
+        # stored rows carry one extra trailing column — +2 for live rows,
+        # 0 for pad/removed slots. Queries append a 1, so every live
+        # score lands in [1, 3] and every dead slot scores 0: the scan
+        # kernel no longer needs the per-step (1, 1, Mc) ids operand
+        # (the per-grid-step fixed cost is per-OPERAND — docs/ROUND3.md),
+        # computing slot ids from the scalar-prefetched probe id instead.
+        self.sentinel = data_padded.shape[-1] == centroids.shape[-1] + 1
 
     # ------------------------------------------------------------------
     # Build
@@ -80,6 +88,10 @@ class IVFIndex:
         key: Optional[jax.Array] = None,
         data_dtype=jnp.float32,
         spill_choices: int = 3,
+        sentinel: Optional[bool] = None,  # default: on for f32/bf16 builds
+                                          # (enables the idless scan); int8
+                                          # can't carry one (the per-row
+                                          # dequant scale would warp it)
         keep_rescore: Optional[bool] = None,  # default: on for int8 builds
         rescore_dtype=jnp.bfloat16,  # rescore copy adds memory on top of
                                      # the int8 payload (bf16: 2 B/elem =
@@ -149,7 +161,12 @@ class IVFIndex:
 
         slot_dev = jnp.asarray(slot_of_row, jnp.int32)
         scales_padded = None
-        if config.quantize_int8 or data_dtype == jnp.int8:
+        is_int8 = config.quantize_int8 or data_dtype == jnp.int8
+        if sentinel is None:
+            sentinel = not is_int8
+        if sentinel and is_int8:
+            raise ValueError("sentinel layout is incompatible with int8")
+        if is_int8:
             from ..compress.quantize import quantize_embeddings_int8
 
             q, s = quantize_embeddings_int8(corpus)
@@ -159,8 +176,13 @@ class IVFIndex:
             sflat = sflat.at[slot_dev].set(s)
             scales_padded = sflat.reshape(c_tot, mc)
         else:
-            flat = jnp.zeros((c_tot * mc, d), data_dtype)
-            flat = flat.at[slot_dev].set(corpus.astype(data_dtype))
+            rows = corpus.astype(data_dtype)
+            if sentinel:
+                rows = jnp.concatenate(
+                    [rows, jnp.full((n, 1), 2.0, data_dtype)], axis=1
+                )
+            flat = jnp.zeros((c_tot * mc, rows.shape[1]), data_dtype)
+            flat = flat.at[slot_dev].set(rows)
         ids_flat = np.full((c_tot * mc,), -1, np.int32)
         ids_flat[slot_of_row] = np.arange(n, dtype=np.int32)
 
@@ -168,7 +190,7 @@ class IVFIndex:
             keep_rescore = scales_padded is not None
         return cls(
             centroids=centroids,
-            data_padded=flat.reshape(c_tot, mc, d),
+            data_padded=flat.reshape(c_tot, mc, flat.shape[1]),
             ids_padded=jnp.asarray(ids_flat.reshape(c_tot, mc)),
             num_base_clusters=c,
             config=config,
@@ -269,7 +291,7 @@ class IVFIndex:
         (start_id ... start_id + n - 1)."""
         rows = jnp.asarray(rows)
         n, d = rows.shape
-        c_tot, mc, _ = self.data_padded.shape
+        c_tot, mc, dw = self.data_padded.shape  # dw = d (+1 if sentinel)
         c = self.num_base_clusters
         topk = min(3, c)
         choices = np.asarray(assign_clusters_topk(rows, self.centroids, topk=topk))
@@ -312,10 +334,10 @@ class IVFIndex:
             pad_rows = extra * mc
             self.data_padded = jnp.concatenate(
                 [
-                    self.data_padded.reshape(-1, d),
-                    jnp.zeros((pad_rows, d), self.data_padded.dtype),
+                    self.data_padded.reshape(-1, dw),
+                    jnp.zeros((pad_rows, dw), self.data_padded.dtype),
                 ]
-            ).reshape(c_tot + extra, mc, d)
+            ).reshape(c_tot + extra, mc, dw)
             self.ids_padded = jnp.concatenate(
                 [
                     self.ids_padded.reshape(-1),
@@ -337,14 +359,17 @@ class IVFIndex:
             from ..compress.quantize import quantize_embeddings_int8
 
             q, s = quantize_embeddings_int8(rows)
-            flat = self.data_padded.reshape(-1, d).at[slot_dev].set(q)
+            flat = self.data_padded.reshape(-1, dw).at[slot_dev].set(q)
             sflat = self.scales_padded.reshape(-1).at[slot_dev].set(s)
             self.scales_padded = sflat.reshape(c_tot, mc)
         else:
-            flat = self.data_padded.reshape(-1, d).at[slot_dev].set(
-                rows.astype(self.data_padded.dtype)
-            )
-        self.data_padded = flat.reshape(c_tot, mc, d)
+            store = rows.astype(self.data_padded.dtype)
+            if self.sentinel:
+                store = jnp.concatenate(
+                    [store, jnp.full((n, 1), 2.0, store.dtype)], axis=1
+                )
+            flat = self.data_padded.reshape(-1, dw).at[slot_dev].set(store)
+        self.data_padded = flat.reshape(c_tot, mc, dw)
         new_ids = np.arange(start_id, start_id + n, dtype=np.int32)
         ids_flat = self.ids_padded.reshape(-1).at[slot_dev].set(
             jnp.asarray(new_ids)
@@ -384,6 +409,15 @@ class IVFIndex:
         new_flat = jnp.where(hit, -1, ids_flat)
         n_removed = int(jnp.sum(hit.astype(jnp.int32)))
         self.ids_padded = new_flat.reshape(self.ids_padded.shape)
+        if self.sentinel:
+            # the idless scan masks by the sentinel column, not ids:
+            # zero it so removed rows score 0 (< any live row's [1, 3])
+            dshape = self.data_padded.shape
+            dflat = self.data_padded.reshape(-1, dshape[-1])
+            col = jnp.where(hit, 0, dflat[:, -1].astype(jnp.float32))
+            self.data_padded = dflat.at[:, -1].set(
+                col.astype(dflat.dtype)
+            ).reshape(dshape)
         return n_removed
 
     # ------------------------------------------------------------------
@@ -514,6 +548,23 @@ def _ivf_query_fused(
         )
         probe_ids = jnp.concatenate([probe_ids, over], axis=1)
     do_rescore = rescore_data is not None and k_coarse > k
+    dw = data_padded.shape[-1]
+    shift = jnp.float32(0.0)
+    if dw == d + 1:   # sentinel layout (live rows +2, dead slots 0)
+        q_kern = jnp.concatenate(
+            [q, jnp.ones((q.shape[0], 1), q.dtype)], axis=1
+        )
+        shift = jnp.float32(2.0)
+    else:
+        q_kern = q
+    # idless scan: the deferred-merge fold needs no per-step ids operand —
+    # slot ids come from the scalar-prefetched probe id, and the sentinel
+    # column keeps dead slots from winning. One streamed operand per grid
+    # step instead of two (the per-step cost is per-operand).
+    idless = (
+        dw == d + 1 and approx_width > 0 and not per_probe
+        and probes_per_step == 1 and scales_padded is None
+    )
 
     def rescore(s_c, i_c):
         # two-pass refine (VERDICT r2 next-round #2): re-score the coarse
@@ -539,7 +590,7 @@ def _ivf_query_fused(
         # rank k inside its own cluster, a much rarer event than falling
         # below a global coarse rank k'.
         s_pp, i_pp = _ivf_query_pallas(
-            q, probe_ids, data_padded, ids_padded, scales_padded, k,
+            q_kern, probe_ids, data_padded, ids_padded, scales_padded, k,
             block_q, interpret=interpret, per_probe=True,
         )
         pool_s = s_pp.transpose(1, 0, 2).reshape(q.shape[0], -1)
@@ -552,15 +603,26 @@ def _ivf_query_fused(
         else:
             s, tl = jax.lax.top_k(pool_s, k)
             i = jnp.take_along_axis(pool_i, tl, axis=1)
+            s = s - shift
     else:
         k_scan = k_coarse if do_rescore else k
         s, i = _ivf_query_pallas(
-            q, probe_ids, data_padded, ids_padded, scales_padded, k_scan,
+            q_kern, probe_ids, data_padded, ids_padded, scales_padded,
+            k_scan,
             block_q, interpret=interpret, approx_width=approx_width,
-            probes_per_step=probes_per_step,
+            probes_per_step=probes_per_step, idless=idless,
         )
+        if idless:
+            # kernel outputs are flat SLOT ids — translate to corpus ids
+            # with one tiny (B, k) gather (never streamed per step)
+            ids_flat = ids_padded.reshape(-1)
+            i = jnp.where(
+                i >= 0, ids_flat[jnp.clip(i, 0, ids_flat.shape[0] - 1)], -1
+            )
         if do_rescore:
             s, i = rescore(s, i)
+        else:
+            s = s - shift
     inv = jnp.argsort(order)
     return s[inv], i[inv]
 
@@ -577,12 +639,16 @@ def _ivf_query_xla(
     probes, chunk_q,
 ):
     b, d = q.shape
-    c_tot, mc, _ = data_padded.shape
+    c_tot, mc, dw = data_padded.shape
     n_over = c_tot - num_base
 
     cscores = jnp.einsum(
         "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
     )
+    shift = jnp.float32(0.0)
+    if dw == d + 1:   # sentinel layout: live rows score +2, dead slots 0
+        q = jnp.concatenate([q, jnp.ones((b, 1), q.dtype)], axis=1)
+        shift = jnp.float32(2.0)
     _, probe = jax.lax.top_k(cscores, probes)  # (B, P)
     if n_over:
         over = jnp.tile(
@@ -612,10 +678,10 @@ def _ivf_query_xla(
         ti = jnp.take_along_axis(cand_ids, tl, axis=1)
         return ts, ti
 
-    qs = q_p.reshape(-1, chunk_q, d)
+    qs = q_p.reshape(-1, chunk_q, q_p.shape[1])
     ps = probe_p.reshape(-1, chunk_q, p_tot)
     ts, ti = jax.lax.map(one_chunk, (qs, ps))
-    return ts.reshape(pad_b, k)[:b], ti.reshape(pad_b, k)[:b]
+    return (ts.reshape(pad_b, k) - shift)[:b], ti.reshape(pad_b, k)[:b]
 
 
 # ---------------------------------------------------------------------------
@@ -783,6 +849,68 @@ def _ivf_kernel_multiprobe(
         out_i_ref[...] = new_i
 
 
+def _ivf_kernel_idless(
+    probes_ref, q_ref, data_ref, out_s_ref, out_i_ref, acc_s, acc_i,
+    *scratch, k: int, approx_width: int,
+):
+    """Deferred-merge scan with NO streamed ids operand (sentinel layout).
+
+    The per-grid-step fixed cost is per-OPERAND (docs/ROUND3.md: pps>1
+    measured slower because extra operands add cost; per-step time is
+    invariant to DMA bytes/dtype) — so dropping the (1, 1, Mc) ids block
+    leaves `data` as the only streamed operand per step. Slot ids are
+    computed from the scalar-prefetched probe id (probe*Mc + lane); dead
+    slots can't win because the sentinel column pins their score at 0
+    while live rows score in [1, 3]. The caller translates the flat slot
+    ids back to corpus ids with one (B, k) gather."""
+    i_b = pl.program_id(0)
+    u = pl.program_id(1)
+    n_u = pl.num_programs(1)
+
+    @pl.when(u == 0)
+    def _init():
+        acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+        acc_i[...] = jnp.full_like(acc_i, -1)
+
+    if data_ref.dtype == jnp.bfloat16:
+        q = q_ref[...].astype(jnp.bfloat16)
+        data = data_ref[0].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+        data = data_ref[0].astype(jnp.float32)
+    mc = data.shape[0]
+    block_q = q.shape[0]
+    s = jax.lax.dot_general(
+        q, data, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, Mc)
+    base = probes_ref[i_b, u] * mc
+    w = approx_width
+    if w >= mc:
+        # full-width fold: elementwise use of the dot result is fine
+        # (only lane-SLICING it aborts Mosaic)
+        il = base + jax.lax.broadcasted_iota(jnp.int32, (block_q, mc), 1)
+        upd = s > acc_s[...]
+        acc_s[...] = jnp.where(upd, s, acc_s[...])
+        acc_i[...] = jnp.where(upd, il, acc_i[...])
+    else:
+        s_scr = scratch[0]
+        s_scr[...] = s          # stage so the slices read a ref
+        for off in range(0, mc, w):
+            sl = s_scr[:, off:off + w]
+            il = (base + off) + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, w), 1
+            )
+            upd = sl > acc_s[...]
+            acc_s[...] = jnp.where(upd, sl, acc_s[...])
+            acc_i[...] = jnp.where(upd, il, acc_i[...])
+
+    @pl.when(u == n_u - 1)
+    def _flush():
+        new_s, new_i = _topk_exact_merge_rounds(acc_s[...], acc_i[...], k)
+        out_s_ref[...] = new_s
+        out_i_ref[...] = new_i
+
+
 def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,
                 out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
                 per_probe: bool = False, approx_width: int = 0):
@@ -802,12 +930,12 @@ def _ivf_kernel_int8(probes_ref, q_ref, data_ref, ids_ref, scales_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "interpret", "per_probe",
-                     "approx_width", "probes_per_step"),
+                     "approx_width", "probes_per_step", "idless"),
 )
 def _ivf_query_pallas(
-    q,            # (B, D) padded to block_q
+    q,            # (B, Dw) padded to block_q (Dw = D+1 on sentinel layouts)
     probe_list,   # (B/block_q, U) int32
-    data_padded,  # (C_tot, Mc, D) — f32/bf16, or int8 with scales
+    data_padded,  # (C_tot, Mc, Dw) — f32/bf16, or int8 with scales
     ids_padded,   # (C_tot, Mc)
     scales_padded,  # (C_tot, Mc) f32 or None
     k: int,
@@ -816,6 +944,8 @@ def _ivf_query_pallas(
     per_probe: bool = False,
     approx_width: int = 0,
     probes_per_step: int = 1,
+    idless: bool = False,   # sentinel layout: no ids operand; outputs are
+                            # flat slot ids (caller translates)
 ):
     """``per_probe=False``: returns the merged (B, k). ``per_probe=True``:
     returns per-probe top-k as (U, B, k) — the leading probe axis keeps
@@ -830,6 +960,48 @@ def _ivf_query_pallas(
         approx_width = min(approx_width, mc)
         if mc % approx_width:
             approx_width = mc   # single fold — always valid
+    if idless:
+        if not approx_width or per_probe or probes_per_step > 1:
+            raise ValueError("idless needs the plain approx path")
+        if scales_padded is not None:
+            raise ValueError("idless is incompatible with int8 scales")
+        w = approx_width
+        scratch = [
+            pltpu.VMEM((block_q, w), jnp.float32),
+            pltpu.VMEM((block_q, w), jnp.int32),
+        ]
+        if w < mc:
+            scratch.append(pltpu.VMEM((block_q, mc), jnp.float32))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks, u_tot),
+            in_specs=[
+                pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
+                pl.BlockSpec(
+                    (1, mc, d), lambda i, j, probes: (probes[i, j], 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+                pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+            ],
+            scratch_shapes=scratch,
+        )
+        out_s, out_i = pl.pallas_call(
+            functools.partial(
+                _ivf_kernel_idless, k=k, approx_width=w,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, k), jnp.float32),
+                jax.ShapeDtypeStruct((b, k), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(probe_list, q, data_padded)
+        return out_s, out_i
     if probes_per_step > 1:
         if not approx_width or per_probe:
             raise ValueError("probes_per_step>1 needs the approx path")
