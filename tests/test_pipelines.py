@@ -559,3 +559,112 @@ def test_search_server_internal_error_returns_500(encoder):
         assert res["results"][0][0]["document"] == CORPUS[0]
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Sharded serving pipeline (north-star config 5 on the fake 8-device mesh)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def index_mesh():
+    from text_similarity_tpu.core.mesh import make_mesh
+
+    return make_mesh(data=1, index=8)
+
+
+def test_sharded_pipeline_self_retrieval(encoder, index_mesh):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS, use_ivf=False
+    )
+    res = pipe([CORPUS[0], CORPUS[5]], max_num_results=3)
+    assert res[0][0][0] == CORPUS[0] and res[0][0][1] > 0.999
+    assert res[1][0][0] == CORPUS[5]
+    assert pipe([]) == []
+
+
+def test_sharded_pipeline_ivf_remove_and_save(encoder, index_mesh, tmp_path):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS, use_ivf=True
+    )
+    assert pipe.ivf is not None
+    res = pipe([CORPUS[2]], max_num_results=2)
+    assert res[0][0][2] == 2
+    # tombstone the top hit: it must vanish without a rebuild
+    assert pipe.remove_documents([2]) == 1
+    assert pipe.remove_documents([2]) == 0
+    res = pipe([CORPUS[2]], max_num_results=3)
+    assert all(row[2] != 2 for row in res[0])
+    assert pipe.size == len(CORPUS) - 1
+    # persistence: rebuild-on-load keeps tombstones
+    pipe.save(str(tmp_path / "sp"))
+    loaded = ShardedSearchPipeline.load(
+        str(tmp_path / "sp"), encoder, index_mesh, use_ivf=True
+    )
+    res2 = loaded([CORPUS[2]], max_num_results=3)
+    assert all(row[2] != 2 for row in res2[0])
+
+
+def test_sharded_pipeline_bruteforce_remove_overfetch(encoder, index_mesh):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS, use_ivf=False
+    )
+    assert pipe.remove_documents([0]) == 1
+    res = pipe([CORPUS[0]], max_num_results=2)
+    assert all(row[2] != 0 for row in res[0])
+    assert len(res[0]) == 2   # over-fetch keeps k results after filtering
+
+
+def test_sharded_pipeline_add_rebuilds(encoder, index_mesh):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS[:8], use_ivf=False
+    )
+    new_ids = pipe.add_documents(["a brand new document about volcanoes"])
+    assert list(new_ids) == [8]
+    res = pipe(["a brand new document about volcanoes"], 1)
+    assert res[0][0][2] == 8
+
+
+def test_search_server_serves_sharded_pipeline(encoder, index_mesh):
+    import json as _json
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import (
+        SearchServer, ShardedSearchPipeline,
+    )
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS, use_ivf=False
+    )
+    server = SearchServer(pipe, port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            h = _json.loads(r.read())
+        assert h["size"] == len(CORPUS) and h["sharded"]
+        req = urllib.request.Request(
+            base + "/search",
+            data=_json.dumps({"queries": [CORPUS[1]], "k": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            res = _json.loads(r.read())
+        assert res["results"][0][0]["document"] == CORPUS[1]
+        req = urllib.request.Request(
+            base + "/remove",
+            data=_json.dumps({"ids": [1]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert _json.loads(r.read())["removed"] == 1
+    finally:
+        server.shutdown()

@@ -825,12 +825,33 @@ def cmd_serve(args):
     from ..pipelines.serve import SearchServer
 
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
-    pipe = SemanticSearchPipeline(enc)
-    if args.load:
-        pipe.load_corpus(args.load)
-    elif args.corpus:
-        with open(args.corpus, encoding="utf-8") as f:
-            pipe.add_documents([l.strip() for l in f if l.strip()])
+    if args.shards > 1:
+        # corpus sharded over the mesh index axis: per-shard scan +
+        # all-gather top-k merge (north-star config 5)
+        import jax
+
+        from ..core.mesh import make_mesh
+        from ..pipelines.search import ShardedSearchPipeline
+
+        mesh = make_mesh(
+            data=1, index=args.shards, devices=jax.devices()[: args.shards]
+        )
+        if args.load:
+            pipe = ShardedSearchPipeline.load(args.load, enc, mesh)
+        else:
+            pipe = ShardedSearchPipeline(enc, mesh)
+            if args.corpus:
+                with open(args.corpus, encoding="utf-8") as f:
+                    pipe.add_documents(
+                        [l.strip() for l in f if l.strip()]
+                    )
+    else:
+        pipe = SemanticSearchPipeline(enc)
+        if args.load:
+            pipe.load_corpus(args.load)
+        elif args.corpus:
+            with open(args.corpus, encoding="utf-8") as f:
+                pipe.add_documents([l.strip() for l in f if l.strip()])
     server = SearchServer(
         pipe, host=args.host, port=args.port,
         batch_window=args.batch_window_ms / 1000.0,
@@ -1030,6 +1051,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-window-ms", type=float, default=2.0,
                    help="micro-batch window for concurrent /search "
                         "requests (0 disables)")
+    p.add_argument("--shards", type=int, default=1,
+                   help=">1: shard the corpus over this many devices "
+                        "(per-shard scan + all-gather top-k merge)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("mine"); _common(p)

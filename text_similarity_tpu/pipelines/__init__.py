@@ -1,4 +1,8 @@
-from .search import SemanticSearchPipeline, SentenceMiningPipeline
+from .search import (
+    SemanticSearchPipeline,
+    SentenceMiningPipeline,
+    ShardedSearchPipeline,
+)
 from .rerank import RankingPipeline
 from .clustering import ClusteringPipeline
 from .topic import TopicModelingPipeline
@@ -7,6 +11,7 @@ from .serve import SearchServer
 __all__ = [
     "SemanticSearchPipeline",
     "SentenceMiningPipeline",
+    "ShardedSearchPipeline",
     "RankingPipeline",
     "ClusteringPipeline",
     "TopicModelingPipeline",

@@ -215,6 +215,180 @@ class SemanticSearchPipeline:
         )
 
 
+class ShardedSearchPipeline:
+    """Serving pipeline over a corpus sharded across a device mesh — the
+    north-star multi-chip shape (BASELINE.json config 5; SURVEY.md §2.2):
+    each device holds a slice of the corpus, scans its shard (IVF with
+    global k-means centroids, or exact brute force), and the per-shard
+    top-k merges with one all-gather over ICI.
+
+    Same request surface as ``SemanticSearchPipeline`` (__call__ /
+    add_documents / remove_documents / save), so ``SearchServer`` can
+    serve it unchanged. Mutation semantics differ where the sharded
+    layout dictates: ``add_documents`` is a bulk-load that rebuilds the
+    sharded layout (a static per-shard layout has no cheap cross-shard
+    insert), while ``remove_documents`` tombstones in place on device.
+
+    Replaces: single-process hnswlib serving, reference
+    src/pipeline/search_pipeline.py:96-175, scaled past one chip's HBM.
+    """
+
+    def __init__(
+        self,
+        encoder,
+        mesh,
+        corpus: Optional[Sequence[str]] = None,
+        index_config: Optional[IndexConfig] = None,
+        use_ivf: Optional[bool] = None,   # None = auto by corpus size
+        batch_size: int = 128,
+    ):
+        self.encoder = encoder
+        self.mesh = mesh
+        self.index_config = index_config
+        self.use_ivf = use_ivf
+        self.batch_size = batch_size
+        self.corpus: List[str] = []
+        self._emb: Optional[np.ndarray] = None   # host copy for rebuilds
+        self._removed: set = set()
+        self.index = None
+        self.ivf = None          # mirrors SemanticSearchPipeline (/health)
+        self.store = None
+        if corpus:
+            self.add_documents(corpus)
+
+    # -- build ---------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return len(self.corpus) - len(self._removed)
+
+    def _want_ivf(self) -> bool:
+        if self.use_ivf is not None:
+            return self.use_ivf
+        return len(self.corpus) >= 100_000
+
+    def _rebuild(self):
+        from ..index.sharded import ShardedBruteForceIndex, ShardedIVFIndex
+
+        emb = jnp.asarray(self._emb)
+        if self._want_ivf():
+            cfg = self.index_config or IndexConfig.auto(len(self.corpus))
+            self.index = ShardedIVFIndex.build(self.mesh, emb, cfg)
+            self.ivf = self.index
+            if self._removed:
+                self._tombstone(sorted(self._removed))
+        else:
+            self.index = ShardedBruteForceIndex.build(self.mesh, emb)
+            self.ivf = None
+        logger.info(
+            "built sharded %s index: %d rows over %d shards",
+            "IVF" if self.ivf is not None else "brute-force",
+            len(self.corpus),
+            self.mesh.shape["index"],
+        )
+
+    def add_documents(self, texts: Sequence[str]) -> np.ndarray:
+        """Bulk load: encode, extend the corpus, rebuild the sharded
+        layout (per-shard capped layouts don't support cross-shard
+        inserts; the build itself runs on device)."""
+        emb = np.asarray(
+            self.encoder.encode(list(texts), batch_size=self.batch_size),
+            np.float32,
+        )
+        start = len(self.corpus)
+        self.corpus.extend(texts)
+        self._emb = (
+            emb if self._emb is None else np.concatenate([self._emb, emb])
+        )
+        self._rebuild()
+        return np.arange(start, len(self.corpus))
+
+    # -- mutation ------------------------------------------------------
+
+    def _tombstone(self, ids: Sequence[int]):
+        """Clear global ids from the sharded IVF layout in place (the
+        ids array stays sharded; XLA keeps the where() per-shard)."""
+        rem = jnp.asarray(sorted(ids), jnp.int32)
+        flat = self.index.ids_padded
+        pos = jnp.clip(jnp.searchsorted(rem, flat), 0, rem.shape[0] - 1)
+        hit = (rem[pos] == flat) & (flat >= 0)
+        self.index.ids_padded = jnp.where(hit, -1, flat)
+
+    def remove_documents(self, ids: Sequence[int]) -> int:
+        fresh = [
+            int(i) for i in ids
+            if 0 <= int(i) < len(self.corpus) and int(i) not in self._removed
+        ]
+        if not fresh:
+            return 0
+        self._removed.update(fresh)
+        if self.ivf is not None:
+            self._tombstone(fresh)
+        # brute-force shards have no id map: __call__ over-fetches and
+        # filters tombstones instead
+        return len(fresh)
+
+    # -- query ---------------------------------------------------------
+
+    def __call__(
+        self, queries: Sequence[str], max_num_results: int = 10
+    ) -> List[List[Tuple[str, float, int]]]:
+        if len(queries) == 0:
+            return []
+        q_emb = self.encoder.encode(
+            list(queries), batch_size=self.batch_size, device_output=True
+        )
+        k = max_num_results
+        if self.ivf is None and self._removed:
+            k = min(max_num_results + len(self._removed), len(self.corpus))
+        s, i = self.index.query(q_emb, k=k)
+        out = []
+        for r in range(len(queries)):
+            row = []
+            for score, idx in zip(s[r], i[r]):
+                idx = int(idx)
+                if idx < 0 or not np.isfinite(score) or idx in self._removed:
+                    continue
+                row.append((self.corpus[idx], float(score), idx))
+                if len(row) >= max_num_results:
+                    break
+            out.append(row)
+        return out
+
+    # -- persistence (rebuild-on-load: the sharded layout is a function
+    # of the mesh, so only the corpus state persists) -------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "sharded_store.npz"),
+            emb=self._emb,
+            removed=np.asarray(sorted(self._removed), np.int64),
+        )
+        with open(
+            os.path.join(path, "corpus.txt"), "w", encoding="utf-8"
+        ) as f:
+            for t in self.corpus:
+                f.write(t.replace("\n", " ") + "\n")
+
+    @classmethod
+    def load(
+        cls, path: str, encoder, mesh,
+        index_config: Optional[IndexConfig] = None,
+        use_ivf: Optional[bool] = None,
+    ) -> "ShardedSearchPipeline":
+        pipe = cls(
+            encoder, mesh, index_config=index_config, use_ivf=use_ivf
+        )
+        with np.load(os.path.join(path, "sharded_store.npz")) as z:
+            pipe._emb = z["emb"]
+            pipe._removed = set(int(i) for i in z["removed"])
+        with open(os.path.join(path, "corpus.txt"), encoding="utf-8") as f:
+            pipe.corpus = [l.rstrip("\n") for l in f]
+        pipe._rebuild()
+        return pipe
+
+
 class SentenceMiningPipeline:
     """Find likely paraphrase pairs inside a corpus (corrected intent of
     reference SentenceMiningPipeline, search_pipeline.py:39-93)."""

@@ -149,11 +149,15 @@ class SearchServer:
                     return self._reply(404, {"error": "unknown endpoint"})
                 with server.lock:
                     p = server.pipeline
-                    size = p.store.size if p.store is not None else 0
+                    if getattr(p, "store", None) is not None:
+                        size = p.store.size
+                    else:   # sharded pipeline: no single-device store
+                        size = getattr(p, "size", 0)
                     self._reply(
                         200,
                         {"status": "ok", "size": int(size),
-                         "ivf": p.ivf is not None},
+                         "ivf": p.ivf is not None,
+                         "sharded": hasattr(p, "mesh")},
                     )
 
             def do_POST(self):  # noqa: N802
