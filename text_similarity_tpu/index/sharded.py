@@ -130,6 +130,8 @@ class ShardedIVFIndex:
         cls, mesh: Mesh, embeddings, config,
         key: Optional[jax.Array] = None,
         data_dtype=None,
+        sentinel: Optional[bool] = None,  # default on (idless per-shard
+                                          # scan; see index/ivf.py)
     ) -> "ShardedIVFIndex":
         """On-device sharded build: global k-means over the sharded corpus
         (plain XLA ops on the GSPMD-sharded array — assignment shards over
@@ -156,6 +158,9 @@ class ShardedIVFIndex:
         emb = jax.device_put(emb, NamedSharding(mesh, P(INDEX_AXIS, None)))
         c = max(1, min(config.num_clusters, pad_n // 32))
         data_dtype = data_dtype or emb.dtype
+        if sentinel is None:
+            sentinel = data_dtype != jnp.int8
+        dw = d + 1 if sentinel else d
 
         # ---- phase 1: GLOBAL k-means + per-(shard, cluster) counts
         cent_all, _ = kmeans(emb, c, iters=config.kmeans_iters, key=key)
@@ -226,8 +231,19 @@ class ShardedIVFIndex:
             slot = jnp.where(real, slot, trash)
             slot = jnp.clip(slot, 0, trash)
             rows_sorted = rows[order].astype(data_dtype)
+            if sentinel:
+                # +2 live-row marker (idless scan; fake/pad rows land in
+                # the trash slot and are sliced off, so marking all sorted
+                # rows is safe)
+                rows_sorted = jnp.concatenate(
+                    [
+                        rows_sorted,
+                        jnp.full((rows_per, 1), 2.0, data_dtype),
+                    ],
+                    axis=1,
+                )
             gid = jnp.where(real, si * rows_per + order, -1).astype(jnp.int32)
-            flat = jnp.zeros((trash + 1, d), data_dtype).at[slot].set(
+            flat = jnp.zeros((trash + 1, dw), data_dtype).at[slot].set(
                 rows_sorted
             )
             ids = jnp.full((trash + 1,), -1, jnp.int32).at[slot].set(gid)
@@ -241,7 +257,7 @@ class ShardedIVFIndex:
                 (real & ~in_cap & over_full).astype(jnp.int32)
             )
             return (
-                flat[:-1].reshape(c_tot, mc, d),
+                flat[:-1].reshape(c_tot, mc, dw),
                 ids[:-1].reshape(c_tot, mc),
                 n_dropped[None],
             )
@@ -303,6 +319,13 @@ class ShardedIVFIndex:
                     "bd,cd->bc", q, cent, preferred_element_type=jnp.float32
                 )
                 _, probe = jax.lax.top_k(cs, p)
+                shift = jnp.float32(0.0)
+                if data.shape[-1] == q.shape[-1] + 1:
+                    # sentinel layout: augment and un-shift (index/ivf.py)
+                    q = jnp.concatenate(
+                        [q, jnp.ones((q.shape[0], 1), q.dtype)], axis=1
+                    )
+                    shift = jnp.float32(2.0)
                 # also scan local overflow clusters (beyond centroid count)
                 if c_tot > n_base:
                     over = jnp.tile(
@@ -321,6 +344,7 @@ class ShardedIVFIndex:
                 ti = jnp.take_along_axis(
                     cand_ids.reshape(q.shape[0], -1), tl, axis=1
                 )
+                ts = ts - shift
             # padded/empty candidates carry id -1 with -inf scores; merge
             s_all = jax.lax.all_gather(ts, INDEX_AXIS)
             i_all = jax.lax.all_gather(ti, INDEX_AXIS)

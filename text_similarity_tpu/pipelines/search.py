@@ -307,12 +307,20 @@ class ShardedSearchPipeline:
 
     def _tombstone(self, ids: Sequence[int]):
         """Clear global ids from the sharded IVF layout in place (the
-        ids array stays sharded; XLA keeps the where() per-shard)."""
+        arrays stay sharded; XLA keeps the where() per-shard)."""
         rem = jnp.asarray(sorted(ids), jnp.int32)
         flat = self.index.ids_padded
         pos = jnp.clip(jnp.searchsorted(rem, flat), 0, rem.shape[0] - 1)
         hit = (rem[pos] == flat) & (flat >= 0)
         self.index.ids_padded = jnp.where(hit, -1, flat)
+        data = self.index.data_padded
+        if data.shape[-1] == self.index.centroids.shape[-1] + 1:
+            # sentinel layout: the idless scan masks by the sentinel
+            # column, not ids — zero it so removed rows can't win a lane
+            col = jnp.where(hit, 0.0, data[..., -1].astype(jnp.float32))
+            self.index.data_padded = data.at[..., -1].set(
+                col.astype(data.dtype)
+            )
 
     def remove_documents(self, ids: Sequence[int]) -> int:
         fresh = [
