@@ -668,3 +668,24 @@ def test_search_server_serves_sharded_pipeline(encoder, index_mesh):
             assert _json.loads(r.read())["removed"] == 1
     finally:
         server.shutdown()
+
+
+def test_pipeline_warmup_counts(encoder):
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    # buckets 1,2,4 × k∈{5,10} = 6 shapes
+    assert pipe.warmup(ks=(5, 10), max_queries=4) == 6
+    assert SemanticSearchPipeline(encoder).warmup() == 0  # empty corpus
+
+
+def test_sharded_pipeline_warmup_and_bucketing(encoder, index_mesh):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS, use_ivf=False
+    )
+    assert pipe.warmup(ks=(3,), max_queries=2) == 2
+    # odd request size rides the power-of-2 bucket: results still align
+    res = pipe([CORPUS[0], CORPUS[3], CORPUS[5]], max_num_results=2)
+    assert len(res) == 3
+    assert res[0][0][0] == CORPUS[0]
+    assert res[2][0][0] == CORPUS[5]

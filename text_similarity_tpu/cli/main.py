@@ -852,6 +852,9 @@ def cmd_serve(args):
         elif args.corpus:
             with open(args.corpus, encoding="utf-8") as f:
                 pipe.add_documents([l.strip() for l in f if l.strip()])
+    if args.warmup:
+        n = pipe.warmup(max_queries=args.warmup)
+        print(f"warmed {n} (bucket, k) serving shapes", flush=True)
     server = SearchServer(
         pipe, host=args.host, port=args.port,
         batch_window=args.batch_window_ms / 1000.0,
@@ -1054,6 +1057,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard the corpus over this many devices "
                         "(per-shard scan + all-gather top-k merge)")
+    p.add_argument("--warmup", type=int, default=0,
+                   help="precompile query buckets up to this many "
+                        "queries before accepting requests (first "
+                        "compiles are slow; pay them at startup)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("mine"); _common(p)

@@ -184,6 +184,24 @@ class SemanticSearchPipeline:
 
     # ------------------------------------------------------------------
 
+    def warmup(self, ks: Sequence[int] = (10,), max_queries: int = 16) -> int:
+        """Precompile the serving path for the power-of-2 query buckets up
+        to ``max_queries`` and each k. First compiles through a remote
+        relay take minutes; a daemon should pay them at startup, not on
+        the first user request. Returns the number of (bucket, k) shapes
+        warmed."""
+        if not self.corpus:
+            return 0
+        n = 0
+        bucket = 1
+        while bucket <= max(1, max_queries):
+            probe = [self.corpus[0]] * bucket
+            for k in ks:
+                self(probe, max_num_results=k)
+                n += 1
+            bucket *= 2
+        return n
+
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         self.store.save(os.path.join(path, "store.npz"))
@@ -346,6 +364,21 @@ class ShardedSearchPipeline:
         q_emb = self.encoder.encode(
             list(queries), batch_size=self.batch_size, device_output=True
         )
+        # power-of-2 query-count buckets (same trick as the single-device
+        # pipeline): a serving mix of request sizes hits a handful of
+        # compiled shapes instead of one jit specialization per count.
+        # Pad rows replicate the last query; results are sliced off.
+        n_q = q_emb.shape[0]
+        bucket = 1
+        while bucket < n_q:
+            bucket *= 2
+        if bucket != n_q:
+            q_emb = jnp.concatenate([
+                q_emb,
+                jnp.broadcast_to(
+                    q_emb[-1:], (bucket - n_q, q_emb.shape[1])
+                ),
+            ])
         k = max_num_results
         if self.ivf is None and self._removed:
             k = min(max_num_results + len(self._removed), len(self.corpus))
@@ -362,6 +395,21 @@ class ShardedSearchPipeline:
                     break
             out.append(row)
         return out
+
+    def warmup(self, ks: Sequence[int] = (10,), max_queries: int = 16) -> int:
+        """Precompile the sharded serving path per (query-bucket, k) —
+        same contract as SemanticSearchPipeline.warmup."""
+        if not self.corpus:
+            return 0
+        n = 0
+        bucket = 1
+        while bucket <= max(1, max_queries):
+            probe = [self.corpus[0]] * bucket
+            for k in ks:
+                self(probe, max_num_results=k)
+                n += 1
+            bucket *= 2
+        return n
 
     # -- persistence (rebuild-on-load: the sharded layout is a function
     # of the mesh, so only the corpus state persists) -------------------
