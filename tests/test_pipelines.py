@@ -689,3 +689,37 @@ def test_sharded_pipeline_warmup_and_bucketing(encoder, index_mesh):
     assert len(res) == 3
     assert res[0][0][0] == CORPUS[0]
     assert res[2][0][0] == CORPUS[5]
+
+
+def test_sharded_pipeline_huge_k_and_empty_save(encoder, index_mesh, tmp_path):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS[:5], use_ivf=False
+    )
+    # k far beyond the corpus: clamped, returns all docs, no crash
+    res = pipe([CORPUS[0]], max_num_results=50)
+    assert 1 <= len(res[0]) <= 5
+    # empty pipeline round-trips through save/load without an index
+    empty = ShardedSearchPipeline(encoder, index_mesh)
+    empty.save(str(tmp_path / "empty"))
+    back = ShardedSearchPipeline.load(
+        str(tmp_path / "empty"), encoder, index_mesh
+    )
+    assert back([CORPUS[0]], 3) == [[]]
+
+
+def test_sharded_pipeline_load_keeps_index_choice(encoder, index_mesh, tmp_path):
+    from text_similarity_tpu.pipelines import ShardedSearchPipeline
+
+    pipe = ShardedSearchPipeline(
+        encoder, index_mesh, corpus=CORPUS, use_ivf=True,
+    )
+    assert pipe.ivf is not None
+    pipe.save(str(tmp_path / "sp2"))
+    # loader passes use_ivf=None: the saved choice must win over the
+    # size heuristic (24 docs < 100k would otherwise flip to brute force)
+    loaded = ShardedSearchPipeline.load(
+        str(tmp_path / "sp2"), encoder, index_mesh
+    )
+    assert loaded.ivf is not None

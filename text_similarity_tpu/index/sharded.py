@@ -87,6 +87,7 @@ class ShardedBruteForceIndex:
         return jax.jit(fn)
 
     def query(self, queries, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        k = min(k, self.n_total)   # top_k wider than the corpus can't fill
         q = l2_normalize(jnp.asarray(queries, jnp.float32))
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
         if k not in self._query_fn:
@@ -370,6 +371,13 @@ class ShardedIVFIndex:
         self, queries, k: int = 10, probes: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         probes = probes or self.num_probes
+        # a k wider than the probed candidate pool can't fill its top-k
+        s_shards = self.mesh.shape[INDEX_AXIS]
+        c_tot = self.data_padded.shape[0] // s_shards
+        n_base = self.centroids.shape[0]
+        mc = self.data_padded.shape[1]
+        pool = (min(probes, n_base) + (c_tot - n_base)) * mc
+        k = min(k, pool)
         n_q = len(queries)
         q = l2_normalize(jnp.asarray(queries, jnp.float32))
         q = jax.device_put(q, NamedSharding(self.mesh, P()))

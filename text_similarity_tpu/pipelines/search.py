@@ -32,6 +32,42 @@ from ..utils.logging import get_logger
 logger = get_logger("search")
 
 
+def _pad_pow2(q_emb: jax.Array) -> jax.Array:
+    """Pad a (N, D) query batch to the next power-of-2 row count by
+    replicating the last row, so a serving mix of request sizes hits a
+    handful of compiled shapes instead of one jit specialization per
+    distinct count. (Zero pad rows would hijack the IVF kernel's
+    block-max probe union; replicas are harmless.)"""
+    n_q = q_emb.shape[0]
+    bucket = 1
+    while bucket < n_q:
+        bucket *= 2
+    if bucket != n_q:
+        q_emb = jnp.concatenate([
+            q_emb,
+            jnp.broadcast_to(q_emb[-1:], (bucket - n_q, q_emb.shape[1])),
+        ])
+    return q_emb
+
+
+def _warmup_pipeline(pipe, ks: Sequence[int], max_queries: int) -> int:
+    """Precompile the serving path for every power-of-2 query bucket a
+    request of up to ``max_queries`` queries can land in (including the
+    bucket ABOVE max_queries when it isn't itself a power of 2), × each
+    k. Returns the number of shapes warmed."""
+    if not pipe.corpus:
+        return 0
+    n = 0
+    bucket = 1
+    while bucket // 2 < max(1, max_queries):
+        probe = [pipe.corpus[0]] * bucket
+        for k in ks:
+            pipe(probe, max_num_results=k)
+            n += 1
+        bucket *= 2
+    return n
+
+
 class SemanticSearchPipeline:
     """corpus texts → embeddings (HBM) → ANN index → query API."""
 
@@ -137,22 +173,7 @@ class SemanticSearchPipeline:
         q_emb = self.encoder.encode(
             queries, batch_size=self.batch_size, device_output=True
         )
-        # snap the query count to a power-of-2 bucket so a serving mix of
-        # request sizes hits a handful of compiled shapes instead of one
-        # XLA specialization per distinct count (same trick as the
-        # encoder's length buckets). Pad rows REPLICATE the last query —
-        # zero rows would hijack the kernel's block-max probe union.
-        n_q = q_emb.shape[0]
-        bucket = 1
-        while bucket < n_q:
-            bucket *= 2
-        if bucket != n_q:
-            q_emb = jnp.concatenate([
-                q_emb,
-                jnp.broadcast_to(
-                    q_emb[-1:], (bucket - n_q, q_emb.shape[1])
-                ),
-            ])
+        q_emb = _pad_pow2(q_emb)
         if self._want_ivf():
             if self.ivf is None:
                 self._build_ivf()
@@ -185,22 +206,10 @@ class SemanticSearchPipeline:
     # ------------------------------------------------------------------
 
     def warmup(self, ks: Sequence[int] = (10,), max_queries: int = 16) -> int:
-        """Precompile the serving path for the power-of-2 query buckets up
-        to ``max_queries`` and each k. First compiles through a remote
-        relay take minutes; a daemon should pay them at startup, not on
-        the first user request. Returns the number of (bucket, k) shapes
-        warmed."""
-        if not self.corpus:
-            return 0
-        n = 0
-        bucket = 1
-        while bucket <= max(1, max_queries):
-            probe = [self.corpus[0]] * bucket
-            for k in ks:
-                self(probe, max_num_results=k)
-                n += 1
-            bucket *= 2
-        return n
+        """Precompile the serving path per (query-bucket, k). First
+        compiles through a remote relay take minutes; a daemon should pay
+        them at startup, not on the first user request."""
+        return _warmup_pipeline(self, ks, max_queries)
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -291,7 +300,12 @@ class ShardedSearchPipeline:
         emb = jnp.asarray(self._emb)
         if self._want_ivf():
             cfg = self.index_config or IndexConfig.auto(len(self.corpus))
-            self.index = ShardedIVFIndex.build(self.mesh, emb, cfg)
+            # bf16 cluster storage: measured identical QPS/recall at half
+            # the per-shard HBM (docs/ROUND3.md) — matches the
+            # single-device pipeline's default
+            self.index = ShardedIVFIndex.build(
+                self.mesh, emb, cfg, data_dtype=jnp.bfloat16
+            )
             self.ivf = self.index
             if self._removed:
                 self._tombstone(sorted(self._removed))
@@ -361,27 +375,24 @@ class ShardedSearchPipeline:
     ) -> List[List[Tuple[str, float, int]]]:
         if len(queries) == 0:
             return []
+        if self.index is None:   # nothing loaded yet
+            return [[] for _ in queries]
         q_emb = self.encoder.encode(
             list(queries), batch_size=self.batch_size, device_output=True
         )
-        # power-of-2 query-count buckets (same trick as the single-device
-        # pipeline): a serving mix of request sizes hits a handful of
-        # compiled shapes instead of one jit specialization per count.
-        # Pad rows replicate the last query; results are sliced off.
-        n_q = q_emb.shape[0]
-        bucket = 1
-        while bucket < n_q:
-            bucket *= 2
-        if bucket != n_q:
-            q_emb = jnp.concatenate([
-                q_emb,
-                jnp.broadcast_to(
-                    q_emb[-1:], (bucket - n_q, q_emb.shape[1])
-                ),
-            ])
-        k = max_num_results
+        q_emb = _pad_pow2(q_emb)
+        k = min(max_num_results, len(self.corpus))
         if self.ivf is None and self._removed:
-            k = min(max_num_results + len(self._removed), len(self.corpus))
+            # brute-force shards have no id map: over-fetch so tombstone
+            # filtering still yields k rows. Snap the over-fetched k to a
+            # power of 2 — otherwise every removal changes the compiled
+            # query shape (a minutes-long recompile through the relay,
+            # under the serving lock).
+            k = k + len(self._removed)
+            b = 1
+            while b < k:
+                b *= 2
+            k = min(b, len(self.corpus))
         s, i = self.index.query(q_emb, k=k)
         out = []
         for r in range(len(queries)):
@@ -399,27 +410,32 @@ class ShardedSearchPipeline:
     def warmup(self, ks: Sequence[int] = (10,), max_queries: int = 16) -> int:
         """Precompile the sharded serving path per (query-bucket, k) —
         same contract as SemanticSearchPipeline.warmup."""
-        if not self.corpus:
-            return 0
-        n = 0
-        bucket = 1
-        while bucket <= max(1, max_queries):
-            probe = [self.corpus[0]] * bucket
-            for k in ks:
-                self(probe, max_num_results=k)
-                n += 1
-            bucket *= 2
-        return n
+        return _warmup_pipeline(self, ks, max_queries)
 
     # -- persistence (rebuild-on-load: the sharded layout is a function
     # of the mesh, so only the corpus state persists) -------------------
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        emb = (
+            self._emb if self._emb is not None
+            else np.zeros((0, self.encoder.embedding_dim), np.float32)
+        )
         np.savez(
             os.path.join(path, "sharded_store.npz"),
-            emb=self._emb,
+            emb=emb,
             removed=np.asarray(sorted(self._removed), np.int64),
+            # persist the index choice: without it a reload would re-run
+            # the size heuristic and could silently swap IVF ↔ brute force
+            use_ivf=np.int8(
+                -1 if self.use_ivf is None else int(self.use_ivf)
+            ),
+            num_clusters=np.int32(
+                self.index_config.num_clusters if self.index_config else -1
+            ),
+            num_probes=np.int32(
+                self.index_config.num_probes if self.index_config else -1
+            ),
         )
         with open(
             os.path.join(path, "corpus.txt"), "w", encoding="utf-8"
@@ -433,15 +449,30 @@ class ShardedSearchPipeline:
         index_config: Optional[IndexConfig] = None,
         use_ivf: Optional[bool] = None,
     ) -> "ShardedSearchPipeline":
+        with np.load(os.path.join(path, "sharded_store.npz")) as z:
+            emb = z["emb"]
+            removed = set(int(i) for i in z["removed"])
+            if use_ivf is None and "use_ivf" in z.files:
+                saved = int(z["use_ivf"])
+                use_ivf = None if saved < 0 else bool(saved)
+            if (
+                index_config is None
+                and "num_clusters" in z.files
+                and int(z["num_clusters"]) > 0
+            ):
+                index_config = IndexConfig(
+                    num_clusters=int(z["num_clusters"]),
+                    num_probes=int(z["num_probes"]),
+                )
         pipe = cls(
             encoder, mesh, index_config=index_config, use_ivf=use_ivf
         )
-        with np.load(os.path.join(path, "sharded_store.npz")) as z:
-            pipe._emb = z["emb"]
-            pipe._removed = set(int(i) for i in z["removed"])
+        pipe._removed = removed
         with open(os.path.join(path, "corpus.txt"), encoding="utf-8") as f:
             pipe.corpus = [l.rstrip("\n") for l in f]
-        pipe._rebuild()
+        if emb.shape[0]:
+            pipe._emb = emb
+            pipe._rebuild()
         return pipe
 
 
