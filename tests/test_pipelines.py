@@ -723,3 +723,30 @@ def test_sharded_pipeline_load_keeps_index_choice(encoder, index_mesh, tmp_path)
         str(tmp_path / "sp2"), encoder, index_mesh
     )
     assert loaded.ivf is not None
+
+
+def test_search_server_metrics_endpoint(encoder):
+    import json as _json
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import SearchServer
+
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    server = SearchServer(pipe, port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        for _ in range(3):
+            req = urllib.request.Request(
+                base + "/search",
+                data=_json.dumps({"queries": [CORPUS[0]], "k": 2}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            urllib.request.urlopen(req, timeout=60).read()
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            m = _json.loads(r.read())
+        assert m["/search"]["requests"] == 3
+        assert m["/search"]["errors"] == 0
+        assert m["/search"]["latency_ms_p95"] >= m["/search"]["latency_ms_p50"] > 0
+    finally:
+        server.shutdown()

@@ -16,6 +16,8 @@ Endpoints (all JSON):
 - ``POST /add``             ``{"texts": [...]}`` → ``{"ids": [...]}``
 - ``POST /remove``          ``{"ids": [...]}`` → ``{"removed": n}``
 - ``POST /save``            ``{"path": "..."}`` → ``{"saved": path}``
+- ``GET  /metrics``         → per-endpoint request/error counts and
+  p50/p95 latency (ms) over the last 1024 requests
 
 A single device executes all requests: handlers serialize through one
 lock (XLA dispatch is not thread-safe per design here; batching happens
@@ -105,6 +107,40 @@ class _MicroBatcher:
                 b["ev"].set()
 
 
+class _EndpointStats:
+    """Per-endpoint request counters + a latency reservoir (last 1024
+    samples) for /metrics. Thread-safe via one tiny lock."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.counts: dict = {}
+        self.errors: dict = {}
+        self._lat: dict = {}
+
+    def record(self, path: str, seconds: float, ok: bool):
+        with self._lock:
+            self.counts[path] = self.counts.get(path, 0) + 1
+            if not ok:
+                self.errors[path] = self.errors.get(path, 0) + 1
+            buf = self._lat.setdefault(path, deque(maxlen=1024))
+            buf.append(seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for path, n in self.counts.items():
+                lats = np.sort(np.asarray(self._lat[path])) * 1e3
+                p50 = float(lats[len(lats) // 2])
+                p95 = float(lats[max(0, int(np.ceil(len(lats) * 0.95)) - 1)])
+                out[path] = {
+                    "requests": int(n),
+                    "errors": int(self.errors.get(path, 0)),
+                    "latency_ms_p50": round(p50, 3),
+                    "latency_ms_p95": round(p95, 3),
+                }
+            return out
+
+
 class SearchServer:
     """Owns the pipeline, the lock, and the HTTP server object."""
 
@@ -117,6 +153,7 @@ class SearchServer:
                                     # requests (seconds of linger)
     ):
         self.pipeline = pipeline
+        self.stats = _EndpointStats()
         self.lock = threading.Lock()
         self.batcher = (
             _MicroBatcher(pipeline, self.lock, batch_window)
@@ -145,6 +182,8 @@ class SearchServer:
                     return None
 
             def do_GET(self):  # noqa: N802
+                if self.path == "/metrics":
+                    return self._reply(200, server.stats.snapshot())
                 if self.path != "/health":
                     return self._reply(404, {"error": "unknown endpoint"})
                 with server.lock:
@@ -164,11 +203,15 @@ class SearchServer:
                 req = self._read_json()
                 if req is None:
                     return self._reply(400, {"error": "invalid JSON body"})
+                t0 = time.time()
+                ok = False
                 try:
                     if self.path == "/search" and server.batcher is not None:
                         # the batcher worker takes the pipeline lock —
                         # waiting under it here would deadlock
-                        return self._reply(200, server._search_batched(req))
+                        out = server._search_batched(req)
+                        ok = True
+                        return self._reply(200, out)
                     handler = {
                         "/search": server._search,
                         "/encode": server._encode,
@@ -179,12 +222,16 @@ class SearchServer:
                     if handler is None:
                         return self._reply(404, {"error": "unknown endpoint"})
                     with server.lock:
-                        self._reply(200, handler(req))
+                        out = handler(req)
+                    ok = True
+                    self._reply(200, out)
                 except (KeyError, TypeError, ValueError) as e:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                 except Exception as e:  # unexpected: 500, keep serving
                     logger.exception("request failed")
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                finally:
+                    server.stats.record(self.path, time.time() - t0, ok)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True
