@@ -388,3 +388,58 @@ def test_trainer_closes_prefetcher_on_step_error():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_trainer_async_checkpoint_correct_and_durable(tmp_path):
+    """Async checkpointing: the device-copy snapshot must capture the
+    params AT the save step even though the train step donates its state
+    buffers, and execute() returning implies everything is on disk."""
+    cfg, tx, state, step, batch = _setup()
+    tr = Trainer(
+        step, state, save_path=str(tmp_path), checkpoint_every=2,
+        log_every=1, async_checkpoint=True,
+    )
+    tr.execute(lambda e: iter([batch] * 6), epochs=1)
+    assert tr._save_thread is None   # joined before returning
+    from text_similarity_tpu.core import checkpoint as ckpt
+
+    d = ckpt.latest_checkpoint(str(tmp_path))
+    params, _, saved_step, _ = ckpt.restore_checkpoint(
+        d, tr.state.params, None
+    )
+    assert saved_step == 6
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(params["encoder"]["embeddings"]["word"])),
+        np.asarray(
+            jax.device_get(tr.state.params["encoder"]["embeddings"]["word"])
+        ),
+        atol=1e-7,
+    )
+    # sync mode writes the identical final state (fresh state: the first
+    # run's donated buffers are gone)
+    cfg, tx, state2, step2, batch = _setup()
+    tr2 = Trainer(
+        step2, state2, save_path=str(tmp_path / "sync"),
+        async_checkpoint=False,
+    )
+    tr2.execute(lambda e: iter([batch] * 6), epochs=1)
+    d2 = ckpt.latest_checkpoint(str(tmp_path / "sync"))
+    params2, _, s2, _ = ckpt.restore_checkpoint(d2, tr2.state.params, None)
+    assert s2 == 6
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(params2["encoder"]["embeddings"]["word"])),
+        np.asarray(jax.device_get(params["encoder"]["embeddings"]["word"])),
+        atol=1e-7,
+    )
+
+
+def test_trainer_async_checkpoint_error_surfaces(tmp_path):
+    cfg, tx, state, step, batch = _setup()
+    bad = tmp_path / "file_not_dir"
+    bad.write_text("x")   # save_path collides with an existing FILE
+    tr = Trainer(
+        step, state, save_path=str(bad), async_checkpoint=True,
+    )
+    with pytest.raises((FileExistsError, NotADirectoryError, OSError)):
+        tr._save(1, tag=None)
+        tr.join_pending_save()

@@ -28,6 +28,10 @@ from ..utils.logging import get_logger
 
 logger = get_logger("trainer")
 
+# On-device pytree copy for async checkpoints: one jit, trace-cached per
+# pytree structure (a per-save jit(lambda) would recompile every call).
+_device_copy = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))
+
 
 class Trainer:
     def __init__(
@@ -43,6 +47,10 @@ class Trainer:
         save_optimizer: bool = True,
         prefetch: int = 2,                 # device-prefetch depth; 0 = off
         mesh=None,                         # shard prefetched batches here
+        async_checkpoint: bool = True,     # overlap checkpoint IO with
+                                           # training (device copy now,
+                                           # host transfer + disk write in
+                                           # a background thread)
     ):
         self.step_fn = step_fn
         self.state = state
@@ -55,8 +63,11 @@ class Trainer:
         self.save_optimizer = save_optimizer
         self.prefetch = prefetch
         self.mesh = mesh
+        self.async_checkpoint = async_checkpoint
         self.best_metric = -np.inf if direction == "max" else np.inf
         self.history = []
+        self._save_thread = None
+        self._save_error = None
 
     def _is_better(self, value: float) -> bool:
         if self.direction == "max":
@@ -144,6 +155,7 @@ class Trainer:
 
         if self.save_path:
             self._save(global_step, tag="final")
+            self.join_pending_save()   # execute() returning ⇒ durable
             if write_results:
                 with open(os.path.join(self.save_path, "results.jsonl"), "w") as f:
                     for r in self.history:
@@ -175,16 +187,54 @@ class Trainer:
 
     def _save(self, step: int, tag: Optional[str]):
         os.makedirs(self.save_path, exist_ok=True)
+        params = self.state.params
+        opt_state = self.state.opt_state if self.save_optimizer else None
+        if self.async_checkpoint:
+            # the train step donates its state buffers, so the live
+            # params may be invalidated the moment the next step runs —
+            # snapshot with an on-device copy (cheap, one fused op) and
+            # push the expensive part (device→host transfer + np.savez)
+            # off the training thread
+            self.join_pending_save()   # one writer at a time, in order
+            params = _device_copy(params)
+            opt_state = (
+                _device_copy(opt_state) if opt_state is not None else None
+            )
+
+            def write():
+                try:
+                    self._write_checkpoint(params, opt_state, step, tag)
+                except Exception as e:   # surfaced on the next save/join
+                    self._save_error = e
+
+            import threading
+
+            self._save_thread = threading.Thread(target=write, daemon=True)
+            self._save_thread.start()
+        else:
+            self._write_checkpoint(params, opt_state, step, tag)
+
+    def _write_checkpoint(self, params, opt_state, step, tag):
         d = ckpt.save_checkpoint(
             self.save_path,
-            self.state.params,
-            opt_state=self.state.opt_state if self.save_optimizer else None,
+            params,
+            opt_state=opt_state,
             step=step,
             meta={"tag": tag or "periodic", "best_metric": float(self.best_metric)},
         )
         if tag:
             with open(os.path.join(self.save_path, f"{tag.upper()}"), "w") as f:
                 f.write(os.path.basename(d))
+
+    def join_pending_save(self):
+        """Block until the in-flight async checkpoint (if any) is on disk;
+        re-raise its error if it failed."""
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            e, self._save_error = self._save_error, None
+            raise e
 
     def resume(self, params_template, opt_template=None) -> bool:
         """Resume from the latest checkpoint under save_path (a capability
