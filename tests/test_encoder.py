@@ -334,3 +334,34 @@ def test_albert_random_init_runs_and_shares():
         arch=arch.replace(num_layers=1), precision=FP32_PRECISION,
     ).last_hidden_state
     assert not np.allclose(np.asarray(out2), np.asarray(out1))
+
+
+def test_encode_data_parallel_mesh_matches_single_device():
+    """SentenceEncoder(mesh=data-mesh) shards encode batches over the
+    data axis; embeddings must match the single-device path exactly
+    (bulk corpus encode for multi-chip indexing — serve --shards wires
+    this up over the same devices as the index mesh)."""
+    from text_similarity_tpu.core.mesh import make_mesh
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+    texts = [
+        f"document number {i} about topic {i % 5}" for i in range(37)
+    ]
+    vocab = train_wordpiece_vocab(texts, vocab_size=256, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = ARCH_PRESETS["tiny-test"].replace(vocab_size=tok.vocab_size)
+    params = init_params(jax.random.PRNGKey(0), arch)
+    single = SentenceEncoder(
+        params, arch, tokenizer=tok, precision=FP32_PRECISION
+    )
+    mesh = make_mesh(data=8)
+    sharded = SentenceEncoder(
+        params, arch, tokenizer=tok, precision=FP32_PRECISION, mesh=mesh
+    )
+    a = single.encode(texts, batch_size=16)
+    b = sharded.encode(texts, batch_size=16)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

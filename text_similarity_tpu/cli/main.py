@@ -824,18 +824,21 @@ def cmd_serve(args):
     from ..pipelines import SemanticSearchPipeline
     from ..pipelines.serve import SearchServer
 
-    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
     if args.shards > 1:
         # corpus sharded over the mesh index axis: per-shard scan +
-        # all-gather top-k merge (north-star config 5)
+        # all-gather top-k merge (north-star config 5). Bulk encode runs
+        # data-parallel over the SAME devices (a second mesh view).
         import jax
 
         from ..core.mesh import make_mesh
         from ..pipelines.search import ShardedSearchPipeline
 
-        mesh = make_mesh(
-            data=1, index=args.shards, devices=jax.devices()[: args.shards]
+        devs = jax.devices()[: args.shards]
+        enc_mesh = make_mesh(data=args.shards, devices=devs)
+        enc = SentenceEncoder.load(
+            args.model, mesh=enc_mesh, bf16=not args.fp32
         )
+        mesh = make_mesh(data=1, index=args.shards, devices=devs)
         if args.load:
             pipe = ShardedSearchPipeline.load(args.load, enc, mesh)
         else:
@@ -846,6 +849,7 @@ def cmd_serve(args):
                         [l.strip() for l in f if l.strip()]
                     )
     else:
+        enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
         pipe = SemanticSearchPipeline(enc)
         if args.load:
             pipe.load_corpus(args.load)
