@@ -367,3 +367,48 @@ def test_mlm_mask_batch_properties():
     np.testing.assert_array_equal(np.asarray(labels)[sel], np.asarray(ids)[sel])
     # most selected positions become [MASK]
     assert (np.asarray(corrupted)[sel] == 4).mean() > 0.6
+
+
+def test_int8_native_forward_matches_f32(teacher):
+    """TRUE int8 forward (dynamic per-token activation quant +
+    int8×int8→int32 dots in the layer stack — not dequant-to-float):
+    embeddings must stay close to the f32 encoder's."""
+    enc8 = SentenceEncoder(
+        teacher.params, teacher.arch, tokenizer=teacher.tokenizer,
+        precision=FP32_PRECISION,
+    ).to_int8()
+    # the quantized tree really is int8 where it matters
+    assert enc8.params["layers"]["attn"]["q"]["w"]["q"].dtype == jnp.int8
+    assert enc8.params["layers"]["mlp"]["in"]["w"]["q"].dtype == jnp.int8
+    a = teacher.encode(CORPUS[:6])
+    b = enc8.encode(CORPUS[:6])
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.97, cos
+    # identical texts must still embed identically (determinism)
+    c = enc8.encode([CORPUS[0], CORPUS[0]])
+    np.testing.assert_allclose(c[0], c[1], atol=1e-6)
+
+
+def test_int8_native_pooler_and_pipeline(teacher):
+    """int8 encoder through the full search pipeline (the reference's
+    APISearchPipeline shape: int8 encoder + ANN index,
+    search_pipeline.py:178-226)."""
+    from text_similarity_tpu.models import encoder_forward
+    from text_similarity_tpu.compress.quantize import quantize_params_int8
+    from text_similarity_tpu.pipelines import SemanticSearchPipeline
+
+    qp = quantize_params_int8(teacher.params)
+    ids, mask = teacher.tokenizer.encode_batch(CORPUS[:2], 32)
+    out = encoder_forward(
+        qp, jnp.asarray(ids), jnp.asarray(mask), arch=teacher.arch,
+        precision=FP32_PRECISION,
+    )
+    if out.pooler_output is not None:
+        assert np.isfinite(np.asarray(out.pooler_output)).all()
+    enc8 = SentenceEncoder(
+        qp, teacher.arch, tokenizer=teacher.tokenizer,
+        precision=FP32_PRECISION,
+    )
+    pipe = SemanticSearchPipeline(enc8, corpus=CORPUS, use_ivf=False)
+    res = pipe([CORPUS[0]], max_num_results=3)
+    assert res[0][0][0] == CORPUS[0]

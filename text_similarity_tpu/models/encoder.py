@@ -179,6 +179,43 @@ def _dropout(x, rate, key, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# int8 serving path: the quantized tree from compress.quantize carries
+# {"q": int8 kernel, "s": per-output-channel scale} leaves; when present,
+# dense layers run dynamic per-token activation quantization and an
+# int8×int8→int32 MXU dot — the TPU-native form of the reference's
+# onnxruntime int8 serving (model_compression.py:784-791, search
+# int8 intent search_pipeline.py:193-226). The int8 MXU runs at 2× the
+# bf16 rate on v5e, and the weight stream from HBM halves vs bf16.
+# Inference-only (round() has no gradient).
+# ---------------------------------------------------------------------------
+
+
+def _is_q(wb_w) -> bool:
+    return isinstance(wb_w, dict) and "q" in wb_w
+
+
+def _dyn_quant_tokens(x: jax.Array):
+    """Per-token (last-axis) symmetric int8: (…, H) → int8 plus (…, 1)
+    fp32 scale."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _int8_dense(x: jax.Array, wb: dict) -> jax.Array:
+    """y = dequant(quant(x) @ w_q) + b, per-token × per-channel scales."""
+    xq, xs = _dyn_quant_tokens(x)
+    y = jnp.einsum(
+        "bsh,ho->bso", xq, wb["w"]["q"],
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * xs * wb["w"]["s"].reshape(1, 1, -1)
+    return y.astype(x.dtype) + wb["b"]
+
+
 def transformer_layer(
     hx: jax.Array,                 # (B, S, H)
     lp: dict,                      # one layer's params (unstacked)
@@ -203,6 +240,8 @@ def transformer_layer(
         dropout_rng = jax.random.PRNGKey(0)
 
     def dense(x_, wb):
+        if _is_q(wb["w"]):
+            return _int8_dense(x_, wb)
         return (
             jnp.einsum(
                 "bsh,ho->bso", x_, wb["w"],
@@ -215,11 +254,16 @@ def transformer_layer(
     # x streams from HBM once. Weights stack head-interleaved (h, nh, 3, hd)
     # so under tensor parallelism the sharded nh dim survives the stack and
     # the q/k/v slices stay local (no resharding collective).
+    quant = _is_q(attn["q"]["w"])
+
+    def _kernel(wb):
+        return wb["w"]["q"] if quant else wb["w"]
+
     w_qkv = jnp.stack(
         [
-            attn["q"]["w"].reshape(h, nh, hd),
-            attn["k"]["w"].reshape(h, nh, hd),
-            attn["v"]["w"].reshape(h, nh, hd),
+            _kernel(attn["q"]).reshape(h, nh, hd),
+            _kernel(attn["k"]).reshape(h, nh, hd),
+            _kernel(attn["v"]).reshape(h, nh, hd),
         ],
         axis=2,
     )  # (h, nh, 3, hd)
@@ -231,13 +275,30 @@ def transformer_layer(
         ],
         axis=1,
     )  # (nh, 3, hd)
-    qkv = (
-        jnp.einsum(
-            "bsh,hnkd->bsnkd", hx, w_qkv,
-            preferred_element_type=precision.accum_dtype,
-        ).astype(hx.dtype)
-        + b_qkv
-    )
+    if quant:
+        s_qkv = jnp.stack(
+            [
+                attn["q"]["w"]["s"].reshape(nh, hd),
+                attn["k"]["w"]["s"].reshape(nh, hd),
+                attn["v"]["w"]["s"].reshape(nh, hd),
+            ],
+            axis=1,
+        )  # (nh, 3, hd)
+        hq, hs = _dyn_quant_tokens(hx)
+        qkv = jnp.einsum(
+            "bsh,hnkd->bsnkd", hq, w_qkv, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        qkv = (
+            qkv * hs[..., None, None] * s_qkv[None, None]
+        ).astype(hx.dtype) + b_qkv
+    else:
+        qkv = (
+            jnp.einsum(
+                "bsh,hnkd->bsnkd", hx, w_qkv,
+                preferred_element_type=precision.accum_dtype,
+            ).astype(hx.dtype)
+            + b_qkv
+        )
     q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
     ctx = multi_head_attention(
         q, k, v, mask=attention_mask, head_mask=head_mask,
@@ -287,19 +348,33 @@ def embed_inputs(
     just to get this tensor: all L layers executed and were discarded).
     """
     b, s = input_ids.shape
-    x = jnp.take(emb["word"], input_ids, axis=0)
+
+    def take(table, idx):
+        # int8-quantized table: gather int8 rows, then dequant (per-column
+        # scale) — the full-table dequant would read 4× the HBM
+        if _is_q(table):
+            rows = jnp.take(table["q"], idx, axis=0).astype(jnp.float32)
+            return rows * table["s"]
+        return jnp.take(table, idx, axis=0)
+
+    x = take(emb["word"], input_ids)
     if arch.position_offset:
         # RoBERTa: padding tokens keep position = pad index; real tokens
         # get cumulative positions (create_position_ids_from_input_ids)
         m = attention_mask.astype(jnp.int32)
         pos_ids = jnp.cumsum(m, axis=1) * m + arch.pad_token_id
-        x = x + jnp.take(emb["position"], pos_ids, axis=0)
+        x = x + take(emb["position"], pos_ids)
+    elif _is_q(emb["position"]):
+        x = x + (
+            emb["position"]["q"][:s].astype(jnp.float32)
+            * emb["position"]["s"]
+        )[None]
     else:
         x = x + emb["position"][None, :s, :]
     if arch.has_token_type:
         if token_type_ids is None:
             token_type_ids = jnp.zeros((b, s), jnp.int32)
-        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+        x = x + take(emb["token_type"], token_type_ids)
     x = _layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"],
                     arch.layer_norm_eps)
     if dropout_rng is None:
@@ -311,9 +386,12 @@ def embed_inputs(
     if arch.embed_factor_size and "proj" in emb:
         # ALBERT factorized embeddings: tables live at E; map E→H before
         # the layer stack (HF embedding_hidden_mapping_in semantics)
+        pw = emb["proj"]["w"]
+        if _is_q(pw):   # small (E, H) kernel: weight-only dequant
+            pw = pw["q"].astype(jnp.float32) * pw["s"]
         x = (
             jnp.einsum(
-                "bse,eh->bsh", x, emb["proj"]["w"],
+                "bse,eh->bsh", x, pw,
                 preferred_element_type=precision.accum_dtype,
             )
             + emb["proj"]["b"]
@@ -455,7 +533,10 @@ def encoder_forward(
     if arch.has_pooler and "pooler" in params:
         cls = final[:, 0, :].astype(jnp.float32)
         pw = params["pooler"]
-        pooler_out = jnp.tanh(cls @ pw["w"] + pw["b"]).astype(final.dtype)
+        w = pw["w"]
+        if _is_q(w):   # small (H, H) kernel: weight-only dequant
+            w = w["q"].astype(jnp.float32) * w["s"]
+        pooler_out = jnp.tanh(cls @ w + pw["b"]).astype(final.dtype)
 
     return EncoderOutput(final, pooler_out, hidden_states)
 

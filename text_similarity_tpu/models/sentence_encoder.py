@@ -76,7 +76,10 @@ class SentenceEncoder:
                 raise ValueError(f"unknown pooling {pooling}")
             if "projection" in params:
                 pw = params["projection"]
-                emb = emb.astype(jnp.float32) @ pw["w"] + pw["b"]
+                w = pw["w"]
+                if isinstance(w, dict) and "q" in w:   # int8-quantized
+                    w = w["q"].astype(jnp.float32) * w["s"]
+                emb = emb.astype(jnp.float32) @ w + pw["b"]
             # L2 normalize in fp32 — embeddings feed cosine search.
             emb = emb.astype(jnp.float32)
             norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))
@@ -223,6 +226,18 @@ class SentenceEncoder:
     @property
     def embedding_dim(self) -> int:
         return self.arch.embedding_size
+
+    def to_int8(self) -> "SentenceEncoder":
+        """Quantize params to int8 for serving: dense layers then run
+        dynamic per-token activation quantization and int8×int8→int32
+        MXU dots (2× the bf16 MXU rate on v5e, half the weight HBM
+        stream) — the TPU-native form of the reference's onnxruntime
+        int8 serving (model_compression.py:784-791). Inference-only."""
+        from ..compress.quantize import quantize_params_int8
+
+        self.params = quantize_params_int8(self.params)
+        self._jit_cache.clear()
+        return self
 
     def to_bf16(self) -> "SentenceEncoder":
         """Cast params to bf16 once for serving — halves the parameter HBM
