@@ -412,3 +412,28 @@ def test_int8_native_pooler_and_pipeline(teacher):
     pipe = SemanticSearchPipeline(enc8, corpus=CORPUS, use_ivf=False)
     res = pipe([CORPUS[0]], max_num_results=3)
     assert res[0][0][0] == CORPUS[0]
+
+
+def test_int8_cross_encoder_rerank(teacher):
+    """int8 cross-encoder scores stay close to f32 and the rerank
+    pipeline runs on it end-to-end."""
+    from text_similarity_tpu.models.cross_encoder import CrossEncoder
+    from text_similarity_tpu.pipelines import (
+        RankingPipeline, SemanticSearchPipeline,
+    )
+
+    ce = CrossEncoder.init(
+        jax.random.PRNGKey(3), teacher.arch, tokenizer=teacher.tokenizer,
+        num_classes=1, precision=FP32_PRECISION,
+    )
+    pairs = [(CORPUS[0], CORPUS[1]), (CORPUS[2], CORPUS[3])]
+    a = ce.predict(pairs)
+    ce8 = CrossEncoder(
+        ce.params, ce.arch, tokenizer=ce.tokenizer, num_classes=1,
+        precision=FP32_PRECISION,
+    ).to_int8()
+    b = ce8.predict(pairs)
+    np.testing.assert_allclose(a, b, atol=0.15)
+    search = SemanticSearchPipeline(teacher, corpus=CORPUS, use_ivf=False)
+    out = RankingPipeline(search, ce8, retrieve_k=4)([CORPUS[0]], top_k=2)
+    assert len(out[0]) == 2

@@ -838,6 +838,8 @@ def cmd_serve(args):
         enc = SentenceEncoder.load(
             args.model, mesh=enc_mesh, bf16=not args.fp32
         )
+        if args.int8:
+            enc.to_int8()
         mesh = make_mesh(data=1, index=args.shards, devices=devs)
         if args.load:
             pipe = ShardedSearchPipeline.load(args.load, enc, mesh)
@@ -850,6 +852,8 @@ def cmd_serve(args):
                     )
     else:
         enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+        if args.int8:
+            enc.to_int8()
         pipe = SemanticSearchPipeline(enc)
         if args.load:
             pipe.load_corpus(args.load)
@@ -1065,6 +1069,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="precompile query buckets up to this many "
                         "queries before accepting requests (first "
                         "compiles are slow; pay them at startup)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve with a true-int8 encoder (dynamic "
+                        "activation quant + int8 MXU dots — the "
+                        "reference's onnxruntime-int8 serving shape)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("mine"); _common(p)

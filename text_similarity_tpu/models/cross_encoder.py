@@ -72,6 +72,15 @@ class CrossEncoder:
             self._jit_cache[shape] = jax.jit(fn)
         return self._jit_cache[shape]
 
+    def to_int8(self) -> "CrossEncoder":
+        """int8 serving quantization (see SentenceEncoder.to_int8): the
+        encoder stack runs true int8 MXU dots; the tiny head dequants."""
+        from ..compress.quantize import quantize_params_int8
+
+        self.params = quantize_params_int8(self.params)
+        self._jit_cache.clear()
+        return self
+
     def score_tokens(self, ids, mask, type_ids=None) -> np.ndarray:
         ids = jnp.asarray(ids, jnp.int32)
         mask = jnp.asarray(mask, jnp.int32)

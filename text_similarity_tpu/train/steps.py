@@ -217,7 +217,10 @@ def classifier_forward(
     else:
         pooled = mean_pool(out.last_hidden_state, mask)
     head = params["head"]
-    logits = pooled.astype(jnp.float32) @ head["w"] + head["b"]
+    w = head["w"]
+    if isinstance(w, dict) and "q" in w:   # int8-quantized serving tree
+        w = w["q"].astype(jnp.float32) * w["s"]
+    logits = pooled.astype(jnp.float32) @ w + head["b"]
     return logits
 
 
