@@ -750,3 +750,21 @@ def test_search_server_metrics_endpoint(encoder):
         assert m["/search"]["latency_ms_p95"] >= m["/search"]["latency_ms_p50"] > 0
     finally:
         server.shutdown()
+
+
+def test_mining_pipeline_ivf_mode_matches_exact(encoder):
+    """IVF-accelerated all-pairs mining (auto at >=100k docs; forced here)
+    finds the same duplicate pairs as the exact O(N^2) path on a small
+    corpus."""
+    exact = SentenceMiningPipeline(encoder, use_ivf=False)(
+        CORPUS, k=2, min_score=0.99
+    )
+    approx = SentenceMiningPipeline(encoder, use_ivf=True)(
+        CORPUS, k=2, min_score=0.99
+    )
+    exact_pairs = {(i, j) for i, j, _ in exact}
+    approx_pairs = {(i, j) for i, j, _ in approx}
+    # every exact duplicate pair must be recovered
+    assert exact_pairs <= approx_pairs | {
+        (j, i) for i, j in approx_pairs
+    }, (exact_pairs, approx_pairs)

@@ -881,7 +881,8 @@ def cmd_mine(args):
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
     with open(args.corpus, encoding="utf-8") as f:
         corpus = [l.strip() for l in f if l.strip()]
-    pairs = SentenceMiningPipeline(enc)(
+    use_ivf = {"auto": None, "on": True, "off": False}[args.ivf]
+    pairs = SentenceMiningPipeline(enc, use_ivf=use_ivf)(
         corpus, k=args.top_k, min_score=args.min_score
     )
     for i, j, s in pairs[: args.max_pairs]:
@@ -1080,6 +1081,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--min-score", type=float, default=0.8)
     p.add_argument("--max-pairs", type=int, default=100)
+    p.add_argument("--ivf", choices=("auto", "on", "off"), default="auto",
+                   help="IVF-accelerated approximate mining (auto: on "
+                        "at >=100k docs — exact mining is O(N^2))")
     p.set_defaults(fn=cmd_mine)
 
     p = sub.add_parser("compare-models"); _common(p)

@@ -480,9 +480,44 @@ class SentenceMiningPipeline:
     """Find likely paraphrase pairs inside a corpus (corrected intent of
     reference SentenceMiningPipeline, search_pipeline.py:39-93)."""
 
-    def __init__(self, encoder, batch_size: int = 128):
+    def __init__(
+        self,
+        encoder,
+        batch_size: int = 128,
+        use_ivf: Optional[bool] = None,   # None = auto: IVF at ≥100k docs
+                                          # (exact mining is O(N²))
+    ):
         self.encoder = encoder
         self.batch_size = batch_size
+        self.use_ivf = use_ivf
+
+    def _mine_ivf(self, emb: jax.Array, k: int):
+        """Approximate all-pairs mining through the IVF index: query the
+        corpus against itself (one fused scan per 16k-row batch instead
+        of an O(N²) matmul stream), drop self-matches."""
+        n = emb.shape[0]
+        cfg = IndexConfig.auto(n)
+        ivf = IVFIndex.build(emb, cfg, data_dtype=jnp.bfloat16)
+        mc = ivf.data_padded.shape[1]
+        all_s = np.zeros((n, k), np.float32)
+        all_i = np.zeros((n, k), np.int64)
+        for start in range(0, n, 16384):
+            stop = min(start + 16384, n)
+            s, i = ivf.query(
+                emb[start:stop], k=k + 1, block_q=64, union_factor=1,
+                approx_width=2048 if mc >= 1024 else 0,
+            )
+            s_h, i_h = np.asarray(s), np.asarray(i)
+            rows = np.arange(start, stop)[:, None]
+            keep = i_h != rows           # drop self-match
+            # keep exactly k non-self hits per row
+            for r in range(stop - start):
+                sel = np.nonzero(keep[r])[0][:k]
+                all_s[start + r, : sel.size] = s_h[r, sel]
+                all_i[start + r, : sel.size] = i_h[r, sel]
+                if sel.size < k:
+                    all_i[start + r, sel.size:] = -1
+        return all_s, all_i
 
     def __call__(
         self,
@@ -494,6 +529,19 @@ class SentenceMiningPipeline:
         """With queries=None: all-pairs mining → list of (i, j, score).
         With queries: per-query top-k over the corpus → list of lists."""
         emb = self.encoder.encode(corpus, batch_size=self.batch_size)
+        want_ivf = (
+            self.use_ivf if self.use_ivf is not None
+            else len(corpus) >= 100_000
+        )
+        if queries is None and want_ivf:
+            s, i = self._mine_ivf(l2_normalize(jnp.asarray(emb)), k)
+            pairs = []
+            for r in range(len(corpus)):
+                for score, j in zip(s[r], i[r]):
+                    if j >= 0 and score >= min_score and r < j:
+                        pairs.append((r, int(j), float(score)))
+            pairs.sort(key=lambda p: -p[2])
+            return pairs
         index = BruteForceIndex.from_embeddings(l2_normalize(jnp.asarray(emb)))
         if queries is None:
             s, i = index.mine(k=k)
