@@ -578,3 +578,46 @@ def test_ivf_sentinel_save_load_roundtrip(tmp_path):
     _, i1 = ivf.query(x[:8], k=5, impl="pallas", approx_width=256)
     _, i2 = loaded.query(x[:8], k=5, impl="pallas", approx_width=256)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_fuzz_mutations_vs_oracle():
+    """Property test: a random sequence of add/remove batches on a live
+    IVF index must keep queries consistent with a brute-force oracle over
+    the surviving rows (top-1 exactness on self-queries + no ghosts)."""
+    rng = np.random.RandomState(42)
+    d = 32
+    base = l2_normalize(jnp.asarray(rng.randn(512, d), np.float32))
+    ivf = IVFIndex.build(
+        base, IndexConfig(num_clusters=8, num_probes=8, kmeans_iters=4)
+    )
+    rows = {i: np.asarray(base[i]) for i in range(512)}
+    next_id = 512
+    for step in range(6):
+        op = rng.choice(["add", "remove"])
+        if op == "add":
+            nb = rng.randint(1, 9)
+            new = l2_normalize(jnp.asarray(rng.randn(nb, d), np.float32))
+            ids = ivf.add(new, start_id=next_id)
+            for j, gid in enumerate(ids):
+                rows[int(gid)] = np.asarray(new[j])
+            next_id += nb
+        else:
+            alive = sorted(rows)
+            kill = rng.choice(alive, size=min(8, len(alive)), replace=False)
+            removed = ivf.remove(kill)
+            assert removed == len(set(kill.tolist()))
+            for gid in kill:
+                rows.pop(int(gid))
+        # verify: every live queried row self-retrieves; no dead ids
+        probe_ids = rng.choice(sorted(rows), size=8, replace=False)
+        q = jnp.asarray(np.stack([rows[int(i)] for i in probe_ids]))
+        for impl, kw in (
+            ("xla", {}),
+            ("pallas", {"approx_width": 256}),
+            ("pallas", {}),
+        ):
+            s, i = ivf.query(q, k=4, impl=impl, **kw)
+            i = np.asarray(i)
+            assert (i[:, 0] == probe_ids).all(), (step, impl, kw, i[:, 0])
+            hit_ids = i[i >= 0]
+            assert set(hit_ids.tolist()) <= set(rows), (step, impl, kw)
