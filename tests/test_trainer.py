@@ -434,12 +434,17 @@ def test_trainer_async_checkpoint_correct_and_durable(tmp_path):
 
 
 def test_trainer_async_checkpoint_error_surfaces(tmp_path):
+    """A write failure inside the background thread must re-raise from
+    join_pending_save (not vanish into the daemon thread)."""
     cfg, tx, state, step, batch = _setup()
-    bad = tmp_path / "file_not_dir"
-    bad.write_text("x")   # save_path collides with an existing FILE
     tr = Trainer(
-        step, state, save_path=str(bad), async_checkpoint=True,
+        step, state, save_path=str(tmp_path), async_checkpoint=True,
     )
-    with pytest.raises((FileExistsError, NotADirectoryError, OSError)):
-        tr._save(1, tag=None)
+    # sabotage the step dir the background writer will rename onto:
+    # a FILE blocks the final os.rename(tmp, step_dir) in the thread
+    (tmp_path / "step_00000001").write_text("in the way")
+    tr._save(1, tag=None)   # returns immediately; the thread fails
+    with pytest.raises(OSError):
         tr.join_pending_save()
+    # the error is consumed: a later join is clean
+    tr.join_pending_save()

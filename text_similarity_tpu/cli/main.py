@@ -834,7 +834,13 @@ def cmd_serve(args):
         from ..pipelines.search import ShardedSearchPipeline
 
         devs = jax.devices()[: args.shards]
-        enc_mesh = make_mesh(data=args.shards, devices=devs)
+        # DP encode needs the fixed 128-row encode batches to divide
+        # evenly over the data axis; odd shard counts (3, 6, ...) fall
+        # back to single-device encode rather than crash the first encode
+        enc_mesh = (
+            make_mesh(data=args.shards, devices=devs)
+            if 128 % args.shards == 0 else None
+        )
         enc = SentenceEncoder.load(
             args.model, mesh=enc_mesh, bf16=not args.fp32
         )

@@ -107,16 +107,29 @@ def save_checkpoint(
     metadata (per-leaf PartitionSpecs) rides along in meta.json whenever
     the params are mesh-placed."""
     ckpt_dir = os.path.join(path, f"step_{step:08d}")
-    os.makedirs(ckpt_dir, exist_ok=True)
+    # write into a .tmp dir and rename at the end: a crash mid-write (or a
+    # dying async-checkpoint thread) must never leave a half-written
+    # step_* dir that latest_checkpoint's fallback would pick up
+    tmp_dir = ckpt_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
     shardings = _collect_shardings(params)
-    np.savez(os.path.join(ckpt_dir, "params.npz"), **_flatten(params))
+    np.savez(os.path.join(tmp_dir, "params.npz"), **_flatten(params))
     if opt_state is not None:
-        np.savez(os.path.join(ckpt_dir, "opt_state.npz"), **_flatten(opt_state))
+        np.savez(os.path.join(tmp_dir, "opt_state.npz"), **_flatten(opt_state))
     info = {"step": step, "meta": meta or {}}
     if shardings:
         info["shardings"] = shardings
-    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(info, f, indent=2)
+    if os.path.isdir(ckpt_dir):   # re-saving the same step: replace
+        import shutil
+
+        shutil.rmtree(ckpt_dir)
+    os.rename(tmp_dir, ckpt_dir)
     # atomic-ish "latest" pointer
     with open(os.path.join(path, "LATEST"), "w") as f:
         f.write(os.path.basename(ckpt_dir))

@@ -195,6 +195,16 @@ def _is_q(wb_w) -> bool:
     return isinstance(wb_w, dict) and "q" in wb_w
 
 
+def dequant_weight(w):
+    """Weight-only dequant of one {"q", "s"} int8 leaf; pass-through for
+    dense kernels. For the SMALL kernels (pooler, projections, classifier
+    heads) where a full int8 activation-quant path isn't worth the extra
+    quantize step — the single shared helper all call sites use."""
+    if _is_q(w):
+        return w["q"].astype(jnp.float32) * w["s"]
+    return w
+
+
 def _dyn_quant_tokens(x: jax.Array):
     """Per-token (last-axis) symmetric int8: (…, H) → int8 plus (…, 1)
     fp32 scale."""
@@ -386,9 +396,7 @@ def embed_inputs(
     if arch.embed_factor_size and "proj" in emb:
         # ALBERT factorized embeddings: tables live at E; map E→H before
         # the layer stack (HF embedding_hidden_mapping_in semantics)
-        pw = emb["proj"]["w"]
-        if _is_q(pw):   # small (E, H) kernel: weight-only dequant
-            pw = pw["q"].astype(jnp.float32) * pw["s"]
+        pw = dequant_weight(emb["proj"]["w"])  # small (E, H) kernel
         x = (
             jnp.einsum(
                 "bse,eh->bsh", x, pw,
@@ -533,9 +541,7 @@ def encoder_forward(
     if arch.has_pooler and "pooler" in params:
         cls = final[:, 0, :].astype(jnp.float32)
         pw = params["pooler"]
-        w = pw["w"]
-        if _is_q(w):   # small (H, H) kernel: weight-only dequant
-            w = w["q"].astype(jnp.float32) * w["s"]
+        w = dequant_weight(pw["w"])   # small (H, H) kernel
         pooler_out = jnp.tanh(cls @ w + pw["b"]).astype(final.dtype)
 
     return EncoderOutput(final, pooler_out, hidden_states)

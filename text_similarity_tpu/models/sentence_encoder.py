@@ -75,11 +75,13 @@ class SentenceEncoder:
             else:
                 raise ValueError(f"unknown pooling {pooling}")
             if "projection" in params:
+                from .encoder import dequant_weight
+
                 pw = params["projection"]
-                w = pw["w"]
-                if isinstance(w, dict) and "q" in w:   # int8-quantized
-                    w = w["q"].astype(jnp.float32) * w["s"]
-                emb = emb.astype(jnp.float32) @ w + pw["b"]
+                emb = (
+                    emb.astype(jnp.float32) @ dequant_weight(pw["w"])
+                    + pw["b"]
+                )
             # L2 normalize in fp32 — embeddings feed cosine search.
             emb = emb.astype(jnp.float32)
             norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))

@@ -510,13 +510,15 @@ class SentenceMiningPipeline:
             s_h, i_h = np.asarray(s), np.asarray(i)
             rows = np.arange(start, stop)[:, None]
             keep = i_h != rows           # drop self-match
-            # keep exactly k non-self hits per row
-            for r in range(stop - start):
-                sel = np.nonzero(keep[r])[0][:k]
-                all_s[start + r, : sel.size] = s_h[r, sel]
-                all_i[start + r, : sel.size] = i_h[r, sel]
-                if sel.size < k:
-                    all_i[start + r, sel.size:] = -1
+            # first k non-self hits per row, vectorized (a per-row Python
+            # loop would cost seconds of host time at the ≥100k-doc scale
+            # this path auto-activates at): stable-sort self-matches last
+            order = np.argsort(~keep, axis=1, kind="stable")[:, :k]
+            s_sel = np.take_along_axis(s_h, order, axis=1)
+            i_sel = np.take_along_axis(i_h, order, axis=1)
+            valid = np.take_along_axis(keep, order, axis=1)
+            all_s[start:stop] = np.where(valid, s_sel, 0.0)
+            all_i[start:stop] = np.where(valid, i_sel, -1)
         return all_s, all_i
 
     def __call__(

@@ -199,13 +199,21 @@ class SearchServer:
                          "sharded": hasattr(p, "mesh")},
                     )
 
+            ENDPOINTS = {
+                "/search", "/encode", "/add", "/remove", "/save",
+            }
+
             def do_POST(self):  # noqa: N802
-                req = self._read_json()
-                if req is None:
-                    return self._reply(400, {"error": "invalid JSON body"})
-                t0 = time.time()
+                # monotonic: a wall-clock step would poison the latency
+                # reservoir; record only KNOWN endpoints so a scanner
+                # POSTing random paths can't grow /metrics unboundedly
+                t0 = time.monotonic()
+                known = self.path in self.ENDPOINTS
                 ok = False
                 try:
+                    req = self._read_json()
+                    if req is None:
+                        return self._reply(400, {"error": "invalid JSON body"})
                     if self.path == "/search" and server.batcher is not None:
                         # the batcher worker takes the pipeline lock —
                         # waiting under it here would deadlock
@@ -231,7 +239,10 @@ class SearchServer:
                     logger.exception("request failed")
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 finally:
-                    server.stats.record(self.path, time.time() - t0, ok)
+                    if known:
+                        server.stats.record(
+                            self.path, time.monotonic() - t0, ok
+                        )
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import EncoderArch, TrainConfig
 from ..core.mesh import DATA_AXIS
 from ..core.precision import Precision, DEFAULT_PRECISION
-from ..models.encoder import encoder_forward
+from ..models.encoder import encoder_forward, dequant_weight
 from ..models.pooling import mean_pool, cls_pool
 from ..models import losses as L
 
@@ -217,10 +217,9 @@ def classifier_forward(
     else:
         pooled = mean_pool(out.last_hidden_state, mask)
     head = params["head"]
-    w = head["w"]
-    if isinstance(w, dict) and "q" in w:   # int8-quantized serving tree
-        w = w["q"].astype(jnp.float32) * w["s"]
-    logits = pooled.astype(jnp.float32) @ w + head["b"]
+    logits = (
+        pooled.astype(jnp.float32) @ dequant_weight(head["w"]) + head["b"]
+    )
     return logits
 
 

@@ -121,6 +121,12 @@ class Trainer:
                 # device-resident batches for the process lifetime)
                 if prefetcher is not None:
                     prefetcher.close()
+                # ...nor an in-flight async checkpoint: wait for it so a
+                # propagating exception can't kill the process mid-write
+                # (join only; the step error must not be masked by a
+                # save error, which re-raises on the next save/join)
+                if self._save_thread is not None:
+                    self._save_thread.join()
             epoch_metrics = self._drain(pending, epoch_metrics)
             dt = time.time() - t0
             avg = {
