@@ -279,3 +279,68 @@ def test_ring_attention_fully_masked_row_outputs_zero(eight_devices):
     out = np.asarray(jax.jit(fn)(q, k, v, m))
     assert np.all(out[1] == 0.0)
     assert np.isfinite(out).all()
+
+
+def test_ulysses_attention_matches_single_device(eight_devices):
+    """Ulysses CP (all-to-all head/seq exchange): exact parity with the
+    single-device oracle, including padded key positions."""
+    from text_similarity_tpu.ops.ulysses import ulysses_attention
+
+    mesh = make_mesh(data=1, model=1, seq=8, index=1)
+    b, s, h, d = 2, 128, 8, 16  # 8 heads / 8 devices: 1 head each
+    q, k, v = _qkv(b=b, s=s, h=h, d=d, seed=7)
+    mask = np.ones((b, s), np.int32)
+    mask[0, 100:] = 0
+    m = jnp.asarray(mask)
+
+    ref = np.asarray(attention_reference(q, k, v, m))
+    fn = shard_map(
+        lambda q_, k_, v_, m_: ulysses_attention(q_, k_, v_, m_, SEQ_AXIS),
+        mesh=mesh,
+        in_specs=(
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS),
+        ),
+        out_specs=P(None, SEQ_AXIS, None, None),
+    )
+    out = np.asarray(jax.jit(fn)(q, k, v, m))
+    keep = mask.astype(bool)
+    np.testing.assert_allclose(out[keep], ref[keep], atol=1e-5)
+
+
+def test_ulysses_attention_gradients_match(eight_devices):
+    from text_similarity_tpu.ops.ulysses import ulysses_attention
+
+    mesh = make_mesh(data=1, model=1, seq=8, index=1)
+    b, s, h, d = 1, 64, 8, 16
+    q, k, v = _qkv(b=b, s=s, h=h, d=d, seed=9)
+    m = jnp.ones((b, s), jnp.int32)
+
+    def loss_ref(qkv):
+        q_, k_, v_ = qkv
+        return jnp.sum(attention_reference(q_, k_, v_, m) ** 2)
+
+    ufn = shard_map(
+        lambda q_, k_, v_, m_: ulysses_attention(q_, k_, v_, m_, SEQ_AXIS),
+        mesh=mesh,
+        in_specs=(
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS, None, None),
+            P(None, SEQ_AXIS),
+        ),
+        out_specs=P(None, SEQ_AXIS, None, None),
+    )
+
+    def loss_u(qkv):
+        q_, k_, v_ = qkv
+        return jnp.sum(ufn(q_, k_, v_, m) ** 2)
+
+    g_ref = jax.grad(loss_ref)((q, k, v))
+    g_u = jax.jit(jax.grad(loss_u))((q, k, v))
+    for a, b_ in zip(g_ref, g_u):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
+        )
