@@ -344,3 +344,38 @@ def test_ulysses_attention_gradients_match(eight_devices):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("strategy", ["ring", "ulysses"])
+def test_encoder_forward_cp_matches_single_device(eight_devices, strategy):
+    """The FULL encoder running context-parallel (seq sharded over 8
+    devices, ring or ulysses attention inside the layer scan) must match
+    the single-device forward."""
+    from text_similarity_tpu.models.long_context import encoder_forward_cp
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.models import init_params, encoder_forward
+
+    arch = ARCH_PRESETS["tiny-test"].replace(num_heads=8, max_position=256)
+    params = init_params(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(11)
+    b, s = 2, 128
+    ids = jnp.asarray(rng.randint(5, arch.vocab_size, (b, s)), jnp.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[1, 96:] = 0
+    m = jnp.asarray(mask)
+
+    ref = encoder_forward(
+        params, ids, m, arch=arch, precision=FP32_PRECISION,
+        attention_impl="reference",
+    ).last_hidden_state
+
+    mesh = make_mesh(data=1, model=1, seq=8, index=1)
+    out = encoder_forward_cp(
+        params, ids, m, arch=arch, mesh=mesh, strategy=strategy,
+        precision=FP32_PRECISION,
+    )
+    keep = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[keep], np.asarray(ref)[keep], atol=2e-5, rtol=2e-5
+    )

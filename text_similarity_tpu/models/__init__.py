@@ -5,6 +5,7 @@ from .encoder import (
     param_pspecs,
     num_params,
 )
+from .long_context import encoder_forward_cp
 from .pooling import mean_pool, cls_pool, max_pool, word_span_pool, pool
 from .hf_convert import convert_hf_model, convert_state_dict, arch_from_hf_config
 
@@ -12,6 +13,7 @@ __all__ = [
     "EncoderOutput",
     "init_params",
     "encoder_forward",
+    "encoder_forward_cp",
     "param_pspecs",
     "num_params",
     "mean_pool",

@@ -238,6 +238,8 @@ def transformer_layer(
     deterministic: bool = True,
     attention_impl: str = "auto",
     performer_proj: Optional[jax.Array] = None,
+    cp_axis: Optional[str] = None,   # context-parallel mesh axis for
+                                     # attention_impl="ring"/"ulysses"
 ) -> jax.Array:
     """One post-LN transformer block: MHA + residual + LN, FFN + residual +
     LN. Shared by the stock encoder scan, the theseus mixed stack
@@ -318,6 +320,7 @@ def transformer_layer(
         performer_local_heads=arch.performer_local_heads,
         performer_local_window=arch.performer_local_window,
         window_global_cls=arch.window_global_cls,
+        cp_axis=cp_axis,
     ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
     ctx = dense(ctx, attn["o"])
     ctx = _dropout(

@@ -762,15 +762,37 @@ def multi_head_attention(
     performer_local_heads: int = 0,
     performer_local_window: int = 64,
     window_global_cls: bool = False,
+    cp_axis: Optional[str] = None,
 ) -> jax.Array:
-    """Dispatching MHA. impl: auto | flash | reference | performer.
+    """Dispatching MHA. impl: auto | flash | reference | performer |
+    ring | ulysses.
 
     ``flash`` requires no head_mask (pruning paths use ``reference``, which
     exposes attention probabilities to the head-mask gradient).
     ``performer`` needs a (m, head_dim) random-feature matrix; with
     ``performer_local_heads`` > 0 the first N heads run exact windowed
     attention while the rest stay linear (the reference's mixed
-    local+global heads, fast_attention.py:257-307)."""
+    local+global heads, fast_attention.py:257-307).
+    ``ring``/``ulysses`` are the context-parallel strategies: q/k/v/mask
+    carry this device's SEQUENCE slice and ``cp_axis`` names the mesh
+    axis (must be called inside shard_map — models/long_context.py wires
+    the full encoder)."""
+    if impl in ("ring", "ulysses"):
+        if cp_axis is None:
+            raise ValueError(f"impl={impl!r} needs cp_axis (inside shard_map)")
+        if window or window_global_cls or causal:
+            raise ValueError("context-parallel attention is full+non-causal")
+        if impl == "ring":
+            from .ring_attention import ring_attention
+
+            out = ring_attention(q, k, v, mask, cp_axis)
+        else:
+            from .ulysses import ulysses_attention
+
+            out = ulysses_attention(q, k, v, mask, cp_axis)
+        if head_mask is not None:
+            out = out * head_mask[None, None, :, None].astype(out.dtype)
+        return out
     if impl == "performer":
         from .performer import performer_attention, performer_attention_causal
 
