@@ -379,3 +379,40 @@ def test_encoder_forward_cp_matches_single_device(eight_devices, strategy):
     np.testing.assert_allclose(
         np.asarray(out)[keep], np.asarray(ref)[keep], atol=2e-5, rtol=2e-5
     )
+
+
+def test_sentence_encoder_encode_long_cp(eight_devices):
+    """encode_long: the CP encode path produces the same embeddings as
+    the single-device forward + mean pool at the same padded length."""
+    from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import FP32_PRECISION
+    from text_similarity_tpu.models import init_params, encoder_forward, mean_pool
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.ops.topk import l2_normalize
+
+    texts = [
+        "a very long document about foxes " * 8,
+        "tensor processing units multiply matrices quickly " * 6,
+        "short one",
+    ]
+    tok = WordPieceTokenizer(train_wordpiece_vocab(texts, 256, min_freq=1))
+    arch = ARCH_PRESETS["tiny-test"].replace(
+        vocab_size=tok.vocab_size, num_heads=8, max_position=256
+    )
+    params = init_params(jax.random.PRNGKey(0), arch)
+    enc = SentenceEncoder(
+        params, arch, tokenizer=tok, precision=FP32_PRECISION
+    )
+    mesh = make_mesh(data=1, model=1, seq=8, index=1)
+    got = enc.encode_long(texts, mesh, max_len=128, strategy="ulysses")
+
+    ids, mask = tok.encode_batch(texts, 128)
+    ref_h = encoder_forward(
+        params, jnp.asarray(ids), jnp.asarray(mask), arch=arch,
+        precision=FP32_PRECISION, attention_impl="reference",
+    ).last_hidden_state
+    ref = np.asarray(l2_normalize(mean_pool(ref_h, jnp.asarray(mask))))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)

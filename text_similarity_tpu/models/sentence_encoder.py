@@ -225,6 +225,60 @@ class SentenceEncoder:
             out[b["index"][sel]] = emb_h[sel]
         return out
 
+    def encode_long(
+        self,
+        texts: Sequence[str],
+        mesh,
+        max_len: int = 4096,
+        strategy: str = "ring",     # ring | ulysses (models/long_context)
+        batch_size: int = 8,
+    ) -> np.ndarray:
+        """Encode documents at sequence lengths beyond one chip's
+        attention memory: the full encoder runs context-parallel over the
+        mesh ``seq`` axis (exact attention — the reference could only
+        approximate long context, SURVEY.md §5.7). Pooling/normalization
+        match encode()."""
+        from ..core.mesh import SEQ_AXIS
+        from .long_context import encoder_forward_cp
+
+        if self.tokenizer is None:
+            raise ValueError("encoder has no tokenizer")
+        n_seq = mesh.shape[SEQ_AXIS]
+        if max_len % n_seq:
+            raise ValueError(f"max_len {max_len} must divide seq axis {n_seq}")
+        ids, mask = self.tokenizer.encode_batch(list(texts), max_len)
+        # fixed-S requirement: the sharded seq axis needs equal slices
+        width = ids.shape[1]
+        pad_s = (width + n_seq - 1) // n_seq * n_seq - width
+        if pad_s:
+            ids = np.pad(ids, ((0, 0), (0, pad_s)))
+            mask = np.pad(mask, ((0, 0), (0, pad_s)))
+        params, arch, precision = self.params, self.arch, self.precision
+        key = ("cp", strategy, max_len, batch_size, n_seq)
+        if key not in self._jit_cache:
+            def fn(p, i, m):
+                h = encoder_forward_cp(
+                    p, i, m, arch=arch, mesh=mesh, strategy=strategy,
+                    precision=precision,
+                )
+                emb = mean_pool(h, m).astype(jnp.float32)
+                norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))
+                return emb / jnp.maximum(norm, 1e-12)
+
+            self._jit_cache[key] = jax.jit(fn)
+        jfn = self._jit_cache[key]
+        out = np.zeros((len(texts), self.embedding_dim), np.float32)
+        for start in range(0, len(texts), batch_size):
+            stop = min(start + batch_size, len(texts))
+            pad = batch_size - (stop - start)
+            i_b = np.pad(ids[start:stop], ((0, pad), (0, 0)))
+            m_b = np.pad(mask[start:stop], ((0, pad), (0, 0)))
+            m_b[stop - start:, 0] = 1   # all-pad rows: keep one valid
+                                        # position so pooling stays finite
+            emb = np.asarray(jfn(params, jnp.asarray(i_b), jnp.asarray(m_b)))
+            out[start:stop] = emb[: stop - start]
+        return out
+
     @property
     def embedding_dim(self) -> int:
         return self.arch.embedding_size
