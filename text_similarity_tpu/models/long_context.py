@@ -51,10 +51,25 @@ def encoder_forward_cp(
     full attention) and, for ulysses, heads divisible by the axis size."""
     if strategy not in ("ring", "ulysses"):
         raise ValueError(f"unknown CP strategy {strategy!r}")
+    if arch.attention_type == "performer" or arch.attention_window:
+        # running exact CP attention under weights trained for a
+        # different attention would silently change the model
+        raise ValueError(
+            "context-parallel forward is exact full attention; "
+            f"arch has attention_type={arch.attention_type!r} / "
+            f"window={arch.attention_window}"
+        )
     n_seq = mesh.shape[SEQ_AXIS]
     b, s = input_ids.shape
     if s % n_seq:
         raise ValueError(f"S={s} must divide over seq axis ({n_seq})")
+    limit = arch.max_position - (arch.pad_token_id + 1 if arch.position_offset else 0)
+    if s > limit:
+        raise ValueError(
+            f"S={s} exceeds the position table ({limit} usable positions)"
+            " — CP extends attention memory, not max_position; re-tile "
+            "positions first (models/hf_convert.extend_positions)"
+        )
 
     # embeddings need GLOBAL positions — compute them replicated, outside
     # the shard_map (position-wise cost, one gather per token)

@@ -244,30 +244,60 @@ class SentenceEncoder:
         if self.tokenizer is None:
             raise ValueError("encoder has no tokenizer")
         n_seq = mesh.shape[SEQ_AXIS]
-        if max_len % n_seq:
-            raise ValueError(f"max_len {max_len} must divide seq axis {n_seq}")
         ids, mask = self.tokenizer.encode_batch(list(texts), max_len)
-        # fixed-S requirement: the sharded seq axis needs equal slices
+        # Snap the sequence width to a power-of-2 bucket (multiple of the
+        # seq axis): a width that floats with the longest document would
+        # trigger a fresh minutes-long remote compile per distinct corpus
+        # length — the same reason encode() buckets.
         width = ids.shape[1]
-        pad_s = (width + n_seq - 1) // n_seq * n_seq - width
-        if pad_s:
-            ids = np.pad(ids, ((0, 0), (0, pad_s)))
-            mask = np.pad(mask, ((0, 0), (0, pad_s)))
-        params, arch, precision = self.params, self.arch, self.precision
-        key = ("cp", strategy, max_len, batch_size, n_seq)
+        bucket = n_seq
+        while bucket < width:
+            bucket *= 2
+        bucket = min(bucket, max(max_len, n_seq))
+        if bucket % n_seq:
+            bucket = (bucket + n_seq - 1) // n_seq * n_seq
+        if bucket != width:
+            if bucket < width:   # max_len cap below tokenized width
+                ids, mask = ids[:, :bucket], mask[:, :bucket]
+            else:
+                ids = np.pad(ids, ((0, 0), (0, bucket - width)))
+                mask = np.pad(mask, ((0, 0), (0, bucket - width)))
+        params, arch, precision, pooling = (
+            self.params, self.arch, self.precision, self.pooling,
+        )
+        key = ("cp", strategy, mesh, batch_size)
         if key not in self._jit_cache:
+            from .encoder import dequant_weight
+
             def fn(p, i, m):
                 h = encoder_forward_cp(
                     p, i, m, arch=arch, mesh=mesh, strategy=strategy,
                     precision=precision,
                 )
-                emb = mean_pool(h, m).astype(jnp.float32)
+                # same pool → projection → L2 tail as encode()'s _embed_fn
+                if pooling == "mean":
+                    emb = mean_pool(h, m)
+                elif pooling == "cls":
+                    emb = cls_pool(h, m)
+                elif pooling == "max":
+                    emb = max_pool(h, m)
+                else:
+                    raise ValueError(f"unknown pooling {pooling}")
+                if "projection" in p:
+                    pw = p["projection"]
+                    emb = (
+                        emb.astype(jnp.float32) @ dequant_weight(pw["w"])
+                        + pw["b"]
+                    )
+                emb = emb.astype(jnp.float32)
                 norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))
                 return emb / jnp.maximum(norm, 1e-12)
 
             self._jit_cache[key] = jax.jit(fn)
         jfn = self._jit_cache[key]
-        out = np.zeros((len(texts), self.embedding_dim), np.float32)
+        # dispatch every batch asynchronously, sync once at the end
+        # (per-batch readback would serialize on the dispatch RTT)
+        pending = []
         for start in range(0, len(texts), batch_size):
             stop = min(start + batch_size, len(texts))
             pad = batch_size - (stop - start)
@@ -275,8 +305,12 @@ class SentenceEncoder:
             m_b = np.pad(mask[start:stop], ((0, pad), (0, 0)))
             m_b[stop - start:, 0] = 1   # all-pad rows: keep one valid
                                         # position so pooling stays finite
-            emb = np.asarray(jfn(params, jnp.asarray(i_b), jnp.asarray(m_b)))
-            out[start:stop] = emb[: stop - start]
+            pending.append(
+                (start, stop, jfn(params, jnp.asarray(i_b), jnp.asarray(m_b)))
+            )
+        out = np.zeros((len(texts), self.embedding_dim), np.float32)
+        for start, stop, emb in pending:
+            out[start:stop] = np.asarray(emb)[: stop - start]
         return out
 
     @property

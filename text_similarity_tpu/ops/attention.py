@@ -782,6 +782,8 @@ def multi_head_attention(
             raise ValueError(f"impl={impl!r} needs cp_axis (inside shard_map)")
         if window or window_global_cls or causal:
             raise ValueError("context-parallel attention is full+non-causal")
+        if mask is None:
+            mask = jnp.ones(q.shape[:2], jnp.int32)
         if impl == "ring":
             from .ring_attention import ring_attention
 

@@ -69,9 +69,9 @@ def ulysses_attention(
         "bhqk,bkhd->bqhd", p / jnp.maximum(l, 1e-30),
         vh.astype(jnp.float32), preferred_element_type=jnp.float32,
     )
-    # zero fully-masked query rows (l == 0) like the ring path
-    valid_q = m_all[:, :, None, None].astype(jnp.float32)
-    out = out * valid_q
+    # masked-row convention matches the ring path: masked QUERY rows get
+    # the normal average over valid keys (don't-care downstream — poolers
+    # mask them), and only all-keys-masked rows fall to 0 via l == 0
     # restore sequence sharding: (B, S, H/P, D) → (B, S/P, H, D)
     out = jax.lax.all_to_all(
         out, axis_name, split_axis=1, concat_axis=2, tiled=True
