@@ -142,8 +142,15 @@ def load_wic(data_path: str, gold_path: Optional[str] = None) -> List[Dict]:
             )
     if gold_path:
         with _open(gold_path) as f:
-            for row, line in zip(rows, f):
-                row["label"] = 1 if line.strip() == "T" else 0
+            gold = [l.strip() for l in f if l.strip()]
+        if len(gold) != len(rows):
+            # silent zip truncation would leave label=None tails that the
+            # batch builder maps to 0 — corrupted training data, no error
+            raise ValueError(
+                f"gold file has {len(gold)} labels for {len(rows)} rows"
+            )
+        for row, g in zip(rows, gold):
+            row["label"] = 1 if g == "T" else 0
     return rows
 
 

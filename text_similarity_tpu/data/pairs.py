@@ -25,12 +25,35 @@ from .batching import BUCKETS, pick_bucket
 
 
 def _tok_rows(tokenizer, texts: Sequence[str], max_len: int) -> List[List[int]]:
+    if hasattr(tokenizer, "tokenize_many"):
+        # one batched call (the native C path tokenizes the corpus at once)
+        return [
+            [tokenizer.cls_id] + body[: max_len - 2] + [tokenizer.sep_id]
+            for body in tokenizer.tokenize_many(list(texts))
+        ]
+    if hasattr(tokenizer, "tokenize_to_ids"):
+        return [
+            [tokenizer.cls_id]
+            + tokenizer.tokenize_to_ids(t)[: max_len - 2]
+            + [tokenizer.sep_id]
+            for t in texts
+        ]
+    # HF tokenizer.json adapter: only exposes encode_batch — strip pads
+    ids, mask = tokenizer.encode_batch(list(texts), max_len)
     return [
-        [tokenizer.cls_id]
-        + tokenizer.tokenize_to_ids(t)[: max_len - 2]
-        + [tokenizer.sep_id]
-        for t in texts
+        [int(t) for t in ids[i, : int(mask[i].sum())]]
+        for i in range(len(texts))
     ]
+
+
+def _cap_bucket(longest: int, buckets, max_len: int) -> int:
+    """Bucket width clamped to the padded array width: pick_bucket can
+    return a bucket ABOVE max_len (crash on assignment) or silently cap
+    at buckets[-1] BELOW a larger max_len (mid-sequence truncation)."""
+    L = pick_bucket(longest, buckets)
+    if longest > L:          # bucket list exhausted: honor max_len
+        L = max_len
+    return min(L, max_len)
 
 
 def _pad_rows(rows, batch_idx, bs, L, pad_id):
@@ -69,7 +92,7 @@ def build_pair_batches(
         batches = []
         for s in range(0, len(order), batch_size):
             g = order[s : s + batch_size]
-            L = pick_bucket(int(lens[g].max()), buckets)
+            L = _cap_bucket(int(lens[g].max()), buckets, max_len)
             bs = batch_size
             ids = np.zeros((bs, L), np.int32)
             ids[:, :] = tokenizer.pad_id
@@ -100,7 +123,7 @@ def build_pair_batches(
     batches = []
     for s in range(0, len(order), batch_size):
         g = order[s : s + batch_size]
-        L = pick_bucket(int(lens[g].max()), buckets)
+        L = _cap_bucket(int(lens[g].max()), buckets, max_len)
         ids_a, mask_a = _pad_rows(rows_a, g, batch_size, L, tokenizer.pad_id)
         ids_b, mask_b = _pad_rows(rows_b, g, batch_size, L, tokenizer.pad_id)
         tgt = np.zeros((batch_size,), target_dtype)
@@ -137,7 +160,7 @@ def build_sequence_batches(
     batches = []
     for s in range(0, len(order), batch_size):
         g = order[s : s + batch_size]
-        L = pick_bucket(int(lens[g].max()), buckets)
+        L = _cap_bucket(int(lens[g].max()), buckets, max_len)
         ids, mask = _pad_rows(rows, g, batch_size, L, tokenizer.pad_id)
         lab = np.zeros((batch_size,), np.int32)
         valid = np.zeros((batch_size,), np.int32)
@@ -176,7 +199,7 @@ def build_distill_batches(
     batches = []
     for s in range(0, len(order), batch_size):
         g = order[s : s + batch_size]
-        L = pick_bucket(int(lens[g].max()), buckets)
+        L = _cap_bucket(int(lens[g].max()), buckets, max_len)
         ids, mask = _pad_rows(rows, g, batch_size, L, student_tokenizer.pad_id)
         tgt = np.zeros((batch_size, d), np.float32)
         valid = np.zeros((batch_size,), np.int32)
@@ -259,7 +282,7 @@ def build_word_batches(
     batches = []
     for s in range(0, len(order), batch_size):
         g = order[s : s + batch_size]
-        L = pick_bucket(int(lens[g].max()))
+        L = _cap_bucket(int(lens[g].max()), BUCKETS, max_len)
         ids_a, mask_a = _pad_rows(rows_a, g, batch_size, L, tokenizer.pad_id)
         ids_b, mask_b = _pad_rows(rows_b, g, batch_size, L, tokenizer.pad_id)
         sa = np.full((batch_size, max_span), -1, np.int32)

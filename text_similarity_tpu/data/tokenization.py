@@ -92,7 +92,9 @@ class WordPieceTokenizer:
         vocab = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                vocab[line.rstrip("\n")] = i
+                # strip \r too: a CRLF vocab.txt would key every token as
+                # 'token\r' and tokenize everything to [UNK]
+                vocab[line.rstrip("\r\n")] = i
         return cls(vocab, lowercase=lowercase)
 
     def save_vocab(self, path: str) -> None:
@@ -204,6 +206,12 @@ class WordPieceTokenizer:
                 mask[i, : len(row)] = 1
                 mask[i, len(row):] = 0
                 lens[i] = len(row)
+            if pad_to and len(lens) and pad_to < int(lens.max()):
+                raise ValueError(
+                    f"pad_to={pad_to} < longest row ({int(lens.max())}): "
+                    "would truncate mid-sequence; raise pad_to or lower "
+                    "max_len"
+                )
             L = pad_to or max(int(lens.max()) if len(lens) else 2, 2)
             if L > max_len:
                 # the native buffers are (B, max_len); honor pad_to > max_len
@@ -217,7 +225,13 @@ class WordPieceTokenizer:
         for t in texts:
             ids = [self.cls_id] + self.tokenize_to_ids(t)[: max_len - 2] + [self.sep_id]
             rows.append(ids)
-        L = pad_to or max(len(r) for r in rows)
+        _longest = max((len(r) for r in rows), default=2)
+        if pad_to and pad_to < _longest:
+            raise ValueError(
+                f"pad_to={pad_to} < longest row ({_longest}): would "
+                "truncate mid-sequence; raise pad_to or lower max_len"
+            )
+        L = pad_to or _longest
         out = np.full((len(rows), L), self.pad_id, np.int32)
         mask = np.zeros((len(rows), L), np.int32)
         for i, r in enumerate(rows):
@@ -247,7 +261,13 @@ class WordPieceTokenizer:
             tt = [0] * (len(ia) + 2) + [1] * (len(ib) + 1)
             rows.append(ids)
             types.append(tt)
-        L = pad_to or max(len(r) for r in rows)
+        _longest = max((len(r) for r in rows), default=2)
+        if pad_to and pad_to < _longest:
+            raise ValueError(
+                f"pad_to={pad_to} < longest row ({_longest}): would "
+                "truncate mid-sequence; raise pad_to or lower max_len"
+            )
+        L = pad_to or _longest
         out = np.full((len(rows), L), self.pad_id, np.int32)
         mask = np.zeros((len(rows), L), np.int32)
         tts = np.zeros((len(rows), L), np.int32)
@@ -366,7 +386,13 @@ class HFTokenizerAdapter:
     def encode_batch(self, texts, max_len=128, pad_to=None):
         encs = self._tok.encode_batch(list(texts))
         rows = [self._truncate(e.ids, max_len) for e in encs]
-        L = pad_to or max(len(r) for r in rows)
+        _longest = max((len(r) for r in rows), default=2)
+        if pad_to and pad_to < _longest:
+            raise ValueError(
+                f"pad_to={pad_to} < longest row ({_longest}): would "
+                "truncate mid-sequence; raise pad_to or lower max_len"
+            )
+        L = pad_to or _longest
         out = np.full((len(rows), L), self.pad_id, np.int32)
         mask = np.zeros((len(rows), L), np.int32)
         for i, r in enumerate(rows):
@@ -378,7 +404,13 @@ class HFTokenizerAdapter:
         encs = self._tok.encode_batch(list(zip(texts_a, texts_b)))
         rows = [self._truncate(e.ids, max_len) for e in encs]
         tids = [e.type_ids[: len(r)] for e, r in zip(encs, rows)]
-        L = pad_to or max(len(r) for r in rows)
+        _longest = max((len(r) for r in rows), default=2)
+        if pad_to and pad_to < _longest:
+            raise ValueError(
+                f"pad_to={pad_to} < longest row ({_longest}): would "
+                "truncate mid-sequence; raise pad_to or lower max_len"
+            )
+        L = pad_to or _longest
         out = np.full((len(rows), L), self.pad_id, np.int32)
         mask = np.zeros((len(rows), L), np.int32)
         tts = np.zeros((len(rows), L), np.int32)

@@ -110,15 +110,25 @@ def best_threshold_accuracy(
     itself the sentence-transformers BinaryClassificationEvaluator rule)."""
     scores = np.asarray(scores, np.float64)
     labels = np.asarray(labels).astype(int)
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")   # deterministic under ties
     s, l = scores[order], labels[order]
     total = len(l)
+    if total == 0:
+        return {"accuracy": 0.0, "threshold": 0.0}
     pos_total = int(l.sum())
 
-    best_acc, best_thr = -1.0, 0.0
+    # start from the all-negative predictor (threshold above every score)
+    # so 0/1-pair inputs don't return the -1 sentinel
+    best_acc = (total - pos_total) / total
+    best_thr = float(s[0]) + 1.0
     tp = 0
     for i in range(total - 1):
         tp += l[i]
+        if s[i] == s[i + 1]:
+            # no realizable threshold separates tied scores — counting a
+            # cut here would overstate accuracy (same rule as the
+            # tie-grouped AP below)
+            continue
         # predict positive for items 0..i
         correct = tp + ((total - i - 1) - (pos_total - tp))
         acc = correct / total
@@ -135,7 +145,7 @@ def best_threshold_f1(
     with the precision/recall at the best point."""
     scores = np.asarray(scores, np.float64)
     labels = np.asarray(labels).astype(int)
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")   # deterministic under ties
     s, l = scores[order], labels[order]
     pos_total = max(int(l.sum()), 1)
 
@@ -143,6 +153,8 @@ def best_threshold_f1(
     tp = 0
     for i in range(len(l) - 1):
         tp += l[i]
+        if s[i] == s[i + 1]:
+            continue   # unrealizable cut between tied scores
         npred = i + 1
         precision = tp / npred
         recall = tp / pos_total

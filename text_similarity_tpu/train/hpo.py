@@ -132,8 +132,12 @@ class MedianPruner:
         if worse:
             raise Pruned(f"step {step}: {value:.5f} vs median {med:.5f}")
 
-    def finish_trial(self):
-        self.histories.append(self._current)
+    def finish_trial(self, pruned: bool = False):
+        # pruned trials' partial histories stay OUT of the median: their
+        # bad tails would drag it down until equally-bad trials pass
+        # (Optuna's MedianPruner also uses completed trials only)
+        if not pruned:
+            self.histories.append(self._current)
         self._current = {}
 
 
@@ -269,6 +273,11 @@ class AdaptiveParamOptimizer(ParamOptimizer):
         )
 
     def optimize(self, n_trials: int = 20, method: str = "tpe"):
+        if method != "tpe":
+            # the adaptive optimizer IS the TPE path; silently running
+            # TPE for method='grid'/'random' would hand back a different
+            # search than requested — delegate to the parent instead
+            return super().optimize(n_trials=n_trials, method=method)
         best_value, best_params = None, None
         n_pruned = 0
         for i in range(n_trials):
@@ -283,7 +292,7 @@ class AdaptiveParamOptimizer(ParamOptimizer):
                     value = float(self.objective(params))
             except Pruned as e:
                 n_pruned += 1
-                self.pruner.finish_trial()
+                self.pruner.finish_trial(pruned=True)
                 self.trials.append(
                     {"params": params, "value": None, "pruned": True}
                 )
