@@ -16,6 +16,7 @@ def test_stablehlo_export_roundtrip(tmp_path):
     from text_similarity_tpu.compress.export import (
         export_encoder_stablehlo,
         load_exported_fn,
+        load_exported_params,
     )
 
     arch = ARCH_PRESETS["tiny-test"]
@@ -25,14 +26,21 @@ def test_stablehlo_export_roundtrip(tmp_path):
         enc, str(tmp_path), batch_sizes=(2,), seq_lens=(16,), quantize=True
     )
     assert len(manifest["functions"]) == 1
+    assert manifest["int8"]
+    # the server flow: restore the SHIPPED params (int8 {q,s} leaves,
+    # template-free) and call the exported fn with them — the fn is
+    # traced on exactly that tree
     fn = load_exported_fn(str(tmp_path), manifest["functions"][0]["name"])
+    shipped = load_exported_params(str(tmp_path))
     ids = jnp.asarray(
         np.random.RandomState(0).randint(5, arch.vocab_size, (2, 16)), jnp.int32
     )
     mask = jnp.ones((2, 16), jnp.int32)
-    got = np.asarray(fn(params, ids, mask))
+    got = np.asarray(fn(shipped, ids, mask))
     want = np.asarray(enc.embed_tokens(ids, mask))
-    np.testing.assert_allclose(got, want, atol=1e-5)
+    # int8 quantization noise: directions must agree to cosine > 0.99
+    cos = np.sum(got * want, axis=1)
+    assert cos.min() > 0.99, cos
 
 
 def test_hpo_random_and_grid():

@@ -106,9 +106,15 @@ class SentenceEncoderDistiller:
         logger.info("computing teacher targets for %d sentences", len(teacher_inputs))
         teacher_emb = self.teacher.encode(teacher_inputs, batch_size=bs)
 
+        # multilingual mode: build_distill_batches trains the student on
+        # BOTH sides against the teacher's source embedding
+        # (make_multilingual semantics, reference make_multilingual.py)
         batches = build_distill_batches(
             self.teacher.tokenizer, list(sentences), teacher_emb,
             batch_size=bs, max_len=max_len, seed=self.cfg.seed,
+            src_sentences=(
+                list(src_sentences) if src_sentences is not None else None
+            ),
         )
 
         student_params = extract_student_layers(
@@ -122,6 +128,10 @@ class SentenceEncoderDistiller:
             self.student_arch, tx, loss_type="distill_mse",
             pooling=self.teacher.pooling,
             precision=precision_for(self.cfg.bf16),
+            # remat=False crashes this environment's remote XLA compiler
+            # on the bi-encoder backward (docs/ROUND3.md) — and halves
+            # activation HBM either way
+            remat=True,
         )
 
         for epoch in range(self.cfg.epochs):
@@ -151,11 +161,11 @@ def pca_reduce(emb: np.ndarray, dim: int):
     """PCA projection of teacher embeddings to ``dim`` — lets a student
     with a SMALLER output width learn teacher geometry (reference
     DistillationStrategy, model_compression.py:937-984). Returns
-    (reduced (N, dim), (mean, components))."""
-    mu = emb.mean(axis=0, keepdims=True)
-    _, _, vt = np.linalg.svd(emb - mu, full_matrices=False)
-    comp = vt[:dim]
-    return (emb - mu) @ comp.T, (mu, comp)
+    (reduced (N, dim), (mean, components)). Shared math: ops/pca.py."""
+    from ..ops.pca import pca_fit_transform
+
+    reduced, mu, comp = pca_fit_transform(emb, dim)
+    return np.asarray(reduced), (np.asarray(mu), np.asarray(comp))
 
 
 class DimReducingDistiller(SentenceEncoderDistiller):
@@ -171,11 +181,22 @@ class DimReducingDistiller(SentenceEncoderDistiller):
         )
         self.pca = None
 
-    def distill(self, sentences, batch_size=None, max_len: int = 128, **kw):
+    def distill(
+        self,
+        sentences,
+        eval_fn: Optional[Callable] = None,
+        src_sentences: Optional[Sequence[str]] = None,
+        batch_size=None,
+        max_len: int = 128,
+    ):
+        # same signature as the base class — a **kw sink here silently
+        # dropped src_sentences (teacher would encode the wrong language)
+        # and eval_fn (callbacks never invoked)
         from ..models.sentence_encoder import SentenceEncoder
 
         bs = batch_size or self.cfg.batch_size
-        teacher_emb = self.teacher.encode(list(sentences), batch_size=bs)
+        teacher_inputs = list(src_sentences or sentences)
+        teacher_emb = self.teacher.encode(teacher_inputs, batch_size=bs)
         reduced, self.pca = pca_reduce(
             np.asarray(teacher_emb), self.student_dim
         )
@@ -183,6 +204,9 @@ class DimReducingDistiller(SentenceEncoderDistiller):
         batches = build_distill_batches(
             self.teacher.tokenizer, list(sentences), reduced,
             batch_size=bs, max_len=max_len, seed=self.cfg.seed,
+            src_sentences=(
+                list(src_sentences) if src_sentences is not None else None
+            ),
         )
         student_params = extract_student_layers(
             self.teacher.params, self.keep_layers
@@ -202,6 +226,10 @@ class DimReducingDistiller(SentenceEncoderDistiller):
             self.student_arch, tx, loss_type="distill_mse",
             pooling=self.teacher.pooling,
             precision=precision_for(self.cfg.bf16),
+            # remat=False crashes this environment's remote XLA compiler
+            # on the bi-encoder backward (docs/ROUND3.md) — and halves
+            # activation HBM either way
+            remat=True,
         )
         first = last = None
         for epoch in range(self.cfg.epochs):
@@ -213,6 +241,8 @@ class DimReducingDistiller(SentenceEncoderDistiller):
             if first is None:
                 first = losses[0]
             last = float(np.mean(losses[-10:]))
+            if eval_fn is not None:
+                logger.info("eval: %s", eval_fn(state))
             logger.info(
                 "dim-reduce distill epoch %d: mse %.6f -> %.6f",
                 epoch, losses[0], last,
@@ -276,9 +306,16 @@ class FastFormersDistiller:
             self.cfg, total_steps, params_example=student_params
         )
         state = init_train_state(student_params, tx, seed=self.cfg.seed)
+        # the student's layer i was initialized from teacher layer
+        # keep_layers[i] — the state MSE must align with THOSE hidden
+        # states (uniform resampling would pull the student off its init)
+        layer_map = np.asarray(
+            [0] + [k + 1 for k in self.keep_layers], np.int32
+        )
         step = make_fastformers_distill_step(
             self.student_arch, self.teacher_arch, tx,
-            precision=precision_for(self.cfg.bf16), **self.kw,
+            precision=precision_for(self.cfg.bf16), layer_map=layer_map,
+            **self.kw,
         )
         history = []
         for epoch in range(self.cfg.epochs):

@@ -189,8 +189,21 @@ def build_distill_batches(
 ) -> List[Dict[str, np.ndarray]]:
     """Distillation batches: student tokens + teacher embedding targets
     (reference smart_batching_distillation dataset.py:738-770 and the
-    multilingual parallel mode :687-736 — pass ``src_sentences`` for the
-    teacher-source / student-target split)."""
+    multilingual parallel mode :687-736). With ``src_sentences`` (the
+    teacher-side parallel texts, aligned 1:1 with ``sentences``), the
+    student trains on BOTH sides mapping to the same teacher embedding —
+    the make_multilingual recipe (student(src) ≈ student(tgt) ≈
+    teacher(src))."""
+    if src_sentences is not None:
+        if len(src_sentences) != len(sentences):
+            raise ValueError(
+                f"src/tgt length mismatch: {len(src_sentences)} vs "
+                f"{len(sentences)} (parallel corpora must align 1:1)"
+            )
+        sentences = list(src_sentences) + list(sentences)
+        teacher_embeddings = np.concatenate(
+            [teacher_embeddings, teacher_embeddings]
+        )
     rng = np.random.RandomState(seed)
     rows = _tok_rows(student_tokenizer, sentences, max_len)
     lens = np.asarray([len(r) for r in rows])

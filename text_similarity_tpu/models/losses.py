@@ -191,14 +191,23 @@ def hidden_state_mse(
     student_hidden: jax.Array,   # (Ls+1, B, S, H)
     teacher_hidden: jax.Array,   # (Lt+1, B, S, H)
     mask: Optional[jax.Array] = None,  # (B, S)
+    layer_map: Optional[jax.Array] = None,  # (Ls+1,) teacher index per
+                                            # student layer (emb at 0)
 ):
     """Layer-mapped hidden-state matching (FastFormers state distillation,
     reference model_compression.py:1189-1333): student layer i aligns with
-    teacher layer i * (Lt/Ls) (uniform skip mapping); both include the
+    teacher layer ``layer_map[i]`` when given (a student initialized from
+    teacher layers keep_layers must align with THOSE layers, not a uniform
+    resample), else the uniform i * (Lt/Ls) skip mapping; both include the
     embedding layer at index 0."""
     ls = student_hidden.shape[0] - 1
     lt = teacher_hidden.shape[0] - 1
-    idx = jnp.round(jnp.arange(ls + 1) * (lt / max(ls, 1))).astype(jnp.int32)
+    if layer_map is not None:
+        idx = jnp.asarray(layer_map, jnp.int32)
+    else:
+        idx = jnp.round(
+            jnp.arange(ls + 1) * (lt / max(ls, 1))
+        ).astype(jnp.int32)
     mapped = teacher_hidden[idx]
     err = jnp.mean(
         jnp.square(

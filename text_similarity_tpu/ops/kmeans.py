@@ -27,6 +27,10 @@ def assign_clusters(
     """argmax_c <x, centroid_c> per row, chunked so the (N, C) score matrix
     never materializes."""
     n, d = data.shape
+    # small corpora must not pay a full 65536-row padded matmul per call:
+    # clamp the chunk to the enclosing power of two (still shape-stable
+    # per corpus size — n is static under jit)
+    chunk = min(chunk, max(8, 1 << (max(n - 1, 1)).bit_length()))
     pad = (-n) % chunk
     data_p = jnp.pad(data, ((0, pad), (0, 0)))
     chunks = data_p.reshape(-1, chunk, d)
@@ -52,6 +56,7 @@ def assign_clusters_topk(
     """Per row, the ids of its ``topk`` nearest centroids (used by the
     balanced IVF layout to spill capped rows to their next-best cluster)."""
     n, d = data.shape
+    chunk = min(chunk, max(8, 1 << (max(n - 1, 1)).bit_length()))
     pad = (-n) % chunk
     data_p = jnp.pad(data, ((0, pad), (0, 0)))
     chunks = data_p.reshape(-1, chunk, d)

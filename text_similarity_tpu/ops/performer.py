@@ -68,10 +68,14 @@ def softmax_kernel_features(
     else:
         wx_for_stab = wx - sq
         if mask is not None:
+            # finite sentinel, NOT -inf: a fully-masked (all-padding) row
+            # would make stab = -inf and exp(wx - sq + inf) = inf → NaN
+            # after the mask multiply; padded batch rows are routine here
             wx_for_stab = jnp.where(
-                mask[..., None, None].astype(bool), wx_for_stab, -jnp.inf
+                mask[..., None, None].astype(bool), wx_for_stab, -1e9
             )
         stab = jnp.max(wx_for_stab, axis=(-3, -1), keepdims=True)
+        stab = jnp.maximum(stab, -1e9)   # belt-and-braces vs -inf inputs
     return (jnp.exp(wx - sq - stab) + eps) / math.sqrt(proj.shape[0])
 
 

@@ -24,8 +24,10 @@ class ClusteringPipeline:
 
     def __call__(self, corpus: Sequence[str]) -> Dict[int, List[str]]:
         emb = self.encoder.encode(corpus, batch_size=self.batch_size)
+        # k-means init samples k distinct rows — clamp to the corpus size
+        k = min(self.num_clusters, len(corpus))
         _, assign = kmeans(
-            l2_normalize(jnp.asarray(emb)), self.num_clusters, iters=self.iters
+            l2_normalize(jnp.asarray(emb)), k, iters=self.iters
         )
         assign = np.asarray(assign)
         clusters: Dict[int, List[str]] = {}

@@ -50,13 +50,11 @@ def _tokenize_doc(text: str) -> List[str]:
 
 
 def pca_reduce(emb: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """On-device PCA via SVD of the centered embedding matrix."""
-    x = jnp.asarray(emb, jnp.float32)
-    mu = jnp.mean(x, axis=0, keepdims=True)
-    xc = x - mu
-    # economy SVD on (N, D): project on top-`dim` right singular vectors
-    _, _, vt = jnp.linalg.svd(xc, full_matrices=False)
-    return xc @ vt[:dim].T
+    """On-device PCA (shared implementation: ops/pca.py)."""
+    from ..ops.pca import pca_fit_transform
+
+    reduced, _, _ = pca_fit_transform(emb, dim)
+    return reduced
 
 
 def spectral_reduce(
@@ -237,7 +235,15 @@ class TopicModelingPipeline:
             smallest = min(alive, key=lambda t: sizes[t])
             alive.remove(smallest)
             c = centroids[smallest]
-            sims = centroids[alive] @ c
+            # COSINE nearest target: density-path means and post-merge
+            # weighted means are not unit-norm, so a raw dot would favor
+            # large-norm topics over genuinely similar ones
+            cand = centroids[alive]
+            cand_n = cand / np.maximum(
+                np.linalg.norm(cand, axis=1, keepdims=True), 1e-12
+            )
+            c_n = c / max(float(np.linalg.norm(c)), 1e-12)
+            sims = cand_n @ c_n
             tgt = alive[int(np.argmax(sims))]
             n_s, n_t = sizes[smallest], sizes[tgt]
             centroids[tgt] = (centroids[tgt] * n_t + c * n_s) / max(n_s + n_t, 1)

@@ -506,6 +506,9 @@ def make_fastformers_distill_step(
     alpha_kl: float = 1.0,
     alpha_state: float = 1.0,
     alpha_ce: float = 0.0,
+    layer_map=None,   # (Ls+1,) teacher hidden index per student layer —
+                      # pass when the student was initialized from a
+                      # specific keep_layers subset
 ) -> Callable:
     """Returns step(state, batch, teacher_params) → (state, metrics).
 
@@ -542,7 +545,9 @@ def make_fastformers_distill_step(
         s_logits, s_hidden = tower(params, student_arch, batch, rng, False)
         valid = batch.get("valid")
         kl = L.kl_distill_loss(s_logits, t_logits, temperature, valid)
-        st = L.hidden_state_mse(s_hidden, t_hidden, batch["mask"])
+        st = L.hidden_state_mse(
+            s_hidden, t_hidden, batch["mask"], layer_map=layer_map
+        )
         loss = alpha_kl * kl + alpha_state * st
         aux = {"kl": kl, "state_mse": st}
         if alpha_ce > 0 and "labels" in batch:
