@@ -69,6 +69,10 @@ class BruteForceIndex:
             order = np.argsort(-s_h, axis=1)
             s_h = np.take_along_axis(s_h, order, axis=1)
             i_h = np.take_along_axis(i_h, order, axis=1)
+            # if >k of the 2k over-fetch were tombstoned, the tail slots
+            # hold DEAD ids at -inf — mark them -1 so callers never see
+            # deleted rows as results
+            i_h = np.where(np.isfinite(s_h), i_h, -1)
         return s_h[:, :k], i_h[:, :k]
 
     def mine(
@@ -79,20 +83,34 @@ class BruteForceIndex:
         ``SentenceMiningPipeline`` (reference search_pipeline.py:44-93)."""
         n = self.store.size
         corpus = self.store.view
+        if self.store.quantized:
+            # raw int8 codes would mis-rank rows (per-row scales differ):
+            # dequantize once — mining is an offline sweep, the transient
+            # f32 copy is acceptable
+            corpus = (
+                corpus.astype(jnp.float32)
+                * self.store.scales_view[:, None]
+            )
+        alive_h = np.asarray(self.store.alive_view)
+        n_dead = int((~alive_h).sum())
+        k_fetch = min(k + 1 + n_dead, n)
         all_s = np.zeros((n, k), np.float32)
-        all_i = np.zeros((n, k), np.int64)
+        all_i = np.full((n, k), -1, np.int64)
         for start in range(0, n, batch):
             stop = min(start + batch, n)
             q = corpus[start:stop]
-            s, i = cosine_topk(q, corpus, k=k + 1)
+            s, i = cosine_topk(q, corpus, k=k_fetch)
             s_h, i_h = np.asarray(s), np.asarray(i)
             rows = np.arange(start, stop)[:, None]
-            keep = i_h != rows  # drop self-match
-            # each row keeps exactly k of k+1
-            for r in range(stop - start):
-                sel = keep[r]
-                if sel.sum() > k:
-                    sel[np.nonzero(sel)[0][-1]] = False
-                all_s[start + r] = s_h[r][sel][:k]
-                all_i[start + r] = i_h[r][sel][:k]
+            # drop self-matches AND tombstoned neighbors
+            keep = (i_h != rows) & alive_h[i_h]
+            order = np.argsort(~keep, axis=1, kind="stable")[:, :k]
+            s_sel = np.take_along_axis(s_h, order, axis=1)
+            i_sel = np.take_along_axis(i_h, order, axis=1)
+            valid = np.take_along_axis(keep, order, axis=1)
+            all_s[start:stop] = np.where(valid, s_sel, 0.0)
+            all_i[start:stop] = np.where(valid, i_sel, -1)
+        if n_dead:
+            all_i[~alive_h[:n]] = -1   # dead rows mine nothing
+            all_s[~alive_h[:n]] = 0.0
         return all_s, all_i

@@ -121,9 +121,16 @@ class EmbeddingStore:
             extra["scales"] = np.asarray(
                 jax.device_get(self.scales[: self.size])
             )
+        data = np.asarray(jax.device_get(self.data[: self.size]))
+        if self.data.dtype == jnp.bfloat16:
+            # np.savez silently degrades bf16 to a void V2 dtype that
+            # np.load can't hand to jnp.asarray — persist a uint16 bit
+            # view plus a tag (same trick as IVFIndex._to_npz)
+            extra["data_dtype"] = "bfloat16"
+            data = data.view(np.uint16)
         np.savez(
             path,
-            data=np.asarray(jax.device_get(self.data[: self.size])),
+            data=data,
             alive=np.asarray(jax.device_get(self.alive[: self.size])),
             capacity=self.capacity,
             quantized=self.quantized,
@@ -140,6 +147,11 @@ class EmbeddingStore:
             capacity = int(z["capacity"])
             quantized = bool(z["quantized"]) if "quantized" in z.files else False
             scales = z["scales"] if "scales" in z.files else None
+            if "data_dtype" in z.files and str(z["data_dtype"]) == "bfloat16":
+                import ml_dtypes
+
+                data = data.view(ml_dtypes.bfloat16)
+                dtype = jnp.bfloat16
         store = cls(capacity, data.shape[1], dtype, quantized=quantized)
         store.data = _write_rows(store.data, jnp.asarray(data), 0)
         if quantized and scales is not None:

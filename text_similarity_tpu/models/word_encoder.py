@@ -89,12 +89,15 @@ class WordEncoder:
 
         Params and sense bank are jit ARGUMENTS (closure capture would bake
         them into the compiled HLO as constants)."""
-        key = batch["ids_a"].shape
+        use_senses = self.sense_bank is not None
+        # use_senses is baked into the traced fn: keying on it too means
+        # setting sense_bank AFTER a shape was scored retraces instead of
+        # silently reusing the senseless closure
+        key = (batch["ids_a"].shape, use_senses)
         if key not in self._jit:
             arch = self.arch
             precision = self.precision
             last_k = self.last_k_layers
-            use_senses = self.sense_bank is not None
 
             def word_vec(enc_params, sense_bank, ids, mask, span):
                 v = contextual_word_embedding(
@@ -148,8 +151,21 @@ class WordEncoder:
 
     def graded_similarity(self, batches) -> np.ndarray:
         """GWSC: graded word-similarity-in-context scores (cosine change),
-        reference word_encoder.py:53-144."""
-        return np.concatenate([self.score_tokens(b) for b in batches])
+        reference word_encoder.py:53-144. Scores are realigned to the
+        ORIGINAL example order and padding rows dropped — batches arrive
+        length-sorted with padded tails (same realignment evaluate_gwsc
+        does; raw concatenation would pair scrambled scores with gold)."""
+        scores, idxs = [], []
+        for b in batches:
+            s = self.score_tokens(b)
+            v = np.asarray(b["valid"]).astype(bool)
+            scores.append(s[v])
+            idxs.append(np.asarray(b["index"])[v])
+        flat_s = np.concatenate(scores)
+        flat_i = np.concatenate(idxs)
+        out = np.zeros(flat_i.max() + 1 if len(flat_i) else 0, np.float32)
+        out[flat_i] = flat_s
+        return out
 
     def evaluate_gwsc(self, batches, gold_scores) -> dict:
         """Graded word similarity in context: Pearson/Spearman between the

@@ -15,11 +15,16 @@ from ..core.config import TrainConfig
 
 
 def _no_decay_mask(params):
-    """True where weight decay applies: 2D+ kernels. Biases, LayerNorm
-    scales/biases and other vectors are excluded (learner.py:56-66)."""
+    """True where weight decay applies: kernels named ``w`` and embedding
+    tables. Biases, LayerNorm scales/biases and other vectors are excluded
+    (learner.py:56-66). NOTE: layer-STACKED biases are (L, H) — ndim alone
+    would decay every attention/MLP bias in the scan stack, so the leaf
+    NAME decides."""
     def mask_leaf(path, p):
         names = [str(getattr(k, "key", k)) for k in path]
         if any(n in ("ln", "attn_ln", "mlp_ln") for n in names):
+            return False
+        if names and names[-1] in ("b", "bias", "scale"):
             return False
         return p.ndim >= 2
 
@@ -48,6 +53,13 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     if warmup_steps is None:
         warmup_steps = int(total_steps * cfg.warmup_ratio)
+    if cfg.grad_accum_steps > 1:
+        # MultiSteps advances the inner schedule count once per OPTIMIZER
+        # step (every k micro-steps), while callers pass micro-step
+        # totals: unscaled, warmup/decay would run k× too slowly and
+        # never finish (verified: k=4 → count 2 after 8 updates)
+        total_steps = max(total_steps // cfg.grad_accum_steps, 1)
+        warmup_steps = warmup_steps // cfg.grad_accum_steps
     schedule = linear_warmup_schedule(cfg.lr, total_steps, warmup_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),

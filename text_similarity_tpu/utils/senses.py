@@ -53,12 +53,16 @@ def load_sense_embeddings(
 def reduce_dim(
     bank: Dict[str, np.ndarray], dim: int
 ) -> Dict[str, np.ndarray]:
-    """TruncatedSVD-style reduction (reference utils.py:281-315)."""
+    """TruncatedSVD-style reduction (reference utils.py:281-315).
+
+    Like sklearn's TruncatedSVD the matrix is NOT mean-centered: centering
+    would shift every reduced vector by a projection of the mean and
+    change cosine 1-NN winners vs the reference's reduced bank."""
     keys = list(bank.keys())
     mat = np.stack([bank[k] for k in keys])
     # economy SVD; project onto top-`dim` right singular vectors
-    _, _, vt = np.linalg.svd(mat - mat.mean(0, keepdims=True), full_matrices=False)
-    red = (mat - mat.mean(0, keepdims=True)) @ vt[:dim].T
+    _, _, vt = np.linalg.svd(mat, full_matrices=False)
+    red = mat @ vt[:dim].T
     return {k: red[i].astype(np.float32) for i, k in enumerate(keys)}
 
 
@@ -99,5 +103,9 @@ def save_sense_bank(path: str, bank: Dict[str, np.ndarray]) -> None:
 
 
 def load_sense_bank_npz(path: str) -> Dict[str, np.ndarray]:
+    import os
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"   # np.savez appends the suffix
     with np.load(path, allow_pickle=False) as z:
         return {str(k): v for k, v in zip(z["keys"], z["vectors"])}
