@@ -42,7 +42,16 @@ import numpy as np
 def _jax():
     import jax
 
-    cache = os.environ.get("TS_TPU_CACHE", ".jax_cache")
+    # anchor the persistent compile cache to the package dir, not the
+    # cwd: running a subcommand from elsewhere would silently re-pay
+    # minutes-long remote compiles into a fresh empty cache
+    default_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        ".jax_cache",
+    )
+    cache = os.environ.get("TS_TPU_CACHE", default_cache)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -81,7 +90,7 @@ def _encoder(args, tokenizer=None, texts=None):
     arch = ARCH_PRESETS[args.arch].replace(vocab_size=tok.vocab_size)
     params = init_params(jax.random.PRNGKey(args.seed), arch)
     return SentenceEncoder(
-        params, arch, tokenizer=tok, pooling=args.pooling,
+        params, arch, tokenizer=tok, pooling=args.pooling or "mean",
         precision=precision_for(not args.fp32),
     )
 
@@ -90,7 +99,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--model", help="model dir to load (else random init)")
     p.add_argument("--tokenizer", help="tokenizer dir (vocab.txt/tokenizer.json)")
     p.add_argument("--arch", default="minilm-l6")
-    p.add_argument("--pooling", default="mean", choices=["mean", "cls", "max"])
+    p.add_argument("--pooling", default=None,
+                   choices=["mean", "cls", "max"],
+                   help="default: the loaded model's pooling")
     p.add_argument("--vocab-size", type=int, default=30522)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fp32", action="store_true")
@@ -143,12 +154,18 @@ def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
 
         params["head"] = init_classifier_head(
             jax.random.PRNGKey(args.seed + 1),
-            3 * enc.arch.hidden_size, args.num_classes,
+            # embedding_size, not hidden_size: projection-head models
+            # (dim-reduced students) emit narrower embeddings
+            3 * enc.arch.embedding_size, args.num_classes,
         )
     tx = make_optimizer(cfg, total, params_example=params)
     state = init_train_state(params, tx, seed=args.seed)
     step = make_bi_encoder_train_step(
-        enc.arch, tx, loss_type=loss_type, pooling=args.pooling,
+        enc.arch, tx, loss_type=loss_type,
+        # default to the LOADED encoder's pooling — training with a
+        # different pooler than encode()/the saved artifact silently
+        # mismatches the objective and the eval
+        pooling=args.pooling or enc.pooling,
         precision=precision_for(cfg.bf16),
     )
     trainer = Trainer(
@@ -399,21 +416,24 @@ def cmd_train_ner(args):
             ids.extend(pieces[: args.max_len - 2 - len(ids)])
             tg.extend([tag2id[t]] + [-100] * (len(pieces) - 1))
             tg = tg[: len(ids)]
-            if len(ids) >= args.max_len - 1:
+            if len(ids) >= args.max_len - 2:   # row full: stop tokenizing
                 break
         ids.append(tok.sep_id)
         tg.append(-100)
         rows.append(ids)
         tag_rows.append(tg)
 
-    from ..data.batching import pick_bucket
+    from ..data.batching import BUCKETS
+    from ..data.pairs import _cap_bucket
 
     batches = []
     bs = args.batch_size
     order = np.argsort([len(r) for r in rows])
     for st in range(0, len(order), bs):
         g = order[st : st + bs]
-        L = pick_bucket(max(len(rows[i]) for i in g))
+        L = _cap_bucket(
+            max(len(rows[i]) for i in g), BUCKETS, args.max_len
+        )
         ids = np.full((bs, L), tok.pad_id, np.int32)
         mask = np.zeros((bs, L), np.int32)
         tg = np.full((bs, L), -100, np.int32)
@@ -444,7 +464,6 @@ def cmd_train_ner(args):
 def cmd_distill(args):
     from ..compress.distill import SentenceEncoderDistiller
     from ..data.datasets import load_sentence_pool, load_parallel
-    from ..core.config import TrainConfig
     from ..models.sentence_encoder import SentenceEncoder
 
     teacher = SentenceEncoder.load(args.model, bf16=not args.fp32)
@@ -458,12 +477,14 @@ def cmd_distill(args):
     distiller = SentenceEncoderDistiller(
         teacher,
         num_student_layers=args.student_layers,
-        train_config=TrainConfig(
-            lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
-            bf16=not args.fp32,
-        ),
+        # _train_cfg: the subcommand advertises --seed/--warmup-ratio/
+        # --grad-accum/--max-len, so honor them (a hand-built TrainConfig
+        # silently dropped all four)
+        train_config=_train_cfg(args),
     )
-    student = distiller.distill(sentences, src_sentences=src)
+    student = distiller.distill(
+        sentences, src_sentences=src, max_len=args.max_len
+    )
     student.save(args.save_path)
     print(json.dumps({
         "student_layers": student.arch.num_layers,
@@ -636,7 +657,7 @@ def cmd_theseus(args):
         "succ": distiller.succ,
         "head": init_classifier_head(
             jax.random.PRNGKey(args.seed + 1),
-            3 * teacher.arch.hidden_size, num_classes,
+            3 * teacher.arch.embedding_size, num_classes,
         ),
     }
     tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
@@ -714,6 +735,10 @@ def cmd_prune(args):
     )
     with open(os.path.join(args.save_path, "arch.json"), "w") as f:
         f.write(new_arch.to_json())
+    # keep the classifier evaluatable: eval-classification needs the
+    # label list train-classification saved with the original model
+    with open(os.path.join(args.save_path, "labels.json"), "w") as f:
+        json.dump(labels, f)
     if hasattr(tok, "save_vocab"):
         tok.save_vocab(os.path.join(args.save_path, "vocab.txt"))
     print(json.dumps({
@@ -729,7 +754,9 @@ def cmd_quantize(args):
     from ..compress.quantize import save_quantized
 
     enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
-    save_quantized(args.save_path, enc.params)
+    # pooling rides in meta — without it the reloaded int8 model would
+    # silently default to mean pooling
+    save_quantized(args.save_path, enc.params, meta={"pooling": enc.pooling})
     with open(os.path.join(args.save_path, "arch.json"), "w") as f:
         f.write(enc.arch.to_json())
     if enc.tokenizer is not None and hasattr(enc.tokenizer, "save_vocab"):
@@ -810,7 +837,10 @@ def cmd_search(args):
         return
     print("interactive search — empty line to exit")
     while True:
-        q = input("query> ").strip()
+        try:
+            q = input("query> ").strip()
+        except EOFError:   # Ctrl-D / exhausted piped stdin: clean exit
+            break
         if not q:
             break
         for row in pipe([q], args.top_k)[0]:

@@ -118,11 +118,17 @@ def save_checkpoint(
     os.makedirs(tmp_dir, exist_ok=True)
     shardings = _collect_shardings(params)
     np.savez(os.path.join(tmp_dir, "params.npz"), **_flatten(params))
+    opt_shardings = {}
     if opt_state is not None:
         np.savez(os.path.join(tmp_dir, "opt_state.npz"), **_flatten(opt_state))
+        # Adam moments inherit the param layouts (2× the param bytes) —
+        # restoring them unplaced would silently replicate them
+        opt_shardings = _collect_shardings(opt_state)
     info = {"step": step, "meta": meta or {}}
     if shardings:
         info["shardings"] = shardings
+    if opt_shardings:
+        info["opt_shardings"] = opt_shardings
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(info, f, indent=2)
     if os.path.isdir(ckpt_dir):   # re-saving the same step: replace
@@ -171,12 +177,10 @@ def restore_checkpoint(
             opt_state = _unflatten_into(opt_state_template, dict(z))
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         info = json.load(f)
-    if mesh is not None and info.get("shardings"):
+    if mesh is not None:
         from jax.sharding import NamedSharding
 
-        specs = info["shardings"]
-
-        def place(tree):
+        def place(tree, specs):
             paths_and_leaves, treedef = (
                 jax.tree_util.tree_flatten_with_path(tree)
             )
@@ -191,7 +195,10 @@ def restore_checkpoint(
                 leaves.append(leaf)
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
-        params = place(params)
+        if info.get("shardings"):
+            params = place(params, info["shardings"])
+        if opt_state is not None and info.get("opt_shardings"):
+            opt_state = place(opt_state, info["opt_shardings"])
     return params, opt_state, info["step"], info.get("meta", {})
 
 
