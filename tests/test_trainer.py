@@ -448,3 +448,47 @@ def test_trainer_async_checkpoint_error_surfaces(tmp_path):
         tr.join_pending_save()
     # the error is consumed: a later join is clean
     tr.join_pending_save()
+
+
+def test_grad_accum_lr_schedule_completes():
+    """Under gradient accumulation the LR schedule must run on OPTIMIZER
+    steps: warmup finishes and LR decays to ~0 by the end of training
+    (MultiSteps advances the inner count once per k micro-steps, so the
+    micro-step total must be rescaled — it used to run k× too slowly)."""
+    import optax
+    from text_similarity_tpu.core.config import TrainConfig
+    from text_similarity_tpu.train.optim import make_optimizer
+
+    params = {"layers": {"w": jnp.ones((2, 4, 4)), "b": jnp.zeros((2, 4))}}
+    cfg = TrainConfig(lr=1e-3, grad_accum_steps=4, warmup_ratio=0.25)
+    tx = make_optimizer(cfg, total_steps=40, params_example=params)
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    p = params
+    deltas = []
+    prev = np.asarray(p["layers"]["w"]).copy()
+    for i in range(40):
+        up, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, up)
+        if (i + 1) % 4 == 0:
+            w = np.asarray(p["layers"]["w"])
+            deltas.append(float(np.abs(w - prev).max()))
+            prev = w.copy()
+    peak = max(deltas)
+    assert deltas[1] > 0           # warmup ramped within the run
+    assert deltas[-1] < 0.2 * peak  # decay nearly finished
+    # stacked (L, H) biases are EXCLUDED from weight decay: with zero
+    # grads a decayed bias would shrink; give the bias nonzero value and
+    # zero grad and check it only moves through Adam's (zero) update
+    b0 = {"layers": {"w": jnp.ones((2, 4, 4)), "b": jnp.ones((2, 4))}}
+    tx2 = make_optimizer(cfg, total_steps=8, params_example=b0)
+    s2 = tx2.init(b0)
+    zg = jax.tree.map(jnp.zeros_like, b0)
+    p2 = b0
+    for _ in range(8):
+        up, s2 = tx2.update(zg, s2, p2)
+        p2 = optax.apply_updates(p2, up)
+    np.testing.assert_allclose(
+        np.asarray(p2["layers"]["b"]), 1.0, atol=1e-6
+    )  # no decay on stacked biases
+    assert np.asarray(p2["layers"]["w"]).max() < 1.0  # kernels DO decay
