@@ -156,7 +156,10 @@ class SemanticSearchPipeline:
         # bf16 cluster storage: measured identical QPS and recall to f32
         # on the 1M bench corpus (native bf16 MXU dots, f32 accumulation)
         # at half the HBM footprint — docs/ROUND3.md
-        self.ivf = IVFIndex.build(data, cfg, data_dtype=jnp.bfloat16)
+        self.ivf = IVFIndex.build(
+            data, cfg, data_dtype=jnp.bfloat16,
+            sentinel=not getattr(self, "_no_sentinel", False),
+        )
         logger.info(
             "built IVF index: %d rows, %d clusters (+%d overflow)",
             int(data.shape[0]),
@@ -181,13 +184,27 @@ class SemanticSearchPipeline:
             # +44% QPS (docs/ROUND3.md); tiny clusters keep the exact
             # merge (lane-class collision loss scales as k²/2/Mc)
             mc = self.ivf.data_padded.shape[1]
-            s, i = self.ivf.query(
-                q_emb, k=max_num_results,
+            qargs = dict(
+                k=max_num_results,
                 # measured serving sweet spot (docs/ROUND3.md): 64-query
                 # blocks sharing the config's probe count as the union
                 block_q=64, union_factor=1,
                 approx_width=2048 if mc >= 1024 else 0,
             )
+            try:
+                s, i = self.ivf.query(q_emb, **qargs)
+            except Exception:
+                if not self.ivf.sentinel:
+                    raise
+                # idless (sentinel) scan failed on this backend: degrade
+                # once to the proven ids-operand layout and keep serving
+                logger.warning(
+                    "idless IVF scan failed; rebuilding with the "
+                    "ids-operand layout", exc_info=True,
+                )
+                self._no_sentinel = True
+                self._build_ivf()
+                s, i = self.ivf.query(q_emb, **qargs)
             s, i = np.asarray(s), np.asarray(i)
             if self._id_remap is not None:
                 i = np.where(i >= 0, self._id_remap[np.maximum(i, 0)], -1)
