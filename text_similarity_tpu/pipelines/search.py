@@ -321,7 +321,8 @@ class ShardedSearchPipeline:
             # the per-shard HBM (docs/ROUND3.md) — matches the
             # single-device pipeline's default
             self.index = ShardedIVFIndex.build(
-                self.mesh, emb, cfg, data_dtype=jnp.bfloat16
+                self.mesh, emb, cfg, data_dtype=jnp.bfloat16,
+                sentinel=not getattr(self, "_no_sentinel", False),
             )
             self.ivf = self.index
             if self._removed:
@@ -410,7 +411,21 @@ class ShardedSearchPipeline:
             while b < k:
                 b *= 2
             k = min(b, len(self.corpus))
-        s, i = self.index.query(q_emb, k=k)
+        try:
+            s, i = self.index.query(q_emb, k=k)
+        except Exception:
+            if self.ivf is None or getattr(self, "_no_sentinel", False):
+                raise
+            # idless per-shard scan failed on this backend: degrade once
+            # to the ids-operand layout (same safety as the single-device
+            # pipeline and bench)
+            logger.warning(
+                "sharded idless IVF scan failed; rebuilding with the "
+                "ids-operand layout", exc_info=True,
+            )
+            self._no_sentinel = True
+            self._rebuild()
+            s, i = self.index.query(q_emb, k=k)
         out = []
         for r in range(len(queries)):
             row = []
