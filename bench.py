@@ -127,23 +127,11 @@ def main():
         f"Mc={ivf.data_padded.shape[1]})"
     )
 
-    # recall gate + warm the query kernel. The bf16 build defaults to the
-    # sentinel layout (idless scan — no per-step ids operand); if that
-    # kernel ever fails on the real Mosaic backend, fall back to the
-    # proven ids-operand layout instead of losing the whole bench.
+    # recall gate + warm the query kernel (ids-operand layout: the idless
+    # sentinel variant measured slower on HW — docs/ROUND3.md)
     t0 = time.time()
-    try:
-        _, ivf_i = ivf.query(queries, k=K, **QARGS)
-        ivf_i = np.asarray(ivf_i)
-    except Exception as e:
-        log(f"idless scan failed ({type(e).__name__}: {e}); "
-            "falling back to the ids-operand layout")
-        ivf = IVFIndex.build(
-            corpus, cfg, key=jax.random.PRNGKey(7),
-            data_dtype=jnp.bfloat16, sentinel=False,
-        )
-        _, ivf_i = ivf.query(queries, k=K, **QARGS)
-        ivf_i = np.asarray(ivf_i)
+    _, ivf_i = ivf.query(queries, k=K, **QARGS)
+    ivf_i = np.asarray(ivf_i)
     log(f"IVF query compile+run: {time.time() - t0:.1f}s")
     recall = np.mean([
         len(set(ivf_i[r]) & set(oracle_i[r])) / K for r in range(N_RECALL)

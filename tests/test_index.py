@@ -506,13 +506,13 @@ def test_ivf_approx_rejects_per_probe():
 
 
 def test_ivf_sentinel_idless_scores_and_recall():
-    """Sentinel layout (default for f32/bf16): the idless approx scan —
-    no streamed ids operand, slot ids from the scalar-prefetched probe —
-    returns true cosine scores (shift removed) and brute-force-level
-    recall."""
+    """Sentinel layout (opt-in; measured slower than the ids-operand
+    layout on HW — docs/ROUND3.md): the idless approx scan — no streamed
+    ids operand, slot ids from the scalar-prefetched probe — returns true
+    cosine scores (shift removed) and brute-force-level recall."""
     x = _clustered_corpus(n=4000, d=64, n_clusters=20)
     cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
-    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0), sentinel=True)
     assert ivf.sentinel and ivf.data_padded.shape[-1] == 65
     queries = l2_normalize(
         x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
@@ -541,7 +541,9 @@ def test_ivf_sentinel_remove_then_add_idless():
     never reads ids) drops removed rows too; add() writes it back."""
     rng = np.random.RandomState(0)
     corpus = l2_normalize(jnp.asarray(rng.randn(512, 32), jnp.float32))
-    ivf = IVFIndex.build(corpus, IndexConfig(num_clusters=8, num_probes=8))
+    ivf = IVFIndex.build(
+        corpus, IndexConfig(num_clusters=8, num_probes=8), sentinel=True
+    )
     assert ivf.sentinel
     q = corpus[:8]
     _, before = ivf.query(q, k=3, impl="pallas", approx_width=256)
@@ -556,10 +558,10 @@ def test_ivf_sentinel_remove_then_add_idless():
     assert (np.asarray(qi)[:, 0] == new_ids).all()
 
 
-def test_ivf_sentinel_off_still_works():
+def test_ivf_sentinel_off_default():
     x = _clustered_corpus(n=1000, d=32)
     cfg = IndexConfig(num_clusters=16, num_probes=6, kmeans_iters=5)
-    ivf = IVFIndex.build(x, cfg, sentinel=False)
+    ivf = IVFIndex.build(x, cfg)
     assert not ivf.sentinel and ivf.data_padded.shape[-1] == 32
     _, i_a = ivf.query(x[:16], k=5, impl="pallas", approx_width=512)
     _, i_b = ivf.query_xla(x[:16], k=5)
@@ -569,7 +571,7 @@ def test_ivf_sentinel_off_still_works():
 def test_ivf_sentinel_save_load_roundtrip(tmp_path):
     x = _clustered_corpus(n=1000, d=32)
     cfg = IndexConfig(num_clusters=16, num_probes=6, kmeans_iters=5)
-    ivf = IVFIndex.build(x, cfg)
+    ivf = IVFIndex.build(x, cfg, sentinel=True)
     assert ivf.sentinel
     p = str(tmp_path / "sent.npz")
     ivf.save(p)

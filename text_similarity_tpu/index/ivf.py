@@ -88,10 +88,18 @@ class IVFIndex:
         key: Optional[jax.Array] = None,
         data_dtype=jnp.float32,
         spill_choices: int = 3,
-        sentinel: Optional[bool] = None,  # default: on for f32/bf16 builds
-                                          # (enables the idless scan); int8
-                                          # can't carry one (the per-row
-                                          # dequant scale would warp it)
+        sentinel: Optional[bool] = None,  # default: OFF. The idless scan
+                                          # (sentinel column instead of a
+                                          # streamed ids operand) measured
+                                          # SLOWER on HW: the +1 column
+                                          # widens a 128-aligned row
+                                          # (384→385 pads to 512 lanes),
+                                          # costing more than the tiny
+                                          # (1,1,Mc) ids operand it removes
+                                          # (docs/ROUND3.md). Explicit
+                                          # option only; int8 can't carry
+                                          # one (the per-row dequant scale
+                                          # would warp it)
         keep_rescore: Optional[bool] = None,  # default: on for int8 builds
         rescore_dtype=jnp.bfloat16,  # rescore copy adds memory on top of
                                      # the int8 payload (bf16: 2 B/elem =
@@ -163,7 +171,7 @@ class IVFIndex:
         scales_padded = None
         is_int8 = config.quantize_int8 or data_dtype == jnp.int8
         if sentinel is None:
-            sentinel = not is_int8
+            sentinel = False
         if sentinel and is_int8:
             raise ValueError("sentinel layout is incompatible with int8")
         if is_int8:

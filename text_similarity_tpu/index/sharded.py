@@ -131,8 +131,9 @@ class ShardedIVFIndex:
         cls, mesh: Mesh, embeddings, config,
         key: Optional[jax.Array] = None,
         data_dtype=None,
-        sentinel: Optional[bool] = None,  # default on (idless per-shard
-                                          # scan; see index/ivf.py)
+        sentinel: Optional[bool] = None,  # default OFF — the idless
+                                          # per-shard scan measured slower
+                                          # on HW (see index/ivf.py)
     ) -> "ShardedIVFIndex":
         """On-device sharded build: global k-means over the sharded corpus
         (plain XLA ops on the GSPMD-sharded array — assignment shards over
@@ -160,7 +161,9 @@ class ShardedIVFIndex:
         c = max(1, min(config.num_clusters, pad_n // 32))
         data_dtype = data_dtype or emb.dtype
         if sentinel is None:
-            sentinel = data_dtype != jnp.int8
+            # ids-operand layout by default — the sentinel column widens a
+            # 128-aligned row and measured slower on HW (docs/ROUND3.md)
+            sentinel = False
         dw = d + 1 if sentinel else d
 
         # ---- phase 1: GLOBAL k-means + per-(shard, cluster) counts

@@ -156,10 +156,7 @@ class SemanticSearchPipeline:
         # bf16 cluster storage: measured identical QPS and recall to f32
         # on the 1M bench corpus (native bf16 MXU dots, f32 accumulation)
         # at half the HBM footprint — docs/ROUND3.md
-        self.ivf = IVFIndex.build(
-            data, cfg, data_dtype=jnp.bfloat16,
-            sentinel=not getattr(self, "_no_sentinel", False),
-        )
+        self.ivf = IVFIndex.build(data, cfg, data_dtype=jnp.bfloat16)
         logger.info(
             "built IVF index: %d rows, %d clusters (+%d overflow)",
             int(data.shape[0]),
@@ -191,20 +188,7 @@ class SemanticSearchPipeline:
                 block_q=64, union_factor=1,
                 approx_width=2048 if mc >= 1024 else 0,
             )
-            try:
-                s, i = self.ivf.query(q_emb, **qargs)
-            except Exception:
-                if not self.ivf.sentinel:
-                    raise
-                # idless (sentinel) scan failed on this backend: degrade
-                # once to the proven ids-operand layout and keep serving
-                logger.warning(
-                    "idless IVF scan failed; rebuilding with the "
-                    "ids-operand layout", exc_info=True,
-                )
-                self._no_sentinel = True
-                self._build_ivf()
-                s, i = self.ivf.query(q_emb, **qargs)
+            s, i = self.ivf.query(q_emb, **qargs)
             s, i = np.asarray(s), np.asarray(i)
             if self._id_remap is not None:
                 i = np.where(i >= 0, self._id_remap[np.maximum(i, 0)], -1)
@@ -322,7 +306,6 @@ class ShardedSearchPipeline:
             # single-device pipeline's default
             self.index = ShardedIVFIndex.build(
                 self.mesh, emb, cfg, data_dtype=jnp.bfloat16,
-                sentinel=not getattr(self, "_no_sentinel", False),
             )
             self.ivf = self.index
             if self._removed:
@@ -411,21 +394,7 @@ class ShardedSearchPipeline:
             while b < k:
                 b *= 2
             k = min(b, len(self.corpus))
-        try:
-            s, i = self.index.query(q_emb, k=k)
-        except Exception:
-            if self.ivf is None or getattr(self, "_no_sentinel", False):
-                raise
-            # idless per-shard scan failed on this backend: degrade once
-            # to the ids-operand layout (same safety as the single-device
-            # pipeline and bench)
-            logger.warning(
-                "sharded idless IVF scan failed; rebuilding with the "
-                "ids-operand layout", exc_info=True,
-            )
-            self._no_sentinel = True
-            self._rebuild()
-            s, i = self.index.query(q_emb, k=k)
+        s, i = self.index.query(q_emb, k=k)
         out = []
         for r in range(len(queries)):
             row = []
