@@ -1,0 +1,158 @@
+"""Pipeline-parallel encoder forward on the fake 8-device CPU mesh: exact
+equivalence vs the plain single-program forward, gradient equivalence
+through the GPipe schedule, DP×PP composition, and validation errors."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_similarity_tpu.core.config import ARCH_PRESETS
+from text_similarity_tpu.core.mesh import make_mesh
+from text_similarity_tpu.core.precision import FP32_PRECISION
+from text_similarity_tpu.models import (
+    init_params, encoder_forward, encoder_forward_pp, mean_pool,
+)
+
+
+def _arch(layers=4):
+    return ARCH_PRESETS["tiny-test"].replace(
+        num_layers=layers, hidden_dropout=0.0, attention_dropout=0.0
+    )
+
+
+def _batch(arch, b=8, s=16, seed=0, ragged=True):
+    rng = np.random.RandomState(seed)
+    ids = jnp.asarray(rng.randint(5, arch.vocab_size, (b, s)), jnp.int32)
+    mask = np.ones((b, s), np.int32)
+    if ragged:
+        # distinct per-row lengths: proves each microbatch carries its own
+        # attention mask through the pipeline ticks
+        for r in range(b):
+            mask[r, s - 1 - (r % 4):] = 0
+    return ids, jnp.asarray(mask)
+
+
+def test_pp_forward_matches_plain(eight_devices):
+    arch = _arch(4)
+    params = init_params(jax.random.PRNGKey(0), arch)
+    ids, mask = _batch(arch)
+    ref = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION
+    ).last_hidden_state
+    mesh = make_mesh(data=1, pipe=4, seq=2)
+    out = encoder_forward_pp(
+        params, ids, mask, arch=arch, mesh=mesh, precision=FP32_PRECISION
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pp_composes_with_dp(eight_devices):
+    arch = _arch(4)
+    params = init_params(jax.random.PRNGKey(1), arch)
+    ids, mask = _batch(arch, b=8, seed=1)
+    ref = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION
+    ).last_hidden_state
+    mesh = make_mesh(data=2, pipe=4)
+    out = encoder_forward_pp(
+        params, ids, mask, arch=arch, mesh=mesh, precision=FP32_PRECISION,
+        microbatches=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("m", [1, 2, 8])
+def test_pp_microbatch_counts(eight_devices, m):
+    arch = _arch(2)
+    params = init_params(jax.random.PRNGKey(2), arch)
+    ids, mask = _batch(arch, b=8, seed=2)
+    ref = encoder_forward(
+        params, ids, mask, arch=arch, precision=FP32_PRECISION
+    ).last_hidden_state
+    mesh = make_mesh(data=1, pipe=2, model=1, seq=1, index=4)
+    out = encoder_forward_pp(
+        params, ids, mask, arch=arch, mesh=mesh,
+        precision=FP32_PRECISION, microbatches=m,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pp_grads_match_plain(eight_devices):
+    """AD through ppermute/psum gives the same parameter gradients as the
+    plain scan forward — the backward pipeline falls out of transposition."""
+    arch = _arch(4)
+    params = init_params(jax.random.PRNGKey(3), arch)
+    ids, mask = _batch(arch, b=8, seed=3)
+    tgt = jnp.asarray(
+        np.random.RandomState(9).randn(8, arch.hidden_size), jnp.float32
+    )
+    mesh = make_mesh(data=2, pipe=4)
+
+    def loss_pp(p):
+        h = encoder_forward_pp(
+            p, ids, mask, arch=arch, mesh=mesh, precision=FP32_PRECISION
+        )
+        return jnp.mean((mean_pool(h, mask) - tgt) ** 2)
+
+    def loss_plain(p):
+        h = encoder_forward(
+            p, ids, mask, arch=arch, precision=FP32_PRECISION
+        ).last_hidden_state
+        return jnp.mean((mean_pool(h, mask) - tgt) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    g_ref = jax.jit(jax.grad(loss_plain))(params)
+    flat_pp, _ = jax.tree_util.tree_flatten_with_path(g_pp)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    for (path, a), b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=str(path),
+        )
+
+
+def test_pp_remat_matches(eight_devices):
+    arch = _arch(4)
+    params = init_params(jax.random.PRNGKey(4), arch)
+    ids, mask = _batch(arch, b=4, seed=4)
+    mesh = make_mesh(data=1, pipe=4, seq=2)
+
+    def loss(p, remat):
+        h = encoder_forward_pp(
+            p, ids, mask, arch=arch, mesh=mesh,
+            precision=FP32_PRECISION, remat=remat,
+        )
+        return jnp.mean(h ** 2)
+
+    g_a = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    g_b = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_pp_validation_errors(eight_devices):
+    arch = _arch(4)
+    params = init_params(jax.random.PRNGKey(5), arch)
+    ids, mask = _batch(arch, b=8)
+    mesh = make_mesh(data=1, pipe=4, seq=2)
+    with pytest.raises(ValueError, match="num_layers"):
+        encoder_forward_pp(
+            params, ids, mask, arch=arch.replace(num_layers=3), mesh=mesh
+        )
+    with pytest.raises(ValueError, match="microbatches"):
+        encoder_forward_pp(
+            params, ids, mask, arch=arch, mesh=mesh, microbatches=3
+        )
+    shared = _arch(4).replace(share_layers=True)
+    with pytest.raises(ValueError, match="shared"):
+        encoder_forward_pp(params, ids, mask, arch=shared, mesh=mesh)

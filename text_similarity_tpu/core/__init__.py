@@ -6,7 +6,10 @@ from .config import (
     RunConfig,
     ARCH_PRESETS,
 )
-from .mesh import make_mesh, local_mesh, shard_batch, replicate, DATA_AXIS, MODEL_AXIS, INDEX_AXIS
+from .mesh import (
+    make_mesh, local_mesh, shard_batch, replicate,
+    DATA_AXIS, PIPE_AXIS, MODEL_AXIS, SEQ_AXIS, INDEX_AXIS,
+)
 from .precision import Precision, DEFAULT_PRECISION
 
 __all__ = [
@@ -21,7 +24,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "DATA_AXIS",
+    "PIPE_AXIS",
     "MODEL_AXIS",
+    "SEQ_AXIS",
     "INDEX_AXIS",
     "Precision",
     "DEFAULT_PRECISION",

@@ -5,11 +5,13 @@ first-class citizen. All parallelism in the framework rides three named
 axes:
 
 - ``data``  — batch sharding (DP / ZeRO-style)
+- ``pipe``  — pipeline parallelism (layer stages, GPipe microbatching)
 - ``model`` — tensor parallelism (attention heads / hidden / FFN sharding)
+- ``seq``   — context parallelism (ring / Ulysses attention)
 - ``index`` — ANN corpus shards (per-shard top-k + all-gather merge)
 
 Collectives are XLA-inserted via NamedSharding/pjit, or explicit
-(psum/all_gather) inside shard_map regions.
+(psum/all_gather/ppermute) inside shard_map regions.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
 INDEX_AXIS = "index"
@@ -31,28 +34,33 @@ def make_mesh(
     model: int = 1,
     seq: int = 1,
     index: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a 4-axis mesh over the given (default: all) devices.
+    """Build a 5-axis mesh over the given (default: all) devices.
 
     ``data=-1`` absorbs whatever devices remain after the other axes.
-    Axis order is (data, model, seq, index): model-parallel groups stay on
-    adjacent devices so TP collectives ride the fastest ICI links; the seq
-    (context-parallel ring) axis sits next so ring ppermutes stay local.
+    Axis order is (data, pipe, model, seq, index): model-parallel groups
+    stay on adjacent devices so TP collectives ride the fastest ICI links;
+    the seq (context-parallel ring) axis sits next so ring ppermutes stay
+    local; pipe sits outside model/seq (stage handoffs are one activation
+    per tick — the lowest-bandwidth collective on the mesh).
     """
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
-    rest = model * seq * index
+    rest = pipe * model * seq * index
     if data == -1:
         if n % rest != 0:
             raise ValueError(
-                f"{n} devices not divisible by model*seq*index={rest}"
+                f"{n} devices not divisible by pipe*model*seq*index={rest}"
             )
         data = n // rest
     if data * rest != n:
-        raise ValueError(f"mesh {data}x{model}x{seq}x{index} != {n} devices")
-    arr = np.asarray(devs).reshape(data, model, seq, index)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS, INDEX_AXIS))
+        raise ValueError(
+            f"mesh {data}x{pipe}x{model}x{seq}x{index} != {n} devices"
+        )
+    arr = np.asarray(devs).reshape(data, pipe, model, seq, index)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS, SEQ_AXIS, INDEX_AXIS))
 
 
 def local_mesh() -> Mesh:
