@@ -140,6 +140,97 @@ def test_pp_remat_matches(eight_devices):
         )
 
 
+def _train_setup(arch, pp_mesh=None, dropout=0.0, seed=0, b=8, s=16):
+    from text_similarity_tpu.core.config import TrainConfig
+    from text_similarity_tpu.train import (
+        make_optimizer, make_bi_encoder_train_step, init_train_state,
+    )
+
+    arch = arch.replace(hidden_dropout=dropout, attention_dropout=dropout)
+    cfg = TrainConfig(lr=1e-3, batch_size=b, warmup_ratio=0.0, bf16=False)
+    params = {"encoder": init_params(jax.random.PRNGKey(seed), arch)}
+    tx = make_optimizer(cfg, 100, params_example=params)
+    state = init_train_state(params, tx, seed=seed)
+    step = make_bi_encoder_train_step(
+        arch, tx, loss_type="cosine_mse", precision=FP32_PRECISION,
+        pp_mesh=pp_mesh,
+    )
+    rng = np.random.RandomState(seed)
+    batch = {
+        "ids_a": jnp.asarray(rng.randint(5, arch.vocab_size, (b, s)), jnp.int32),
+        "mask_a": jnp.ones((b, s), jnp.int32),
+        "ids_b": jnp.asarray(rng.randint(5, arch.vocab_size, (b, s)), jnp.int32),
+        "mask_b": jnp.ones((b, s), jnp.int32),
+        "target": jnp.asarray(rng.rand(b), jnp.float32),
+        "valid": jnp.ones((b,), jnp.int32),
+    }
+    return state, step, batch
+
+
+def test_pp_train_step_matches_plain(eight_devices):
+    """The PP bi-encoder train step (data=2 x pipe=4) reproduces the plain
+    step's loss trajectory and final params with dropout off — the whole
+    training runtime (loss, grad, AdamW update) is PP-transparent."""
+    arch = _arch(4)
+    mesh = make_mesh(data=2, pipe=4)
+    st_pp, step_pp, batch = _train_setup(arch, pp_mesh=mesh)
+    st_pl, step_pl, _ = _train_setup(arch, pp_mesh=None)
+    losses_pp, losses_pl = [], []
+    for _ in range(3):
+        st_pp, m = step_pp(st_pp, batch)
+        losses_pp.append(float(m["loss"]))
+        st_pl, m = step_pl(st_pl, batch)
+        losses_pl.append(float(m["loss"]))
+    np.testing.assert_allclose(losses_pp, losses_pl, rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(st_pp.params), jax.tree.leaves(st_pl.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_pp_train_step_with_dropout(eight_devices):
+    """Dropout threads through the pipeline ticks: per-microbatch,
+    per-layer, per-data-shard keys; loss stays finite and decreases."""
+    arch = _arch(4)
+    mesh = make_mesh(data=2, pipe=4)
+    st, step, batch = _train_setup(arch, pp_mesh=mesh, dropout=0.1)
+    losses = []
+    for _ in range(8):
+        st, m = step(st, batch)
+        losses.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_pp_mlm_step(eight_devices):
+    from text_similarity_tpu.core.config import TrainConfig
+    from text_similarity_tpu.train import make_optimizer, init_train_state
+    from text_similarity_tpu.train.steps import make_mlm_train_step
+
+    arch = _arch(4)
+    mesh = make_mesh(data=2, pipe=4)
+    cfg = TrainConfig(lr=1e-3, batch_size=8, warmup_ratio=0.0, bf16=False)
+    params = {
+        "encoder": init_params(jax.random.PRNGKey(0), arch),
+        "mlm_bias": jnp.zeros((arch.vocab_size,), jnp.float32),
+    }
+    tx = make_optimizer(cfg, 100, params_example=params)
+    st = init_train_state(params, tx)
+    step = make_mlm_train_step(
+        arch, tx, mask_token_id=4, precision=FP32_PRECISION, pp_mesh=mesh,
+    )
+    ids, mask = _batch(arch, b=8, s=16)
+    batch = {"ids": ids, "mask": mask}
+    losses = []
+    for _ in range(6):
+        st, m = step(st, batch)
+        losses.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_pp_validation_errors(eight_devices):
     arch = _arch(4)
     params = init_params(jax.random.PRNGKey(5), arch)

@@ -116,6 +116,19 @@ def _train_common(p: argparse.ArgumentParser):
     p.add_argument("--max-len", type=int, default=128)
     p.add_argument("--warmup-ratio", type=float, default=0.1)
     p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--pipe", type=int, default=1,
+                   help="pipeline-parallel stages: shard the layer stack "
+                        "over a pipe mesh axis (remaining devices go to "
+                        "data parallelism)")
+
+
+def _pp_mesh(args):
+    """Mesh for --pipe N: N pipeline stages, leftover devices do DP."""
+    if getattr(args, "pipe", 1) <= 1:
+        return None
+    from ..core.mesh import make_mesh
+
+    return make_mesh(data=-1, pipe=args.pipe)
 
 
 def _train_cfg(args):
@@ -167,6 +180,7 @@ def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
         # mismatches the objective and the eval
         pooling=args.pooling or enc.pooling,
         precision=precision_for(cfg.bf16),
+        pp_mesh=_pp_mesh(args),
     )
     trainer = Trainer(
         step, state, save_path=args.save_path, eval_fn=eval_fn,
@@ -600,6 +614,7 @@ def cmd_pretrain_long(args):
     step = make_mlm_train_step(
         arch, tx, mask_token_id=tok.mask_id,
         mask_prob=args.mask_prob, special_ids=tuple(specials),
+        pp_mesh=_pp_mesh(args),
     )
     first = last = None
     for epoch in range(cfg.epochs):

@@ -54,6 +54,9 @@ def encoder_forward_pp(
     token_type_ids: Optional[jax.Array] = None,
     attention_impl: str = "auto",
     remat: bool = False,            # rematerialize each stage's sub-stack
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    performer_step=None,            # train step for performer feature redraw
 ) -> jax.Array:
     """→ (B, S, H) last hidden state, identical to ``encoder_forward``.
 
@@ -88,17 +91,29 @@ def encoder_forward_pp(
 
     performer_proj = None
     if arch.attention_type == "performer":
-        from ..ops.performer import orthogonal_random_features
+        from ..ops.performer import (
+            orthogonal_random_features,
+            redraw_features,
+        )
 
         nf = arch.performer_features or arch.head_dim
-        performer_proj = orthogonal_random_features(
-            jax.random.PRNGKey(42), nf, arch.head_dim
-        )
+        if arch.performer_redraw_every > 0 and performer_step is not None:
+            performer_proj = redraw_features(
+                jax.random.PRNGKey(42), performer_step,
+                arch.performer_redraw_every, nf, arch.head_dim,
+            )
+        else:
+            performer_proj = orthogonal_random_features(
+                jax.random.PRNGKey(42), nf, arch.head_dim
+            )
         attention_impl = "performer"
 
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
     x = embed_inputs(
         params["embeddings"], input_ids, attention_mask, token_type_ids,
-        arch=arch, precision=precision, deterministic=True,
+        arch=arch, precision=precision, deterministic=deterministic,
+        dropout_rng=dropout_rng,
     )
     layer_params = jax.tree.map(
         lambda p: p.astype(precision.compute_dtype)
@@ -113,25 +128,39 @@ def encoder_forward_pp(
     lp_specs = jax.tree.map(stage_spec, layer_params)
     perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
     n_ticks = m + n_pipe - 1
+    l_per = l // n_pipe
 
-    def worker(x_loc, m_loc, lp_loc):
+    def worker(x_loc, m_loc, lp_loc, rng):
         # x_loc (b_loc, S, H); every leaf of lp_loc leads with L/P
         stage = jax.lax.axis_index(PIPE_AXIS)
+        # decorrelate dropout across data shards AND microbatches: the
+        # plain forward draws one (B,S,H) mask; here each (mb,S,H) slice
+        # must draw its own or every microbatch reuses one pattern
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         h = x_loc.shape[-1]
         xs = x_loc.reshape(m, mb, s, h)
         ms = m_loc.reshape(m, mb, s)
 
-        def apply_stage(x_mb, mask_mb):
-            def body(hx, lp_i):
+        def apply_stage(x_mb, mask_mb, mb_idx):
+            rng_mb = jax.random.fold_in(rng, mb_idx)
+
+            def body(hx, scanned):
+                lp_i, li = scanned
                 out = transformer_layer(
                     hx, lp_i, mask_mb,
-                    arch=arch, precision=precision, deterministic=True,
+                    arch=arch, precision=precision,
+                    deterministic=deterministic,
+                    dropout_rng=jax.random.fold_in(
+                        rng_mb, stage * l_per + li
+                    ),
                     attention_impl=attention_impl,
                     performer_proj=performer_proj,
                 )
                 return out.astype(hx.dtype), None
 
-            y, _ = jax.lax.scan(body, x_mb, lp_loc)
+            y, _ = jax.lax.scan(
+                body, x_mb, (lp_loc, jnp.arange(l_per, dtype=jnp.int32))
+            )
             return y
 
         if remat:
@@ -141,7 +170,7 @@ def encoder_forward_pp(
             state, outbuf = carry
             mb_idx = jnp.clip(t - stage, 0, m - 1)
             inp = jnp.where(stage == 0, xs[mb_idx], state)
-            out = apply_stage(inp, ms[mb_idx])
+            out = apply_stage(inp, ms[mb_idx], mb_idx)
             done = t - (n_pipe - 1)
             upd = jax.lax.dynamic_update_index_in_dim(
                 outbuf, out, jnp.clip(done, 0, m - 1), 0
@@ -175,6 +204,7 @@ def encoder_forward_pp(
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None),
             lp_specs,
+            P(),
         ),
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,
@@ -183,4 +213,4 @@ def encoder_forward_pp(
     mask_dev = jax.device_put(
         attention_mask, NamedSharding(mesh, P(DATA_AXIS, None))
     )
-    return fn(x, mask_dev, layer_params)
+    return fn(x, mask_dev, layer_params, dropout_rng)

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import EncoderArch, TrainConfig
 from ..core.mesh import DATA_AXIS
 from ..core.precision import Precision, DEFAULT_PRECISION
-from ..models.encoder import encoder_forward, dequant_weight
+from ..models.encoder import EncoderOutput, encoder_forward, dequant_weight
 from ..models.pooling import mean_pool, cls_pool
 from ..models import losses as L
 
@@ -48,12 +48,30 @@ def init_train_state(params: dict, tx: optax.GradientTransformation, seed: int =
 def _embed(
     enc_params, ids, mask, *, arch, precision, pooling, rng, deterministic,
     layer_gate=None, remat=False, performer_step=None,
+    pp_mesh=None, pp_microbatches=None,
 ):
-    out = encoder_forward(
-        enc_params, ids, mask, arch=arch, precision=precision,
-        deterministic=deterministic, dropout_rng=rng, layer_gate=layer_gate,
-        remat=remat, performer_step=performer_step,
-    )
+    if pp_mesh is not None:
+        # pipeline-parallel tower: layer stages over the mesh pipe axis
+        # (GPipe microbatching inside the same jit; grads flow through
+        # the ppermute handoffs via AD — models/pipeline.py)
+        if layer_gate is not None:
+            raise ValueError("layer_gate is not supported with pp_mesh")
+        from ..models.pipeline import encoder_forward_pp
+
+        hidden = encoder_forward_pp(
+            enc_params, ids, mask, arch=arch, mesh=pp_mesh,
+            microbatches=pp_microbatches, precision=precision,
+            deterministic=deterministic, dropout_rng=rng,
+            performer_step=performer_step, remat=bool(remat),
+        )
+        out = EncoderOutput(hidden, None, None)
+    else:
+        out = encoder_forward(
+            enc_params, ids, mask, arch=arch, precision=precision,
+            deterministic=deterministic, dropout_rng=rng,
+            layer_gate=layer_gate,
+            remat=remat, performer_step=performer_step,
+        )
     if pooling == "cls":
         pooled = cls_pool(out.last_hidden_state, mask)
     else:
@@ -128,13 +146,17 @@ def make_bi_encoder_train_step(
     precision: Precision = DEFAULT_PRECISION,
     margin: float = 0.5,
     remat: bool = False,
+    pp_mesh: Optional[Mesh] = None,       # pipeline parallelism: layer
+    pp_microbatches: Optional[int] = None,  # stages over the pipe axis
 ) -> Callable:
     """Returns step(state, batch) → (state, metrics).
 
     batch: ids_a, mask_a, ids_b, mask_b, target (labels or scores or
     teacher embeddings), valid (B,) — fixed shapes.
     Twin towers share the encoder (reference parallel_mode,
-    sentence_encoder.py:100-113)."""
+    sentence_encoder.py:100-113). With ``pp_mesh`` each tower forward
+    runs pipeline-parallel over the mesh ``pipe`` axis (composing with
+    ``data``); the backward pipeline falls out of AD."""
 
     def loss_fn(params, batch, rng, performer_step):
         enc = params["encoder"]
@@ -147,11 +169,13 @@ def make_bi_encoder_train_step(
             enc, batch["ids_a"], batch["mask_a"], arch=arch,
             precision=precision, pooling=pooling, rng=r1, deterministic=False,
             remat=remat, performer_step=performer_step,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         v = _embed(
             enc, batch["ids_b"], batch["mask_b"], arch=arch,
             precision=precision, pooling=pooling, rng=r2, deterministic=False,
             remat=remat, performer_step=performer_step,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         valid = batch.get("valid")
         target = batch.get("target")
@@ -428,16 +452,27 @@ def mlm_mask_batch(
 
 def mlm_forward(
     params, ids, mask, *, arch, precision, rng=None, deterministic=True,
-    performer_step=None,
+    performer_step=None, pp_mesh=None, pp_microbatches=None,
 ):
     """Encoder → tied-embedding output head → (B, S, V) logits. The output
     projection shares the word-embedding matrix (standard BERT weight
     tying); ``params["mlm_bias"]`` holds the per-vocab bias."""
-    out = encoder_forward(
-        params["encoder"], ids, mask, arch=arch, precision=precision,
-        deterministic=deterministic, dropout_rng=rng,
-        performer_step=performer_step,
-    )
+    if pp_mesh is not None:
+        from ..models.pipeline import encoder_forward_pp
+
+        hidden = encoder_forward_pp(
+            params["encoder"], ids, mask, arch=arch, mesh=pp_mesh,
+            microbatches=pp_microbatches, precision=precision,
+            deterministic=deterministic, dropout_rng=rng,
+            performer_step=performer_step,
+        )
+        out = EncoderOutput(hidden, None, None)
+    else:
+        out = encoder_forward(
+            params["encoder"], ids, mask, arch=arch, precision=precision,
+            deterministic=deterministic, dropout_rng=rng,
+            performer_step=performer_step,
+        )
     emb = params["encoder"]["embeddings"]["word"]
     h = out.last_hidden_state.astype(jnp.float32)
     logits = jnp.einsum(
@@ -456,10 +491,14 @@ def make_mlm_train_step(
     precision: Precision = DEFAULT_PRECISION,
     mask_prob: float = 0.15,
     special_ids=(0, 1, 2, 3, 4),
+    pp_mesh: Optional[Mesh] = None,
+    pp_microbatches: Optional[int] = None,
 ) -> Callable:
     """batch: ids, mask. Masking is dynamic (re-sampled per step from the
     state rng — matches HF's DataCollatorForLanguageModeling behavior).
-    Pass the tokenizer's real special-token ids via ``special_ids``."""
+    Pass the tokenizer's real special-token ids via ``special_ids``.
+    ``pp_mesh`` runs the encoder pipeline-parallel (see
+    make_bi_encoder_train_step)."""
 
     def loss_fn(params, batch, rng, performer_step):
         r_mask, r_drop = jax.random.split(rng)
@@ -470,6 +509,7 @@ def make_mlm_train_step(
         logits = mlm_forward(
             params, corrupted, batch["mask"], arch=arch, precision=precision,
             rng=r_drop, deterministic=False, performer_step=performer_step,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         loss = L.mlm_loss(logits, labels)
         n_pred = jnp.sum((labels >= 0).astype(jnp.float32))
