@@ -231,6 +231,56 @@ def test_pp_mlm_step(eight_devices):
     assert losses[-1] < losses[0]
 
 
+def test_pp_classifier_step_matches_plain(eight_devices):
+    """The PP classifier (cross-encoder) train step reproduces the plain
+    step's loss trajectory and final params — including the BERT pooler
+    tail, which the PP path applies outside the pipeline region."""
+    from text_similarity_tpu.core.config import TrainConfig
+    from text_similarity_tpu.train import make_optimizer, init_train_state
+    from text_similarity_tpu.train.steps import (
+        make_classifier_train_step, init_classifier_head,
+    )
+
+    arch = _arch(4)
+    assert arch.has_pooler  # the PP pooler tail is the point of this test
+    mesh = make_mesh(data=2, pipe=4)
+    cfg = TrainConfig(lr=1e-3, batch_size=8, warmup_ratio=0.0, bf16=False)
+    rng = np.random.RandomState(3)
+    b, s = 8, 16
+    batch = {
+        "ids": jnp.asarray(rng.randint(5, arch.vocab_size, (b, s)), jnp.int32),
+        "mask": jnp.ones((b, s), jnp.int32),
+        "type_ids": jnp.asarray(rng.randint(0, 2, (b, s)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 3, (b,)), jnp.int32),
+        "valid": jnp.ones((b,), jnp.int32),
+    }
+    losses, final = {}, {}
+    for name, pp in (("pp", mesh), ("plain", None)):
+        params = {
+            "encoder": init_params(jax.random.PRNGKey(0), arch),
+            "head": init_classifier_head(
+                jax.random.PRNGKey(1), arch.hidden_size, 3
+            ),
+        }
+        tx = make_optimizer(cfg, 100, params_example=params)
+        st = init_train_state(params, tx, seed=0)
+        step = make_classifier_train_step(
+            arch, tx, precision=FP32_PRECISION, pp_mesh=pp,
+        )
+        ls = []
+        for _ in range(3):
+            st, m = step(st, batch)
+            ls.append(float(m["loss"]))
+        losses[name], final[name] = ls, st.params
+    np.testing.assert_allclose(losses["pp"], losses["plain"], rtol=1e-5)
+    for a, b_ in zip(
+        jax.tree.leaves(final["pp"]), jax.tree.leaves(final["plain"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+        )
+
+
 def test_pp_validation_errors(eight_devices):
     arch = _arch(4)
     params = init_params(jax.random.PRNGKey(5), arch)

@@ -289,7 +289,8 @@ def cmd_train_classification(args):
     tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
     state = init_train_state(params, tx, seed=args.seed)
     step = make_classifier_train_step(
-        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16)
+        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16),
+        pp_mesh=_pp_mesh(args),
     )
     trainer = Trainer(step, state, save_path=args.save_path)
     result = trainer.execute(
@@ -346,7 +347,8 @@ def cmd_train_cross_encoder(args):
     tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
     state = init_train_state(params, tx, seed=args.seed)
     step = make_classifier_train_step(
-        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16)
+        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16),
+        pp_mesh=_pp_mesh(args),
     )
     trainer = Trainer(step, state, save_path=args.save_path)
     result = trainer.execute(
@@ -385,7 +387,8 @@ def cmd_train_wic(args):
     tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
     state = init_train_state(params, tx, seed=args.seed)
     step = make_word_encoder_train_step(
-        enc.arch, tx, precision=precision_for(cfg.bf16)
+        enc.arch, tx, precision=precision_for(cfg.bf16),
+        pp_mesh=_pp_mesh(args),
     )
     trainer = Trainer(step, state, save_path=args.save_path)
     result = trainer.execute(
@@ -466,7 +469,9 @@ def cmd_train_ner(args):
     }
     tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
     state = init_train_state(params, tx)
-    step = make_token_classifier_train_step(enc.arch, tx)
+    step = make_token_classifier_train_step(
+        enc.arch, tx, pp_mesh=_pp_mesh(args),
+    )
     trainer = Trainer(step, state, save_path=args.save_path)
     result = trainer.execute(
         lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),

@@ -45,33 +45,58 @@ def init_train_state(params: dict, tx: optax.GradientTransformation, seed: int =
     )
 
 
+def _encoder_out(
+    enc_params, ids, mask, type_ids=None, *, arch, precision, rng=None,
+    deterministic=True, head_mask=None, layer_gate=None, remat=False,
+    performer_step=None, pp_mesh=None, pp_microbatches=None,
+):
+    """``encoder_forward`` with an optional pipeline-parallel tower: with
+    ``pp_mesh`` the layer stack runs GPipe-microbatched over the mesh
+    ``pipe`` axis, composed with DP (models/pipeline.py; grads flow
+    through the ppermute handoffs via AD). Every train-step factory
+    routes its encoder forwards through here so ``pp_mesh=`` works
+    uniformly across objectives."""
+    if pp_mesh is None:
+        return encoder_forward(
+            enc_params, ids, mask, type_ids, arch=arch, precision=precision,
+            deterministic=deterministic, dropout_rng=rng,
+            head_mask=head_mask, layer_gate=layer_gate,
+            remat=remat, performer_step=performer_step,
+        )
+    if layer_gate is not None:
+        raise ValueError("layer_gate is not supported with pp_mesh")
+    if head_mask is not None:
+        raise ValueError("head_mask is not supported with pp_mesh")
+    from ..models.pipeline import encoder_forward_pp
+
+    hidden = encoder_forward_pp(
+        enc_params, ids, mask, arch=arch, mesh=pp_mesh,
+        microbatches=pp_microbatches, precision=precision,
+        token_type_ids=type_ids, deterministic=deterministic,
+        dropout_rng=rng, performer_step=performer_step, remat=bool(remat),
+    )
+    pooler_out = None
+    if arch.has_pooler and "pooler" in enc_params:
+        # same tail as encoder_forward (models/encoder.py pooler block)
+        pw = enc_params["pooler"]
+        cls = hidden[:, 0, :].astype(jnp.float32)
+        pooler_out = jnp.tanh(
+            cls @ dequant_weight(pw["w"]) + pw["b"]
+        ).astype(hidden.dtype)
+    return EncoderOutput(hidden, pooler_out, None)
+
+
 def _embed(
     enc_params, ids, mask, *, arch, precision, pooling, rng, deterministic,
     layer_gate=None, remat=False, performer_step=None,
     pp_mesh=None, pp_microbatches=None,
 ):
-    if pp_mesh is not None:
-        # pipeline-parallel tower: layer stages over the mesh pipe axis
-        # (GPipe microbatching inside the same jit; grads flow through
-        # the ppermute handoffs via AD — models/pipeline.py)
-        if layer_gate is not None:
-            raise ValueError("layer_gate is not supported with pp_mesh")
-        from ..models.pipeline import encoder_forward_pp
-
-        hidden = encoder_forward_pp(
-            enc_params, ids, mask, arch=arch, mesh=pp_mesh,
-            microbatches=pp_microbatches, precision=precision,
-            deterministic=deterministic, dropout_rng=rng,
-            performer_step=performer_step, remat=bool(remat),
-        )
-        out = EncoderOutput(hidden, None, None)
-    else:
-        out = encoder_forward(
-            enc_params, ids, mask, arch=arch, precision=precision,
-            deterministic=deterministic, dropout_rng=rng,
-            layer_gate=layer_gate,
-            remat=remat, performer_step=performer_step,
-        )
+    out = _encoder_out(
+        enc_params, ids, mask, arch=arch, precision=precision, rng=rng,
+        deterministic=deterministic, layer_gate=layer_gate, remat=remat,
+        performer_step=performer_step,
+        pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+    )
     if pooling == "cls":
         pooled = cls_pool(out.last_hidden_state, mask)
     else:
@@ -225,13 +250,15 @@ def make_bi_encoder_train_step(
 def classifier_forward(
     params, ids, mask, type_ids, *, arch, precision, pooling="cls",
     rng=None, deterministic=True, head_mask=None, layer_gate=None,
+    pp_mesh=None, pp_microbatches=None,
 ):
     """Encoder → pool → linear head → logits. The TransformerWrapper
     forward (reference modeling.py:101-116)."""
-    out = encoder_forward(
+    out = _encoder_out(
         params["encoder"], ids, mask, type_ids, arch=arch,
-        precision=precision, deterministic=deterministic, dropout_rng=rng,
+        precision=precision, deterministic=deterministic, rng=rng,
         head_mask=head_mask, layer_gate=layer_gate,
+        pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
     )
     if pooling == "cls":
         if out.pooler_output is not None:
@@ -268,15 +295,19 @@ def make_classifier_train_step(
     tx: optax.GradientTransformation,
     pooling: str = "cls",
     precision: Precision = DEFAULT_PRECISION,
+    pp_mesh: Optional[Mesh] = None,
+    pp_microbatches: Optional[int] = None,
 ) -> Callable:
     """Cross-encoder / document-classifier step. batch: ids, mask,
-    type_ids, labels, valid."""
+    type_ids, labels, valid. ``pp_mesh`` runs the encoder
+    pipeline-parallel (see make_bi_encoder_train_step)."""
 
     def loss_fn(params, batch, rng):
         logits = classifier_forward(
             params, batch["ids"], batch["mask"], batch.get("type_ids"),
             arch=arch, precision=precision, pooling=pooling,
             rng=rng, deterministic=False,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         valid = batch.get("valid")
         loss = L.cross_entropy_loss(logits, batch["labels"], valid)
@@ -303,11 +334,13 @@ def make_classifier_train_step(
 
 def token_classifier_forward(
     params, ids, mask, *, arch, precision, rng=None, deterministic=True,
+    pp_mesh=None, pp_microbatches=None,
 ):
     """Encoder → per-token linear head → (B, S, num_tags) logits."""
-    out = encoder_forward(
+    out = _encoder_out(
         params["encoder"], ids, mask, arch=arch, precision=precision,
-        deterministic=deterministic, dropout_rng=rng,
+        deterministic=deterministic, rng=rng,
+        pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
     )
     head = params["head"]
     h = out.last_hidden_state.astype(jnp.float32)
@@ -318,6 +351,8 @@ def make_token_classifier_train_step(
     arch: EncoderArch,
     tx: optax.GradientTransformation,
     precision: Precision = DEFAULT_PRECISION,
+    pp_mesh: Optional[Mesh] = None,
+    pp_microbatches: Optional[int] = None,
 ) -> Callable:
     """batch: ids, mask, tags (B, S) with -100 = ignored position (sub-word
     continuations / padding, the standard NER labeling scheme)."""
@@ -326,6 +361,7 @@ def make_token_classifier_train_step(
         logits = token_classifier_forward(
             params, batch["ids"], batch["mask"], arch=arch,
             precision=precision, rng=rng, deterministic=False,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         tags = batch["tags"]
         valid = (tags >= 0) & (batch["mask"] > 0)
@@ -364,6 +400,8 @@ def make_word_encoder_train_step(
     precision: Precision = DEFAULT_PRECISION,
     margin: float = 0.5,
     loss_type: str = "contrastive",
+    pp_mesh: Optional[Mesh] = None,
+    pp_microbatches: Optional[int] = None,
 ) -> Callable:
     """batch: ids_a/mask_a/span_a, ids_b/mask_b/span_b, target (0/1),
     valid. Towers share the encoder; each side pools the target word's
@@ -371,9 +409,10 @@ def make_word_encoder_train_step(
     from ..models.pooling import word_span_pool
 
     def word_vec(enc, ids, mask, span, rng):
-        out = encoder_forward(
+        out = _encoder_out(
             enc, ids, mask, arch=arch, precision=precision,
-            deterministic=False, dropout_rng=rng,
+            deterministic=False, rng=rng,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         return word_span_pool(out.last_hidden_state, span)
 
@@ -457,22 +496,11 @@ def mlm_forward(
     """Encoder → tied-embedding output head → (B, S, V) logits. The output
     projection shares the word-embedding matrix (standard BERT weight
     tying); ``params["mlm_bias"]`` holds the per-vocab bias."""
-    if pp_mesh is not None:
-        from ..models.pipeline import encoder_forward_pp
-
-        hidden = encoder_forward_pp(
-            params["encoder"], ids, mask, arch=arch, mesh=pp_mesh,
-            microbatches=pp_microbatches, precision=precision,
-            deterministic=deterministic, dropout_rng=rng,
-            performer_step=performer_step,
-        )
-        out = EncoderOutput(hidden, None, None)
-    else:
-        out = encoder_forward(
-            params["encoder"], ids, mask, arch=arch, precision=precision,
-            deterministic=deterministic, dropout_rng=rng,
-            performer_step=performer_step,
-        )
+    out = _encoder_out(
+        params["encoder"], ids, mask, arch=arch, precision=precision,
+        deterministic=deterministic, rng=rng, performer_step=performer_step,
+        pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+    )
     emb = params["encoder"]["embeddings"]["word"]
     h = out.last_hidden_state.astype(jnp.float32)
     logits = jnp.einsum(
