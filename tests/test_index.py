@@ -623,3 +623,94 @@ def test_ivf_fuzz_mutations_vs_oracle():
             assert (i[:, 0] == probe_ids).all(), (step, impl, kw, i[:, 0])
             hit_ids = i[i >= 0]
             assert set(hit_ids.tolist()) <= set(rows), (step, impl, kw)
+
+
+# ---------------------------------------------------------------------------
+# Grouped (affinity-slab) storage: `group` clusters per scan step
+# ---------------------------------------------------------------------------
+
+def test_affinity_group_perm_is_valid_and_affine():
+    from text_similarity_tpu.index.ivf import _affinity_group_perm
+
+    rng = np.random.RandomState(0)
+    cent = rng.randn(32, 16).astype(np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    for g in (2, 4, 8):
+        perm = _affinity_group_perm(cent, g)
+        assert sorted(perm.tolist()) == list(range(32))
+        # grouped members should be more similar than random pairs
+        sims = cent @ cent.T
+        grouped = [
+            sims[perm[i], perm[j]]
+            for b in range(0, 32, g)
+            for i in range(b, b + g)
+            for j in range(i + 1, b + g)
+        ]
+        off = sims[np.triu_indices(32, 1)]
+        assert np.mean(grouped) > np.mean(off)
+    with pytest.raises(ValueError):
+        _affinity_group_perm(cent, 3)
+
+
+def test_ivf_grouped_recall_and_layout():
+    """group=2/4 keeps recall at the probes×group cluster coverage and
+    stores (C/g, g*Mc, D) slabs (the per-step fixed-cost amortizer)."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=10)
+
+    for g in (2, 4):
+        ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0), group=g)
+        assert ivf.group == g
+        assert ivf.num_base_clusters % g == 0
+        assert ivf.data_padded.shape[0] == (
+            ivf.num_base_clusters // g + ivf.num_overflow
+        )
+        assert ivf.data_padded.shape[1] == g * ivf.cluster_cap
+        for impl, kw in (
+            ("xla", {}),
+            ("pallas", {}),
+            ("pallas", {"approx_width": 512}),
+        ):
+            _, ivf_i = ivf.query(queries, k=10, impl=impl, probes=8 // g * 2,
+                                 **kw)
+            ivf_i = np.asarray(ivf_i)
+            recall = np.mean([
+                len(set(ivf_i[r]) & set(true_i[r])) / 10 for r in range(64)
+            ])
+            assert recall >= 0.95, f"g={g} {impl} {kw} recall {recall}"
+
+
+def test_ivf_grouped_mutation_and_persistence(tmp_path):
+    """add/remove/save/load keep working on the grouped flat layout."""
+    rng = np.random.RandomState(3)
+    x = _clustered_corpus(n=2000, d=64, n_clusters=10, seed=3)
+    cfg = IndexConfig(num_clusters=16, num_probes=8, kmeans_iters=8,
+                      max_cluster_size=256)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0), group=2)
+
+    new = l2_normalize(jnp.asarray(rng.randn(300, 64), np.float32))
+    ids = ivf.add(new, start_id=2000)
+    assert (np.asarray(ids) == np.arange(2000, 2300)).all()
+    # appended overflow keeps the slab geometry
+    assert ivf.data_padded.shape[1] == 2 * ivf.cluster_cap
+    s, i = ivf.query(new[:32], k=1, probes=8, approx_width=512,
+                     impl="pallas")
+    assert (np.asarray(i)[:, 0] == np.arange(2000, 2032)).all()
+
+    assert ivf.remove(np.arange(2000, 2016)) == 16
+    _, i = ivf.query(new[:16], k=4, probes=8, impl="pallas")
+    assert not np.isin(np.asarray(i), np.arange(2000, 2016)).any()
+
+    path = str(tmp_path / "grouped.npz")
+    ivf.save(path)
+    back = IVFIndex.load(path)
+    assert back.group == 2 and back.cluster_cap == ivf.cluster_cap
+    q = l2_normalize(jnp.asarray(rng.randn(32, 64), np.float32))
+    _, i1 = ivf.query(q, k=10, probes=8, impl="xla")
+    _, i2 = back.query(q, k=10, probes=8, impl="xla")
+    assert (np.asarray(i1) == np.asarray(i2)).all()

@@ -46,6 +46,59 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _affinity_group_perm(centroids: np.ndarray, group: int) -> np.ndarray:
+    """Permutation putting mutually-similar clusters into consecutive
+    length-``group`` runs (hierarchical greedy max-similarity matching).
+
+    Grouped storage fetches ``group`` clusters per scan step; affinity
+    ordering makes the members of each fetched slab the clusters a query
+    tends to co-probe, so forced-pair fetches waste little coverage.
+    Requires ``group`` a power of two and ``len(centroids) % group == 0``
+    (build() rounds the cluster count accordingly)."""
+    c = centroids.shape[0]
+    if group & (group - 1):
+        raise ValueError("group must be a power of two")
+    if c % group:
+        raise ValueError("cluster count must be a multiple of group")
+    members = np.arange(c, dtype=np.int64)[:, None]      # (n_groups, size)
+    reps = centroids.astype(np.float64)
+    size = 1
+    while size < group:
+        n = reps.shape[0]
+        sims = reps @ reps.T
+        iu, ju = np.triu_indices(n, 1)
+        order = np.argsort(-sims[iu, ju], kind="stable")
+        used = np.zeros(n, bool)
+        pair_a = np.empty(n // 2, np.int64)
+        pair_b = np.empty(n // 2, np.int64)
+        got = 0
+        for a, b in zip(iu[order], ju[order]):
+            if used[a] or used[b]:
+                continue
+            used[a] = used[b] = True
+            pair_a[got], pair_b[got] = a, b
+            got += 1
+            if got == n // 2:
+                break
+        members = np.concatenate(
+            [members[pair_a], members[pair_b]], axis=1
+        )
+        merged = reps[pair_a] + reps[pair_b]
+        reps = merged / np.maximum(
+            np.linalg.norm(merged, axis=1, keepdims=True), 1e-9
+        )
+        size *= 2
+    return members.reshape(-1)
+
+
+def _group_max(scores: jax.Array, group: int) -> jax.Array:
+    """(B, C) per-centroid sims → (B, C/group) per-slab probe scores."""
+    if group == 1:
+        return scores
+    b, c = scores.shape
+    return jnp.max(scores.reshape(b, c // group, group), axis=2)
+
+
 class IVFIndex:
     def __init__(
         self,
@@ -58,14 +111,30 @@ class IVFIndex:
                                                     # data_padded is int8
         rescore_data: Optional[jax.Array] = None,   # (N, D) exact rows for
                                                     # the two-pass refine
+        group: int = 1,           # clusters per stored scan slab: arrays
+                                  # hold (C_tot/group, group*Mc, D) with
+                                  # affinity-ordered clusters, so one grid
+                                  # step scans `group` co-probed clusters
+                                  # (the scan is bound by a fixed per-step
+                                  # cost — docs/ROUND3.md)
     ):
         self.centroids = centroids
         self.data_padded = data_padded
         self.ids_padded = ids_padded
         self.scales_padded = scales_padded
         self.rescore_data = rescore_data
+        self.group = group
+        if data_padded.shape[1] % group:
+            raise ValueError("slab width must be a multiple of group")
+        if group > 1 and num_base_clusters % group:
+            raise ValueError("num_base_clusters must be a multiple of group")
+        # true per-cluster capacity (slots), independent of grouping
+        self.cluster_cap = data_padded.shape[1] // group
         self.num_base_clusters = num_base_clusters
-        self.num_overflow = data_padded.shape[0] - num_base_clusters
+        # overflow/pad scan slabs appended to every probe list
+        self.num_overflow = (
+            data_padded.shape[0] - num_base_clusters // group
+        )
         self.config = config
         # Sentinel layout (derived from shape, so persistence is free):
         # stored rows carry one extra trailing column — +2 for live rows,
@@ -100,6 +169,16 @@ class IVFIndex:
                                           # option only; int8 can't carry
                                           # one (the per-row dequant scale
                                           # would warp it)
+        group: int = 1,            # clusters per stored scan slab (power
+                                   # of two). >1 fetches `group` affinity-
+                                   # ordered clusters per grid step: the
+                                   # scan's fixed per-step cost amortizes
+                                   # over group× the coverage while probe
+                                   # GRANULARITY stays at single-cluster
+                                   # k-means cells (pair score = max of
+                                   # member centroid sims) — unlike just
+                                   # building fewer/bigger clusters, which
+                                   # collapses recall (docs/ROUND3.md)
         keep_rescore: Optional[bool] = None,  # default: on for int8 builds
         rescore_dtype=jnp.bfloat16,  # rescore copy adds memory on top of
                                      # the int8 payload (bf16: 2 B/elem =
@@ -121,7 +200,16 @@ class IVFIndex:
         corpus = jnp.asarray(corpus)
         n, d = corpus.shape
         c = min(config.num_clusters, max(n // 32, 1))
+        if group > 1:
+            if group & (group - 1):
+                raise ValueError("group must be a power of two")
+            c = max(group, c // group * group)
         centroids, _ = kmeans(corpus, c, iters=config.kmeans_iters, key=key)
+        if group > 1:
+            perm = _affinity_group_perm(
+                np.asarray(jax.device_get(centroids)), group
+            )
+            centroids = centroids[jnp.asarray(perm)]
         spill_choices = min(spill_choices, c)
         choices = np.asarray(
             assign_clusters_topk(corpus, centroids, topk=spill_choices)
@@ -163,7 +251,8 @@ class IVFIndex:
         leftover = np.nonzero(slot_of_row < 0)[0]
         n_over = leftover.size
         e = (n_over + mc - 1) // mc if n_over else 0
-        if e:
+        e = _round_up(e, group)    # overflow region pads to a slab boundary
+        if n_over:
             slot_of_row[leftover] = c * mc + np.arange(n_over)
         c_tot = c + e
 
@@ -196,16 +285,21 @@ class IVFIndex:
 
         if keep_rescore is None:
             keep_rescore = scales_padded is not None
+        n_slabs = c_tot // group
         return cls(
             centroids=centroids,
-            data_padded=flat.reshape(c_tot, mc, flat.shape[1]),
-            ids_padded=jnp.asarray(ids_flat.reshape(c_tot, mc)),
+            data_padded=flat.reshape(n_slabs, group * mc, flat.shape[1]),
+            ids_padded=jnp.asarray(ids_flat.reshape(n_slabs, group * mc)),
             num_base_clusters=c,
             config=config,
-            scales_padded=scales_padded,
+            scales_padded=(
+                scales_padded.reshape(n_slabs, group * mc)
+                if scales_padded is not None else None
+            ),
             rescore_data=(
                 corpus.astype(rescore_dtype) if keep_rescore else None
             ),
+            group=group,
         )
 
     # ------------------------------------------------------------------
@@ -213,11 +307,14 @@ class IVFIndex:
     # ------------------------------------------------------------------
 
     def _probe_ids(self, queries: jax.Array, probes: int) -> jax.Array:
-        """(B, P) cluster ids per query (base clusters only)."""
+        """(B, P) probe-slab ids per query (base slabs only). With
+        ``group > 1`` a slab's score is the max of its member-centroid
+        sims — single-cluster probe granularity over grouped storage."""
         scores = jnp.einsum(
             "bd,cd->bc", queries, self.centroids,
             preferred_element_type=jnp.float32,
         )
+        scores = _group_max(scores, self.group)
         _, ids = jax.lax.top_k(scores, probes)
         return ids.astype(jnp.int32)
 
@@ -230,12 +327,14 @@ class IVFIndex:
         chunk_q: int = 16,
     ) -> Tuple[jax.Array, jax.Array]:
         probes = min(
-            probes or self.config.num_probes, self.num_base_clusters
+            probes or self.config.num_probes,
+            self.num_base_clusters // self.group,
         )
         q = l2_normalize(jnp.asarray(queries))
         return _ivf_query_xla(
             q, self.centroids, self.data_padded, self.ids_padded,
             self.scales_padded, self.num_base_clusters, k, probes, chunk_q,
+            self.group,
         )
 
     # ------------------------------------------------------------------
@@ -264,15 +363,12 @@ class IVFIndex:
             raise ValueError("approx_width and per_probe are exclusive")
         if impl == "xla":
             return self.query_xla(queries, k, probes)
-        probes = min(
-            probes or self.config.num_probes, self.num_base_clusters
-        )
+        n_slabs = self.num_base_clusters // self.group
+        probes = min(probes or self.config.num_probes, n_slabs)
         q = jnp.asarray(queries)
         b = q.shape[0]
         block_q = min(block_q, b)
-        union = min(
-            _round_up(probes * union_factor, 8), self.num_base_clusters
-        )
+        union = min(_round_up(probes * union_factor, 8), n_slabs)
         if k_coarse == 0 and self.rescore_data is not None:
             k_coarse = 2 * k      # measured: matches 4k recall, cheaper merge
         s, i = _ivf_query_fused(
@@ -282,7 +378,7 @@ class IVFIndex:
             jax.default_backend() != "tpu",
             rescore_data=self.rescore_data, k_coarse=k_coarse,
             per_probe=per_probe, approx_width=approx_width,
-            probes_per_step=probes_per_step,
+            probes_per_step=probes_per_step, group=self.group,
         )
         return s[:b], i[:b]
 
@@ -299,12 +395,16 @@ class IVFIndex:
         (start_id ... start_id + n - 1)."""
         rows = jnp.asarray(rows)
         n, d = rows.shape
-        c_tot, mc, dw = self.data_padded.shape  # dw = d (+1 if sentinel)
+        g = self.group
+        mc = self.cluster_cap                   # true per-cluster slots
+        dw = self.data_padded.shape[-1]         # d (+1 if sentinel)
+        c_tot = self.data_padded.shape[0] * g   # clusters incl. group pad
         c = self.num_base_clusters
         topk = min(3, c)
         choices = np.asarray(assign_clusters_topk(rows, self.centroids, topk=topk))
 
-        ids_h = np.asarray(jax.device_get(self.ids_padded))
+        # per-TRUE-cluster view (grouped storage keeps flat slot order)
+        ids_h = np.asarray(jax.device_get(self.ids_padded)).reshape(-1, mc)
         # free slots per base cluster — actual holes, NOT a live count:
         # after remove() the live count no longer equals the next free
         # offset and rank-based placement would overwrite live rows
@@ -335,32 +435,33 @@ class IVFIndex:
             slot[leftover[:take_n]] = c * mc + free[:take_n]
             leftover = leftover[take_n:]
             if leftover.size:
-                extra = (leftover.size + mc - 1) // mc
+                extra = _round_up((leftover.size + mc - 1) // mc, g)
                 slot[leftover] = c_tot * mc + np.arange(leftover.size)
 
         if extra:
             pad_rows = extra * mc
+            new_slabs = (c_tot + extra) // g
             self.data_padded = jnp.concatenate(
                 [
                     self.data_padded.reshape(-1, dw),
                     jnp.zeros((pad_rows, dw), self.data_padded.dtype),
                 ]
-            ).reshape(c_tot + extra, mc, dw)
+            ).reshape(new_slabs, g * mc, dw)
             self.ids_padded = jnp.concatenate(
                 [
                     self.ids_padded.reshape(-1),
                     jnp.full((pad_rows,), -1, jnp.int32),
                 ]
-            ).reshape(c_tot + extra, mc)
+            ).reshape(new_slabs, g * mc)
             if self.scales_padded is not None:
                 self.scales_padded = jnp.concatenate(
                     [
                         self.scales_padded.reshape(-1),
                         jnp.zeros((pad_rows,), jnp.float32),
                     ]
-                ).reshape(c_tot + extra, mc)
+                ).reshape(new_slabs, g * mc)
             c_tot += extra
-            self.num_overflow = c_tot - c
+            self.num_overflow = new_slabs - c // g
 
         slot_dev = jnp.asarray(slot, jnp.int32)
         if self.scales_padded is not None:
@@ -369,7 +470,7 @@ class IVFIndex:
             q, s = quantize_embeddings_int8(rows)
             flat = self.data_padded.reshape(-1, dw).at[slot_dev].set(q)
             sflat = self.scales_padded.reshape(-1).at[slot_dev].set(s)
-            self.scales_padded = sflat.reshape(c_tot, mc)
+            self.scales_padded = sflat.reshape(c_tot // g, g * mc)
         else:
             store = rows.astype(self.data_padded.dtype)
             if self.sentinel:
@@ -377,12 +478,12 @@ class IVFIndex:
                     [store, jnp.full((n, 1), 2.0, store.dtype)], axis=1
                 )
             flat = self.data_padded.reshape(-1, dw).at[slot_dev].set(store)
-        self.data_padded = flat.reshape(c_tot, mc, dw)
+        self.data_padded = flat.reshape(c_tot // g, g * mc, dw)
         new_ids = np.arange(start_id, start_id + n, dtype=np.int32)
         ids_flat = self.ids_padded.reshape(-1).at[slot_dev].set(
             jnp.asarray(new_ids)
         )
-        self.ids_padded = ids_flat.reshape(c_tot, mc)
+        self.ids_padded = ids_flat.reshape(c_tot // g, g * mc)
         if self.rescore_data is not None:
             need = start_id + n
             have = self.rescore_data.shape[0]
@@ -472,6 +573,7 @@ class IVFIndex:
             num_base_clusters=self.num_base_clusters,
             num_clusters=self.config.num_clusters,
             num_probes=self.config.num_probes,
+            group=self.group,
             **extra,
         )
 
@@ -503,6 +605,7 @@ class IVFIndex:
                     cls._from_npz(z["rescore_data"], rd_tag)
                     if "rescore_data" in z.files else None
                 ),
+                group=int(z["group"]) if "group" in z.files else 1,
             )
 
 
@@ -510,29 +613,33 @@ class IVFIndex:
     jax.jit,
     static_argnames=("num_base", "k", "probes", "block_q", "union",
                      "interpret", "k_coarse", "per_probe", "approx_width",
-                     "probes_per_step"),
+                     "probes_per_step", "group"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
     num_base: int, k: int, probes: int, block_q: int, union: int,
     interpret: bool, rescore_data=None, k_coarse: int = 0,
     per_probe: bool = False, approx_width: int = 0,
-    probes_per_step: int = 1,
+    probes_per_step: int = 1, group: int = 1,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
 
     Sorting groups similar queries into the same block, so the shared
     block-union probe list covers each member's own top probes much better
-    (higher recall at the same union width)."""
+    (higher recall at the same union width).
+
+    ``group > 1``: storage holds `group` affinity-ordered clusters per
+    scan slab; probe scores pool member-centroid sims with a max, so the
+    union is over SLABS while probe granularity stays single-cluster."""
     q = l2_normalize(queries).astype(jnp.float32)
     b, d = q.shape
     pad_b = _round_up(b, block_q)
     if pad_b != b:
         q = jnp.pad(q, ((0, pad_b - b), (0, 0)))
-    scores_flat = jnp.einsum(
+    scores_flat = _group_max(jnp.einsum(
         "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
-    )  # (pad_b, C)
+    ), group)  # (pad_b, C/group)
     if pad_b != b:
         # padding rows must not win the block-max probe union: a zero
         # query scores 0 against every centroid, which BEATS a real
@@ -548,10 +655,13 @@ def _ivf_query_fused(
     block_scores = jnp.max(scores, axis=1)
     _, probe_ids = jax.lax.top_k(block_scores, union)
     probe_ids = probe_ids.astype(jnp.int32)
-    n_overflow = data_padded.shape[0] - num_base
+    n_base_slabs = num_base // group
+    n_overflow = data_padded.shape[0] - n_base_slabs
     if n_overflow:
         over = jnp.tile(
-            jnp.arange(num_base, data_padded.shape[0], dtype=jnp.int32)[None],
+            jnp.arange(
+                n_base_slabs, data_padded.shape[0], dtype=jnp.int32
+            )[None],
             (probe_ids.shape[0], 1),
         )
         probe_ids = jnp.concatenate([probe_ids, over], axis=1)
@@ -640,19 +750,20 @@ def _ivf_query_fused(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("num_base", "k", "probes", "chunk_q")
+    jax.jit, static_argnames=("num_base", "k", "probes", "chunk_q", "group")
 )
 def _ivf_query_xla(
     q, centroids, data_padded, ids_padded, scales_padded, num_base, k,
-    probes, chunk_q,
+    probes, chunk_q, group=1,
 ):
     b, d = q.shape
-    c_tot, mc, dw = data_padded.shape
-    n_over = c_tot - num_base
+    c_tot, mc, dw = data_padded.shape     # c_tot/mc = SLAB count/width
+    n_base_slabs = num_base // group
+    n_over = c_tot - n_base_slabs
 
-    cscores = jnp.einsum(
+    cscores = _group_max(jnp.einsum(
         "bd,cd->bc", q, centroids, preferred_element_type=jnp.float32
-    )
+    ), group)
     shift = jnp.float32(0.0)
     if dw == d + 1:   # sentinel layout: live rows score +2, dead slots 0
         q = jnp.concatenate([q, jnp.ones((b, 1), q.dtype)], axis=1)
@@ -660,7 +771,8 @@ def _ivf_query_xla(
     _, probe = jax.lax.top_k(cscores, probes)  # (B, P)
     if n_over:
         over = jnp.tile(
-            jnp.arange(num_base, c_tot, dtype=probe.dtype)[None, :], (b, 1)
+            jnp.arange(n_base_slabs, c_tot, dtype=probe.dtype)[None, :],
+            (b, 1),
         )
         probe = jnp.concatenate([probe, over], axis=1)
     p_tot = probe.shape[1]
