@@ -88,6 +88,13 @@ def _encoder(args, tokenizer=None, texts=None):
 
     tok = tokenizer or _tokenizer(args, texts)
     arch = ARCH_PRESETS[args.arch].replace(vocab_size=tok.vocab_size)
+    if getattr(args, "experts", 0):
+        # MoE FFN with expert parallelism over the mesh "expert" axis
+        # (ops/moe.py); only meaningful for random init — loaded models
+        # carry their arch (incl. MoE) in the saved config.
+        arch = arch.replace(
+            num_experts=args.experts, expert_top_k=args.expert_top_k,
+        )
     params = init_params(jax.random.PRNGKey(args.seed), arch)
     return SentenceEncoder(
         params, arch, tokenizer=tok, pooling=args.pooling or "mean",
@@ -120,6 +127,12 @@ def _train_common(p: argparse.ArgumentParser):
                    help="pipeline-parallel stages: shard the layer stack "
                         "over a pipe mesh axis (remaining devices go to "
                         "data parallelism)")
+    p.add_argument("--experts", type=int, default=0,
+                   help="MoE: replace each layer's dense FFN with N routed "
+                        "experts (expert weights shard over the mesh "
+                        "'expert' axis; random-init models only)")
+    p.add_argument("--expert-top-k", type=int, default=2,
+                   help="experts consulted per token (MoE routing)")
 
 
 def _pp_mesh(args):

@@ -47,7 +47,14 @@ def quantize_params_int8(params) -> dict:
     tables) become {"q": int8, "s": scale}; vectors stay fp32."""
     def quant(path, leaf):
         names = [str(getattr(k, "key", k)) for k in path]
-        is_kernel = leaf.ndim >= 2 and (
+        if "router" in names:
+            # MoE router logits feed a softmax — precision-sensitive and
+            # tiny (H, E); keep fp32
+            return leaf
+        # MoE expert kernels are 4-D (L, E, ·, ·); the int8 forward path
+        # (_int8_dense / moe_ffn) has no int8 expert GEMM — leave them in
+        # the float dtype
+        is_kernel = 2 <= leaf.ndim <= 3 and (
             names[-1] == "w" or names[-1] in ("word", "position", "token_type")
         )
         if is_kernel:

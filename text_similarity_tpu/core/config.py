@@ -89,6 +89,15 @@ class EncoderArch:
     # (make_long_transformer.py:56-68). Served by the XLA attention path;
     # the Pallas flash kernel implements the pure band only.
     window_global_cls: bool = False
+    # Mixture-of-Experts FFN (ops/moe.py): >0 replaces every layer's dense
+    # MLP with num_experts routed experts. The expert axis of the stacked
+    # weights shards over the mesh "expert" axis (expert parallelism — a
+    # new axis of the rebuild, SURVEY.md §2.2; the reference has no MoE).
+    num_experts: int = 0
+    expert_top_k: int = 2
+    expert_capacity_factor: float = 1.25
+    # weight of the Switch load-balance auxiliary loss in the train steps
+    moe_aux_weight: float = 0.01
 
     @property
     def head_dim(self) -> int:

@@ -35,6 +35,8 @@ class EncoderOutput(NamedTuple):
     last_hidden_state: jax.Array            # (B, S, H)
     pooler_output: Optional[jax.Array]      # (B, H) tanh(W·cls) or None
     hidden_states: Optional[jax.Array]      # (L+1, B, S, H) if requested
+    moe_aux: Optional[jax.Array] = None     # scalar load-balance loss
+                                            # (mean over layers) for MoE archs
 
 
 # ---------------------------------------------------------------------------
@@ -80,6 +82,29 @@ def init_params(key: jax.Array, arch: EncoderArch) -> dict:
             "mlp_ln": {"scale": jnp.ones((l, h)), "bias": jnp.zeros((l, h))},
         },
     }
+    if arch.num_experts > 0:
+        # MoE FFN (ops/moe.py): expert weights stack (L, E, ·, ·); the E
+        # axis shards over the mesh "expert" axis (param_pspecs). Replaces
+        # the dense mlp in/out; the router is a small per-layer (H, E).
+        ne = arch.num_experts
+
+        def stack_experts(key, fan_in, fan_out):
+            ks = jax.random.split(key, l * ne)
+            return jnp.stack(
+                [_dense_init(k2, fan_in, fan_out) for k2 in ks]
+            ).reshape(l, ne, fan_in, fan_out)
+
+        params["layers"]["mlp"] = {
+            "router": {"w": stack(_dense_init, keys[12], h, ne)},
+            "in": {
+                "w": stack_experts(keys[6], h, i),
+                "b": jnp.zeros((l, ne, i)),
+            },
+            "out": {
+                "w": stack_experts(keys[7], i, h),
+                "b": jnp.zeros((l, ne, h)),
+            },
+        }
     if arch.has_token_type:
         params["embeddings"]["token_type"] = (
             jax.random.normal(keys[8], (arch.type_vocab_size, e)) * 0.02
@@ -106,9 +131,15 @@ def init_params(key: jax.Array, arch: EncoderArch) -> dict:
 # Sharding specs (tensor parallelism over the mesh "model" axis)
 # ---------------------------------------------------------------------------
 
-def param_pspecs(arch: EncoderArch, model_axis: str = "model") -> dict:
+def param_pspecs(
+    arch: EncoderArch,
+    model_axis: str = "model",
+    expert_axis: str = "expert",
+) -> dict:
     """Megatron-style TP: QKV/MLP-in shard the output feature dim, O/MLP-out
-    shard the input feature dim (row-parallel); XLA inserts the psum."""
+    shard the input feature dim (row-parallel); XLA inserts the psum. MoE
+    archs shard the expert dim over ``expert_axis`` (EP) and keep the
+    Megatron column/row split within each expert (EP×TP composition)."""
     m = model_axis
     specs = {
         "embeddings": {
@@ -131,6 +162,13 @@ def param_pspecs(arch: EncoderArch, model_axis: str = "model") -> dict:
             "mlp_ln": {"scale": P(None, None), "bias": P(None, None)},
         },
     }
+    if arch.num_experts > 0:
+        ex = expert_axis
+        specs["layers"]["mlp"] = {
+            "router": {"w": P(None, None, None)},
+            "in": {"w": P(None, ex, None, m), "b": P(None, ex, m)},
+            "out": {"w": P(None, ex, m, None), "b": P(None, ex, None)},
+        }
     if arch.has_token_type:
         specs["embeddings"]["token_type"] = P(None, None)
     if arch.embed_factor_size:
@@ -240,10 +278,14 @@ def transformer_layer(
     performer_proj: Optional[jax.Array] = None,
     cp_axis: Optional[str] = None,   # context-parallel mesh axis for
                                      # attention_impl="ring"/"ulysses"
+    with_aux: bool = False,          # also return the MoE aux-loss scalar
 ) -> jax.Array:
     """One post-LN transformer block: MHA + residual + LN, FFN + residual +
     LN. Shared by the stock encoder scan, the theseus mixed stack
-    (compress/theseus.py), and pruning rewires."""
+    (compress/theseus.py), and pruning rewires. For MoE archs
+    (``arch.num_experts > 0``) the FFN is the routed expert block
+    (ops/moe.py); ``with_aux=True`` returns ``(out, aux)`` where aux is the
+    layer's load-balance loss (0.0 for dense archs)."""
     b, s, h = hx.shape
     nh, hd = arch.num_heads, arch.head_dim
     attn, mlp = lp["attn"], lp["mlp"]
@@ -331,17 +373,31 @@ def transformer_layer(
         hx + ctx, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
         arch.layer_norm_eps,
     )
-    ff = dense(hx1, mlp["in"])
-    ff = act(ff.astype(jnp.float32)).astype(hx1.dtype)
-    ff = dense(ff, mlp["out"])
+    moe_aux = jnp.zeros((), jnp.float32)
+    if arch.num_experts > 0:
+        from ..ops.moe import moe_ffn
+
+        ff, moe_aux = moe_ffn(
+            hx1, attention_mask,
+            mlp["router"]["w"], mlp["in"]["w"], mlp["in"]["b"],
+            mlp["out"]["w"], mlp["out"]["b"],
+            top_k=arch.expert_top_k,
+            capacity_factor=arch.expert_capacity_factor,
+            activation=act, accum_dtype=precision.accum_dtype,
+        )
+    else:
+        ff = dense(hx1, mlp["in"])
+        ff = act(ff.astype(jnp.float32)).astype(hx1.dtype)
+        ff = dense(ff, mlp["out"])
     ff = _dropout(
         ff, arch.hidden_dropout, jax.random.fold_in(dropout_rng, 1),
         deterministic,
     )
-    return _layer_norm(
+    out = _layer_norm(
         hx1 + ff, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
         arch.layer_norm_eps,
     )
+    return (out, moe_aux) if with_aux else out
 
 
 def embed_inputs(
@@ -491,8 +547,10 @@ def encoder_forward(
         if arch.share_layers else None
     )
 
+    moe = arch.num_experts > 0
+
     def layer_body(carry, scanned):
-        hx = carry
+        hx, aux_acc = carry if moe else (carry, None)
         if shared_lp is None:
             lp, hm, gate, layer_idx = scanned
         else:
@@ -506,10 +564,18 @@ def encoder_forward(
             deterministic=deterministic,
             attention_impl=attention_impl,
             performer_proj=performer_proj,
+            with_aux=moe,
         )
+        if moe:
+            hx2, aux = hx2
         out = gate * hx2 + (1.0 - gate) * hx
         out = out.astype(hx.dtype)
-        return out, out if output_hidden_states else None
+        if moe:
+            # a gated-off layer contributes no aux (its FFN is discarded)
+            carry_out = (out, aux_acc + gate.astype(jnp.float32) * aux)
+        else:
+            carry_out = out
+        return carry_out, out if output_hidden_states else None
 
     scanned = (
         hm_stack,
@@ -534,7 +600,12 @@ def encoder_forward(
             )
         else:
             body = jax.checkpoint(layer_body)
-    final, ys = jax.lax.scan(body, x, scanned)
+    carry0 = (x, jnp.zeros((), jnp.float32)) if moe else x
+    final, ys = jax.lax.scan(body, carry0, scanned)
+    moe_aux = None
+    if moe:
+        final, aux_total = final
+        moe_aux = aux_total / l   # mean over layers
 
     hidden_states = None
     if output_hidden_states:
@@ -547,7 +618,7 @@ def encoder_forward(
         w = dequant_weight(pw["w"])   # small (H, H) kernel
         pooler_out = jnp.tanh(cls @ w + pw["b"]).astype(final.dtype)
 
-    return EncoderOutput(final, pooler_out, hidden_states)
+    return EncoderOutput(final, pooler_out, hidden_states, moe_aux)
 
 
 def num_params(params) -> int:
@@ -584,6 +655,14 @@ def fsdp_param_pspecs(arch: EncoderArch, data_axis: str = "data") -> dict:
             "mlp_ln": {"scale": P(None, None), "bias": P(None, None)},
         },
     }
+    if arch.num_experts > 0:
+        # ZeRO-style: the (L, E, ·, ·) expert weights shard their widest
+        # trailing dims over the data axis like the dense mlp they replace.
+        specs["layers"]["mlp"] = {
+            "router": {"w": P(None, None, None)},
+            "in": {"w": P(None, None, None, d), "b": P(None, None, d)},
+            "out": {"w": P(None, None, d, None), "b": P(None, None, None)},
+        }
     if arch.has_token_type:
         specs["embeddings"]["token_type"] = P(None, None)
     if arch.has_pooler:

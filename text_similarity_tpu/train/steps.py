@@ -67,6 +67,11 @@ def _encoder_out(
         raise ValueError("layer_gate is not supported with pp_mesh")
     if head_mask is not None:
         raise ValueError("head_mask is not supported with pp_mesh")
+    if arch.num_experts > 0:
+        raise ValueError(
+            "MoE archs are not supported with pp_mesh (the pipelined "
+            "stack would drop the load-balance aux loss); use DP/TP/EP"
+        )
     from ..models.pipeline import encoder_forward_pp
 
     hidden = encoder_forward_pp(
@@ -86,11 +91,17 @@ def _encoder_out(
     return EncoderOutput(hidden, pooler_out, None)
 
 
+def _moe_aux_of(out) -> jax.Array:
+    """Scalar MoE load-balance aux of an EncoderOutput (0.0 for dense)."""
+    return out.moe_aux if out.moe_aux is not None else jnp.zeros((), jnp.float32)
+
+
 def _embed(
     enc_params, ids, mask, *, arch, precision, pooling, rng, deterministic,
     layer_gate=None, remat=False, performer_step=None,
     pp_mesh=None, pp_microbatches=None,
 ):
+    """→ (pooled (B, D), moe_aux scalar — 0.0 for dense archs)."""
     out = _encoder_out(
         enc_params, ids, mask, arch=arch, precision=precision, rng=rng,
         deterministic=deterministic, layer_gate=layer_gate, remat=remat,
@@ -106,7 +117,7 @@ def _embed(
         # targets in compress/distill.py; matches SentenceEncoder.encode)
         pw = enc_params["projection"]
         pooled = pooled.astype(jnp.float32) @ pw["w"] + pw["b"]
-    return pooled
+    return pooled, _moe_aux_of(out)
 
 
 def init_sharded_train_state(
@@ -190,13 +201,13 @@ def make_bi_encoder_train_step(
         # in r3: ~10% SLOWER on v5e (1966 vs 2203 pairs/s MiniLM b=256)
         # — XLA pipelines two B-sized scans better than one 2B scan.
         r1, r2 = jax.random.split(rng)
-        u = _embed(
+        u, moe_u = _embed(
             enc, batch["ids_a"], batch["mask_a"], arch=arch,
             precision=precision, pooling=pooling, rng=r1, deterministic=False,
             remat=remat, performer_step=performer_step,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
-        v = _embed(
+        v, moe_v = _embed(
             enc, batch["ids_b"], batch["mask_b"], arch=arch,
             precision=precision, pooling=pooling, rng=r2, deterministic=False,
             remat=remat, performer_step=performer_step,
@@ -223,6 +234,10 @@ def make_bi_encoder_train_step(
             loss = L.distill_mse_loss(u, target, valid)
         else:
             raise ValueError(f"unknown loss {loss_type}")
+        if arch.num_experts > 0:
+            moe = 0.5 * (moe_u + moe_v)
+            loss = loss + arch.moe_aux_weight * moe
+            aux["moe_aux"] = moe
         return loss, aux
 
     def step(state: TrainState, batch) -> tuple:
@@ -250,10 +265,11 @@ def make_bi_encoder_train_step(
 def classifier_forward(
     params, ids, mask, type_ids, *, arch, precision, pooling="cls",
     rng=None, deterministic=True, head_mask=None, layer_gate=None,
-    pp_mesh=None, pp_microbatches=None,
+    pp_mesh=None, pp_microbatches=None, with_moe_aux=False,
 ):
     """Encoder → pool → linear head → logits. The TransformerWrapper
-    forward (reference modeling.py:101-116)."""
+    forward (reference modeling.py:101-116). ``with_moe_aux=True`` returns
+    ``(logits, moe_aux)`` for MoE archs' load-balance term."""
     out = _encoder_out(
         params["encoder"], ids, mask, type_ids, arch=arch,
         precision=precision, deterministic=deterministic, rng=rng,
@@ -271,7 +287,7 @@ def classifier_forward(
     logits = (
         pooled.astype(jnp.float32) @ dequant_weight(head["w"]) + head["b"]
     )
-    return logits
+    return (logits, _moe_aux_of(out)) if with_moe_aux else logits
 
 
 def init_classifier_head(key, in_dim: int, num_classes: int) -> dict:
@@ -303,15 +319,20 @@ def make_classifier_train_step(
     pipeline-parallel (see make_bi_encoder_train_step)."""
 
     def loss_fn(params, batch, rng):
-        logits = classifier_forward(
+        logits, moe = classifier_forward(
             params, batch["ids"], batch["mask"], batch.get("type_ids"),
             arch=arch, precision=precision, pooling=pooling,
             rng=rng, deterministic=False,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            with_moe_aux=True,
         )
         valid = batch.get("valid")
         loss = L.cross_entropy_loss(logits, batch["labels"], valid)
-        return loss, {"accuracy": _masked_accuracy(logits, batch["labels"], valid)}
+        aux = {"accuracy": _masked_accuracy(logits, batch["labels"], valid)}
+        if arch.num_experts > 0:
+            loss = loss + arch.moe_aux_weight * moe
+            aux["moe_aux"] = moe
+        return loss, aux
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
@@ -334,7 +355,7 @@ def make_classifier_train_step(
 
 def token_classifier_forward(
     params, ids, mask, *, arch, precision, rng=None, deterministic=True,
-    pp_mesh=None, pp_microbatches=None,
+    pp_mesh=None, pp_microbatches=None, with_moe_aux=False,
 ):
     """Encoder → per-token linear head → (B, S, num_tags) logits."""
     out = _encoder_out(
@@ -344,7 +365,8 @@ def token_classifier_forward(
     )
     head = params["head"]
     h = out.last_hidden_state.astype(jnp.float32)
-    return jnp.einsum("bsh,ht->bst", h, head["w"]) + head["b"]
+    logits = jnp.einsum("bsh,ht->bst", h, head["w"]) + head["b"]
+    return (logits, _moe_aux_of(out)) if with_moe_aux else logits
 
 
 def make_token_classifier_train_step(
@@ -358,10 +380,11 @@ def make_token_classifier_train_step(
     continuations / padding, the standard NER labeling scheme)."""
 
     def loss_fn(params, batch, rng):
-        logits = token_classifier_forward(
+        logits, moe = token_classifier_forward(
             params, batch["ids"], batch["mask"], arch=arch,
             precision=precision, rng=rng, deterministic=False,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            with_moe_aux=True,
         )
         tags = batch["tags"]
         valid = (tags >= 0) & (batch["mask"] > 0)
@@ -372,7 +395,11 @@ def make_token_classifier_train_step(
         loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
         pred = jnp.argmax(logits, axis=-1)
         acc = jnp.sum((pred == tags) * w) / jnp.maximum(jnp.sum(w), 1.0)
-        return loss, {"accuracy": acc}
+        aux = {"accuracy": acc}
+        if arch.num_experts > 0:
+            loss = loss + arch.moe_aux_weight * moe
+            aux["moe_aux"] = moe
+        return loss, aux
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
@@ -414,13 +441,17 @@ def make_word_encoder_train_step(
             deterministic=False, rng=rng,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
-        return word_span_pool(out.last_hidden_state, span)
+        return word_span_pool(out.last_hidden_state, span), _moe_aux_of(out)
 
     def loss_fn(params, batch, rng):
         enc = params["encoder"]
         r1, r2 = jax.random.split(rng)
-        u = word_vec(enc, batch["ids_a"], batch["mask_a"], batch["span_a"], r1)
-        v = word_vec(enc, batch["ids_b"], batch["mask_b"], batch["span_b"], r2)
+        u, moe_u = word_vec(
+            enc, batch["ids_a"], batch["mask_a"], batch["span_a"], r1
+        )
+        v, moe_v = word_vec(
+            enc, batch["ids_b"], batch["mask_b"], batch["span_b"], r2
+        )
         valid = batch.get("valid")
         if loss_type == "online_contrastive":
             loss, _ = L.online_contrastive_loss(
@@ -428,7 +459,12 @@ def make_word_encoder_train_step(
             )
         else:
             loss, _ = L.contrastive_loss(u, v, batch["target"], margin, valid)
-        return loss, {}
+        aux = {}
+        if arch.num_experts > 0:
+            moe = 0.5 * (moe_u + moe_v)
+            loss = loss + arch.moe_aux_weight * moe
+            aux["moe_aux"] = moe
+        return loss, aux
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
@@ -492,6 +528,7 @@ def mlm_mask_batch(
 def mlm_forward(
     params, ids, mask, *, arch, precision, rng=None, deterministic=True,
     performer_step=None, pp_mesh=None, pp_microbatches=None,
+    with_moe_aux=False,
 ):
     """Encoder → tied-embedding output head → (B, S, V) logits. The output
     projection shares the word-embedding matrix (standard BERT weight
@@ -509,7 +546,7 @@ def mlm_forward(
     )
     if "mlm_bias" in params:
         logits = logits + params["mlm_bias"]
-    return logits
+    return (logits, _moe_aux_of(out)) if with_moe_aux else logits
 
 
 def make_mlm_train_step(
@@ -534,14 +571,19 @@ def make_mlm_train_step(
             r_mask, batch["ids"], batch["mask"], arch.vocab_size,
             mask_token_id, mask_prob, special_ids=special_ids,
         )
-        logits = mlm_forward(
+        logits, moe = mlm_forward(
             params, corrupted, batch["mask"], arch=arch, precision=precision,
             rng=r_drop, deterministic=False, performer_step=performer_step,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            with_moe_aux=True,
         )
         loss = L.mlm_loss(logits, labels)
         n_pred = jnp.sum((labels >= 0).astype(jnp.float32))
-        return loss, {"masked_tokens": n_pred}
+        aux = {"masked_tokens": n_pred}
+        if arch.num_experts > 0:
+            loss = loss + arch.moe_aux_weight * moe
+            aux["moe_aux"] = moe
+        return loss, aux
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
