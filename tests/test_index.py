@@ -714,3 +714,15 @@ def test_ivf_grouped_mutation_and_persistence(tmp_path):
     _, i1 = ivf.query(q, k=10, probes=8, impl="xla")
     _, i2 = back.query(q, k=10, probes=8, impl="xla")
     assert (np.asarray(i1) == np.asarray(i2)).all()
+
+
+def test_index_config_auto_tightens_cap_for_huge_corpora():
+    """≥3M rows: auto() caps clusters at ~2× mean so the padded slab fits
+    single-chip HBM (docs/ROUND3.md 4M envelope); smaller corpora keep the
+    default 4×-mean cap (measured better recall at 1M)."""
+    from text_similarity_tpu.core.config import IndexConfig
+
+    assert IndexConfig.auto(1_000_000).max_cluster_size == 0
+    big = IndexConfig.auto(4_000_000)
+    assert big.num_clusters == 4096
+    assert big.max_cluster_size == 2048

@@ -237,13 +237,24 @@ class IndexConfig:
         """Size the index from the corpus: C ≈ 2·√N rounded to a power of
         two, probes ≈ C/37 — the round-3 operating point of the 1M×384
         sweep (C=2048, 56-probe block union → recall@10=0.9961 at 342k
-        QPS on one v5e with the deferred merge; docs/ROUND3.md)."""
+        QPS on one v5e with the deferred merge; docs/ROUND3.md).
+
+        Corpora ≥ 3M rows tighten the cluster cap to ~2× the mean size:
+        the default 4× cap pads the slab to >4× the corpus and blows the
+        16 GB single-chip HBM at 4M×384 (measured; with the 2× cap the
+        spill-balanced layout absorbed 4M rows into one overflow cluster
+        at recall@10=0.9965, 221.8k QPS — docs/ROUND3.md). At 1M the
+        tighter cap is NOT the default: measured −0.2pp recall for +3%
+        QPS, dominated by the 4×-cap point."""
         import math
 
         c = 2 ** int(round(math.log2(max(2.0 * math.sqrt(max(n, 1)), 8.0))))
         c = max(8, min(c, max(n // 32, 8)))
         probes = max(4, min(c, int(round(c / 37)) or 4))
-        return cls(num_clusters=c, num_probes=probes)
+        cap = 0
+        if n >= 3_000_000:
+            cap = max(8, (2 * n // c + 511) // 512 * 512)
+        return cls(num_clusters=c, num_probes=probes, max_cluster_size=cap)
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,30 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_set_donated(flat, slots, rows):
+    return flat.at[slots].set(rows)
+
+
+_BUILD_SCATTER_CHUNK = 1 << 20
+
+
+def _scatter_rows_chunked(slots, row_chunk, n, total_slots, width, dtype,
+                          chunk=_BUILD_SCATTER_CHUNK):
+    """Scatter n rows into a (total_slots, width) slab with bounded peak
+    memory: the slab is DONATED through each jitted chunk update (the
+    eager ``flat.at[slots].set(rows)`` allocates input + output slabs —
+    2× slab + the full row matrix — which is what OOM'd the 4M×384
+    single-chip build, docs/ROUND3.md). ``row_chunk(i, j)`` materializes
+    rows [i, j) on demand (e.g. a per-chunk dtype cast), so peak =
+    slab + one chunk."""
+    flat = jnp.zeros((total_slots, width), dtype)
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        flat = _scatter_set_donated(flat, slots[i:j], row_chunk(i, j))
+    return flat
+
+
 def _affinity_group_perm(centroids: np.ndarray, group: int) -> np.ndarray:
     """Permutation putting mutually-similar clusters into consecutive
     length-``group`` runs (hierarchical greedy max-similarity matching).
@@ -267,19 +291,26 @@ class IVFIndex:
             from ..compress.quantize import quantize_embeddings_int8
 
             q, s = quantize_embeddings_int8(corpus)
-            flat = jnp.zeros((c_tot * mc, d), jnp.int8)
-            flat = flat.at[slot_dev].set(q)
+            flat = _scatter_rows_chunked(
+                slot_dev, lambda i, j: q[i:j], n, c_tot * mc, d, jnp.int8
+            )
             sflat = jnp.zeros((c_tot * mc,), jnp.float32)
             sflat = sflat.at[slot_dev].set(s)
             scales_padded = sflat.reshape(c_tot, mc)
         else:
-            rows = corpus.astype(data_dtype)
-            if sentinel:
-                rows = jnp.concatenate(
-                    [rows, jnp.full((n, 1), 2.0, data_dtype)], axis=1
-                )
-            flat = jnp.zeros((c_tot * mc, rows.shape[1]), data_dtype)
-            flat = flat.at[slot_dev].set(rows)
+            width = d + 1 if sentinel else d
+
+            def row_chunk(i, j):
+                rows = corpus[i:j].astype(data_dtype)
+                if sentinel:
+                    rows = jnp.concatenate(
+                        [rows, jnp.full((j - i, 1), 2.0, data_dtype)], axis=1
+                    )
+                return rows
+
+            flat = _scatter_rows_chunked(
+                slot_dev, row_chunk, n, c_tot * mc, width, data_dtype
+            )
         ids_flat = np.full((c_tot * mc,), -1, np.int32)
         ids_flat[slot_of_row] = np.arange(n, dtype=np.int32)
 
@@ -361,6 +392,13 @@ class IVFIndex:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if approx_width and per_probe:
             raise ValueError("approx_width and per_probe are exclusive")
+        # NOTE on tuning: ``union_factor=1`` is the bench operating point
+        # for C=2048/p=56 — with fewer probes (e.g. IndexConfig.auto's
+        # p≈C/37) a 64-query block's shared union needs the default
+        # union_factor=3 headroom (measured: recall 0.56 at union=32 vs
+        # 0.98 at union=64 on a 200k corpus, C=1024 — coverage, not the
+        # merge; the deferred merge itself matches the exact merge at
+        # every measured Mc incl. 776).
         if impl == "xla":
             return self.query_xla(queries, k, probes)
         n_slabs = self.num_base_clusters // self.group

@@ -66,6 +66,11 @@ def encoder_forward_pp(
     The pipeline bubble costs (P-1)/(M+P-1) of the ticks; raise
     ``microbatches`` to amortize it (M ≥ 2P keeps it under a third).
     """
+    if arch.num_experts > 0:
+        raise ValueError(
+            "MoE archs are not supported in the pipelined stack (it would "
+            "silently drop the load-balance aux loss); use DP/TP/EP"
+        )
     n_pipe = mesh.shape[PIPE_AXIS]
     n_data = mesh.shape[DATA_AXIS]
     if arch.share_layers:
