@@ -298,3 +298,21 @@ def test_cli_topics_with_lexicon(tmp_path, capsys):
     out = capsys.readouterr().out
     # one row per topic: id, size, [words], names (possibly empty string)
     assert len(out.strip().splitlines()) == 2
+
+
+def test_cli_train_moe(tmp_path, sts_file):
+    """--experts N trains an MoE bi-encoder end to end and the saved arch
+    round-trips the MoE fields (SentenceEncoder.load reconstructs the
+    expert stack)."""
+    main(_base_args(tmp_path, [
+        "train-sts", "--data", sts_file, "--no-eval",
+        "--experts", "2", "--expert-top-k", "1",
+    ]))
+    arch = json.loads((tmp_path / "run" / "arch.json").read_text())
+    assert arch["num_experts"] == 2 and arch["expert_top_k"] == 1
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+    enc = SentenceEncoder.load(str(tmp_path / "run"), bf16=False)
+    assert enc.params["layers"]["mlp"]["in"]["w"].shape[1] == 2
+    emb = enc.encode(SENTS[:4])
+    assert np.isfinite(np.asarray(emb)).all()

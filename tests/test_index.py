@@ -726,3 +726,26 @@ def test_index_config_auto_tightens_cap_for_huge_corpora():
     big = IndexConfig.auto(4_000_000)
     assert big.num_clusters == 4096
     assert big.max_cluster_size == 2048
+
+
+def test_assign_clusters_chunked_matches_unchunked():
+    """The dynamic-slice chunked assignment (no padded corpus copy) must
+    agree with a single-chunk pass at every ragged tail size, and
+    assign_clusters_topk returns the (topk, N) lane-friendly layout."""
+    from text_similarity_tpu.ops.kmeans import (
+        assign_clusters, assign_clusters_topk,
+    )
+
+    cents = l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(0), (16, 32))
+    )
+    for n in (64, 65, 127, 100):
+        x = l2_normalize(jax.random.normal(jax.random.PRNGKey(n), (n, 32)))
+        ref = np.asarray(assign_clusters(x, cents, chunk=n))
+        got = np.asarray(assign_clusters(x, cents, chunk=32))
+        np.testing.assert_array_equal(got, ref)
+        reft = np.asarray(assign_clusters_topk(x, cents, topk=3, chunk=n))
+        gott = np.asarray(assign_clusters_topk(x, cents, topk=3, chunk=32))
+        assert reft.shape == (3, n)
+        np.testing.assert_array_equal(gott, reft)
+        np.testing.assert_array_equal(reft[0], ref)

@@ -91,8 +91,13 @@ def save_quantized(path: str, params, meta: dict | None = None) -> None:
 # Embedding-store / search quantization
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def quantize_embeddings_int8(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-row symmetric int8: (values (N, D) int8, scales (N,) f32)."""
+    """Per-row symmetric int8: (values (N, D) int8, scales (N,) f32).
+
+    Jitted so the upcast → scale → round → clip chain fuses into one pass
+    (eager, each step materializes an (N, D) f32 temp — several GB per
+    1M-row build chunk)."""
     e32 = jnp.asarray(emb, jnp.float32)
     amax = jnp.max(jnp.abs(e32), axis=1)
     scale = jnp.maximum(amax, 1e-12) / 127.0

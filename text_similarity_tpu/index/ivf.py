@@ -237,7 +237,7 @@ class IVFIndex:
         spill_choices = min(spill_choices, c)
         choices = np.asarray(
             assign_clusters_topk(corpus, centroids, topk=spill_choices)
-        )  # (N, spill_choices)
+        ).T  # device shape is (topk, N) — lane-padding-friendly; host .T
 
         mean_sz = max(int(np.ceil(n / c)), 1)
         first_counts = np.bincount(choices[:, 0], minlength=c)
@@ -290,12 +290,16 @@ class IVFIndex:
         if is_int8:
             from ..compress.quantize import quantize_embeddings_int8
 
-            q, s = quantize_embeddings_int8(corpus)
-            flat = _scatter_rows_chunked(
-                slot_dev, lambda i, j: q[i:j], n, c_tot * mc, d, jnp.int8
-            )
+            # quantize per scatter chunk: the one-shot path upcasts the
+            # FULL corpus to f32 (a 12 GB transient at 8M×384) before
+            # rounding — chunking bounds that to one chunk
+            flat = jnp.zeros((c_tot * mc, d), jnp.int8)
             sflat = jnp.zeros((c_tot * mc,), jnp.float32)
-            sflat = sflat.at[slot_dev].set(s)
+            for i in range(0, n, _BUILD_SCATTER_CHUNK):
+                j = min(i + _BUILD_SCATTER_CHUNK, n)
+                qc, sc = quantize_embeddings_int8(corpus[i:j])
+                flat = _scatter_set_donated(flat, slot_dev[i:j], qc)
+                sflat = sflat.at[slot_dev[i:j]].set(sc)
             scales_padded = sflat.reshape(c_tot, mc)
         else:
             width = d + 1 if sentinel else d
@@ -317,9 +321,16 @@ class IVFIndex:
         if keep_rescore is None:
             keep_rescore = scales_padded is not None
         n_slabs = c_tot // group
+        # donated reshape: the eager 2-D → 3-D reshape allocates a second
+        # full slab (6.4 GB at 8M rows — the last OOM of the 8M build);
+        # donation lets XLA alias it as a bitcast
+        flat = jax.jit(
+            lambda x: x.reshape(n_slabs, group * mc, x.shape[1]),
+            donate_argnums=0,
+        )(flat)
         return cls(
             centroids=centroids,
-            data_padded=flat.reshape(n_slabs, group * mc, flat.shape[1]),
+            data_padded=flat,
             ids_padded=jnp.asarray(ids_flat.reshape(n_slabs, group * mc)),
             num_base_clusters=c,
             config=config,
@@ -439,7 +450,9 @@ class IVFIndex:
         c_tot = self.data_padded.shape[0] * g   # clusters incl. group pad
         c = self.num_base_clusters
         topk = min(3, c)
-        choices = np.asarray(assign_clusters_topk(rows, self.centroids, topk=topk))
+        choices = np.asarray(
+            assign_clusters_topk(rows, self.centroids, topk=topk)
+        ).T
 
         # per-TRUE-cluster view (grouped storage keeps flat slot order)
         ids_h = np.asarray(jax.device_get(self.ids_padded)).reshape(-1, mc)

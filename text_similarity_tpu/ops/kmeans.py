@@ -18,6 +18,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _map_row_chunks(data, chunk, fn):
+    """Map ``fn`` over contiguous row chunks of ``data`` WITHOUT a padded
+    full copy (``jnp.pad`` + reshape materializes a second corpus — a
+    5.8 GB HLO temp at 8M×384 that OOM'd the single-chip build,
+    docs/ROUND3.md): full chunks stream through ``lax.map`` +
+    ``dynamic_slice`` reads of the ORIGINAL buffer; a ragged tail re-reads
+    the last full-chunk-sized window ending at n (the overlap recomputes a
+    few rows instead of allocating a pad). Returns the list of per-chunk
+    outputs with the tail trimmed to the remainder (concat on the LAST
+    axis)."""
+    n, d = data.shape
+    n_full = n // chunk
+    rem = n - n_full * chunk
+    outs = []
+    if n_full:
+        starts = jnp.arange(n_full, dtype=jnp.int32) * chunk
+        outs.append(
+            jax.lax.map(
+                lambda st: fn(jax.lax.dynamic_slice(data, (st, 0), (chunk, d))),
+                starts,
+            )
+        )
+    if rem:
+        if n >= chunk:
+            tail = fn(jax.lax.dynamic_slice(data, (n - chunk, 0), (chunk, d)))
+            outs.append(tail[..., chunk - rem:][None])
+        else:
+            outs.append(fn(data)[None])
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def assign_clusters(
     data: jax.Array,        # (N, D) L2-normalized
@@ -31,9 +62,6 @@ def assign_clusters(
     # clamp the chunk to the enclosing power of two (still shape-stable
     # per corpus size — n is static under jit)
     chunk = min(chunk, max(8, 1 << (max(n - 1, 1)).bit_length()))
-    pad = (-n) % chunk
-    data_p = jnp.pad(data, ((0, pad), (0, 0)))
-    chunks = data_p.reshape(-1, chunk, d)
 
     def one(chunk_rows):
         scores = jnp.einsum(
@@ -42,8 +70,8 @@ def assign_clusters(
         )
         return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
-    out = jax.lax.map(one, chunks).reshape(-1)
-    return out[:n]
+    outs = _map_row_chunks(data, chunk, one)
+    return jnp.concatenate([o.reshape(-1) for o in outs])
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "chunk"))
@@ -54,12 +82,13 @@ def assign_clusters_topk(
     chunk: int = 65536,
 ) -> jax.Array:
     """Per row, the ids of its ``topk`` nearest centroids (used by the
-    balanced IVF layout to spill capped rows to their next-best cluster)."""
+    balanced IVF layout to spill capped rows to their next-best cluster).
+
+    Returns shape **(topk, N)** — topk-major. An (N, topk) tiled output
+    pads the 3-wide minor dim to 128 lanes (a 42× / multi-GB blowup at
+    8M rows); callers transpose on host (``np.asarray(out).T``)."""
     n, d = data.shape
     chunk = min(chunk, max(8, 1 << (max(n - 1, 1)).bit_length()))
-    pad = (-n) % chunk
-    data_p = jnp.pad(data, ((0, pad), (0, 0)))
-    chunks = data_p.reshape(-1, chunk, d)
 
     def one(chunk_rows):
         scores = jnp.einsum(
@@ -67,10 +96,14 @@ def assign_clusters_topk(
             preferred_element_type=jnp.float32,
         )
         _, ids = jax.lax.top_k(scores, topk)
-        return ids.astype(jnp.int32)
+        return ids.astype(jnp.int32).T      # (topk, chunk): lane dim wide
 
-    out = jax.lax.map(one, chunks).reshape(-1, topk)
-    return out[:n]
+    outs = _map_row_chunks(data, chunk, one)
+    flat = [
+        o.transpose(1, 0, 2).reshape(topk, -1) if o.ndim == 3 else o
+        for o in outs
+    ]
+    return jnp.concatenate(flat, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_clusters", "chunk"))
