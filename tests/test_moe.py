@@ -247,3 +247,13 @@ def test_moe_bi_encoder_train_step_learns():
         losses.append(float(metrics["loss"]))
         assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
     assert losses[-1] < losses[0]
+
+
+def test_moe_rejects_topk_above_experts():
+    x = jnp.zeros((1, 8, 8))
+    mask = jnp.ones((1, 8), jnp.int32)
+    rw = jnp.zeros((8, 2))
+    wi = jnp.zeros((2, 8, 16)); bi = jnp.zeros((2, 16))
+    wo = jnp.zeros((2, 16, 8)); bo = jnp.zeros((2, 8))
+    with pytest.raises(ValueError, match="expert_top_k"):
+        moe_ffn(x, mask, rw, wi, bi, wo, bo, top_k=4)

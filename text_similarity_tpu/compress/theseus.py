@@ -59,6 +59,11 @@ def theseus_encoder_forward(
     deterministic_layers: bool = True,
 ):
     """Forward through the mixed predecessor/successor stack."""
+    if arch.num_experts > 0:
+        raise ValueError(
+            "MoE archs are not supported by theseus compression (the "
+            "mixed stack would silently drop the load-balance aux loss)"
+        )
     l = jax.tree.leaves(pred_layers)[0].shape[0]
     s = jax.tree.leaves(succ_layers)[0].shape[0]
     assert l % s == 0, f"{l} predecessor layers not divisible by {s} slots"

@@ -51,6 +51,11 @@ def _scatter_set_donated(flat, slots, rows):
     return flat.at[slots].set(rows)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_set_1d_donated(flat, slots, vals):
+    return flat.at[slots].set(vals)
+
+
 _BUILD_SCATTER_CHUNK = 1 << 20
 
 
@@ -299,7 +304,7 @@ class IVFIndex:
                 j = min(i + _BUILD_SCATTER_CHUNK, n)
                 qc, sc = quantize_embeddings_int8(corpus[i:j])
                 flat = _scatter_set_donated(flat, slot_dev[i:j], qc)
-                sflat = sflat.at[slot_dev[i:j]].set(sc)
+                sflat = _scatter_set_1d_donated(sflat, slot_dev[i:j], sc)
             scales_padded = sflat.reshape(c_tot, mc)
         else:
             width = d + 1 if sentinel else d

@@ -27,7 +27,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -120,12 +119,10 @@ def router_topk(
     return choice, slot, gate, keep, aux
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "top_k", "capacity_factor", "activation", "accum_dtype",
-    ),
-)
+# NOTE: deliberately NOT @jax.jit — every production caller sits inside an
+# outer jit (the encoder scan / train steps), and a jit here would key its
+# static-arg cache on the fresh activation lambda _act() returns per layer
+# call (a guaranteed cache miss + dead entry per outer trace).
 def moe_ffn(
     x: jax.Array,           # (B, S, H) hidden states
     mask: jax.Array,        # (B, S) 1 = real token
@@ -149,6 +146,11 @@ def moe_ffn(
     """
     b, s, h = x.shape
     e = router_w.shape[1]
+    if not 1 <= top_k <= e:
+        # extra rounds past E would argmax an all-zero `remaining` into
+        # phantom gate-0 picks of expert 0 — two wasted dispatch passes
+        # per layer while silently training with fewer effective picks
+        raise ValueError(f"expert_top_k={top_k} must be in [1, E={e}]")
     t = b * s
     cap = expert_capacity(t, e, top_k, capacity_factor)
 

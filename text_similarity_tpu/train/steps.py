@@ -626,6 +626,11 @@ def make_fastformers_distill_step(
     per-layer hidden states; the student matches logits through a
     temperature-scaled KL and hidden states through a layer-mapped MSE —
     the reference's FastFormers recipe, jitted end-to-end."""
+    if student_arch.num_experts > 0 or teacher_arch.num_experts > 0:
+        raise ValueError(
+            "MoE archs are not supported by the FastFormers distill step "
+            "(it would silently drop the student's load-balance aux loss)"
+        )
 
     def tower(params, arch_, batch, rng, deterministic):
         out = encoder_forward(
