@@ -246,9 +246,11 @@ class IVFIndex:
 
         mean_sz = max(int(np.ceil(n / c)), 1)
         first_counts = np.bincount(choices[:, 0], minlength=c)
-        mc = config.max_cluster_size or min(
-            int(first_counts.max()), 4 * mean_sz
-        )
+        if config.max_cluster_size:
+            # capacity above the densest cluster is pure padding
+            mc = min(config.max_cluster_size, int(first_counts.max()))
+        else:
+            mc = min(int(first_counts.max()), 4 * mean_sz)
         # Large clusters round up to 512 so the query kernel's two-stage
         # lane-class merge applies (ops/topk._merge_block_topk needs
         # Mc % 512 == 0); small ones stay 8-aligned for Mosaic tiling.

@@ -196,9 +196,15 @@ class ShardedIVFIndex:
 
         # ---- host: static layout sizes from the (tiny) count matrix
         mean_sz = max(int(np.ceil(rows_per / c)), 1)
-        mc = config.max_cluster_size or min(
-            int(counts.max()), 4 * mean_sz
-        )
+        if config.max_cluster_size:
+            # clamp to the actual densest (shard, cluster): capacity above
+            # it is pure padding. This matters when the cap was sized from
+            # GLOBAL rows (IndexConfig.auto) but clusters here hold only a
+            # shard's slice — an unclamped global cap would pad each
+            # shard's slab ~S× past its real need.
+            mc = min(config.max_cluster_size, int(counts.max()))
+        else:
+            mc = min(int(counts.max()), 4 * mean_sz)
         mc = _round_up(max(mc, 8), 512 if mc >= 1024 else 8)
         over_per_shard = np.maximum(counts - mc, 0).sum(axis=1)
         # +1 slack cluster: phase 2's compiled assignment could in
