@@ -257,3 +257,32 @@ def test_moe_rejects_topk_above_experts():
     wo = jnp.zeros((2, 16, 8)); bo = jnp.zeros((2, 8))
     with pytest.raises(ValueError, match="expert_top_k"):
         moe_ffn(x, mask, rw, wi, bi, wo, bo, top_k=4)
+
+
+def test_router_fuzz_vs_numpy_oracle():
+    """Randomized configs (T, E, k, capacity, padding mix) against the
+    numpy oracle — pins slot/keep/gate semantics across the space."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        t = int(rng.integers(4, 50))
+        e = int(rng.integers(2, 9))
+        k = int(rng.integers(1, e + 1))
+        cap = int(rng.integers(1, t + 4))
+        logits = rng.normal(size=(t, e)).astype(np.float32)
+        valid = (rng.random(t) > 0.3).astype(np.float32)
+        choice, slot, gate, keep, aux = router_topk(
+            jnp.asarray(logits), jnp.asarray(valid), k, cap
+        )
+        oc, os_, og, ok_ = _np_router(logits, valid, k, cap)
+        ctx = (trial, t, e, k, cap)
+        np.testing.assert_array_equal(np.asarray(keep), ok_, err_msg=str(ctx))
+        np.testing.assert_array_equal(
+            np.asarray(choice)[ok_], oc[ok_], err_msg=str(ctx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slot)[ok_], os_[ok_], err_msg=str(ctx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(gate), og, atol=1e-5, err_msg=str(ctx)
+        )
+        assert np.isfinite(float(aux)), ctx
