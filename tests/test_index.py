@@ -749,3 +749,87 @@ def test_assign_clusters_chunked_matches_unchunked():
         assert reft.shape == (3, n)
         np.testing.assert_array_equal(gott, reft)
         np.testing.assert_array_equal(reft[0], ref)
+
+
+def test_ivf_final_merge_xla_matches_kernel():
+    """emit_acc mode: the XLA final top_k selects from the SAME deferred
+    accumulator the in-kernel k-round merge would — results must match
+    id-for-id on tie-free data (ref: hnswlib knn_query k parity,
+    reference/src/pipeline/search_pipeline.py:193-226)."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    sk, ik = ivf.query(
+        queries, k=10, impl="pallas", approx_width=2048,
+        final_merge="kernel",
+    )
+    sx, ix = ivf.query(
+        queries, k=10, impl="pallas", approx_width=2048, final_merge="xla",
+    )
+    for r in range(64):
+        assert set(np.asarray(ik)[r]) == set(np.asarray(ix)[r]), r
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sk), axis=1), np.sort(np.asarray(sx), axis=1),
+        rtol=1e-5,
+    )
+
+
+def test_ivf_large_k_auto_xla_merge_recall():
+    """k=50 auto-dispatches to the XLA final merge (k-invariant kernel);
+    recall@50 vs brute force must track the exact-merge path."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    queries = l2_normalize(
+        x[:32] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=50)
+    _, exact_i = ivf.query(queries, k=50, impl="pallas")
+    _, auto_i = ivf.query(
+        queries, k=50, impl="pallas", approx_width=2048,
+    )
+    exact_rec = np.mean([
+        len(set(np.asarray(exact_i)[r]) & set(true_i[r])) / 50
+        for r in range(32)
+    ])
+    rec = np.mean([
+        len(set(np.asarray(auto_i)[r]) & set(true_i[r])) / 50
+        for r in range(32)
+    ])
+    assert rec >= exact_rec - 0.03, (rec, exact_rec)
+
+
+def test_ivf_large_k_int8_rescore_xla_merge():
+    """int8 coarse scan + exact rescore composes with the XLA final
+    merge at large k (the rerank-top-100 serving shape)."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf8 = IVFIndex.build(
+        x, cfg, key=jax.random.PRNGKey(0), data_dtype=jnp.int8
+    )
+    queries = l2_normalize(
+        x[:32] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=50)
+    _, ai = ivf8.query(
+        queries, k=50, impl="pallas", approx_width=2048, k_coarse=100,
+    )
+    rec = np.mean([
+        len(set(np.asarray(ai)[r]) & set(true_i[r])) / 50
+        for r in range(32)
+    ])
+    assert rec >= 0.85, rec
+
+
+def test_ivf_emit_acc_rejects_bad_combos():
+    x = _clustered_corpus(n=1000, d=32)
+    cfg = IndexConfig(num_clusters=16, num_probes=4, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg)
+    with pytest.raises(ValueError):
+        # explicit xla merge without the deferred accumulator
+        ivf.query(x[:8], k=5, impl="pallas", final_merge="xla")

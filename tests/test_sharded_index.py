@@ -159,3 +159,25 @@ def test_sharded_ivf_global_clusters_64k_recall(eight_devices):
         len(set(i[r]) & set(oi[r])) / 10 for r in range(len(q))
     ])
     assert recall >= 0.95, recall
+
+
+def test_sharded_ivf_large_k_xla_merge(eight_devices):
+    """Per-shard mc >= 1024 + k > 32 triggers the emit_acc + XLA final
+    top_k inside shard_map (sharded.py local_query big_k); recall@50 must
+    match the all-gather-merged brute-force oracle."""
+    mesh = make_mesh(data=1, model=1, index=8)
+    x = _clustered_corpus(8192, 32, 24)
+    q = l2_normalize(x[:32] + 0.01)
+
+    cfg = IndexConfig(num_clusters=4, num_probes=3, kmeans_iters=5)
+    sharded = ShardedIVFIndex.build(mesh, x, cfg)
+    assert sharded.data_padded.shape[1] >= 1024  # big_k path engaged
+    _, i = sharded.query(q, k=50)
+
+    oracle = BruteForceIndex.from_embeddings(x)
+    _, oi = oracle.query(q, k=50, impl="xla")
+    i = np.asarray(i)
+    recall = np.mean([
+        len(set(i[r]) & set(oi[r])) / 50 for r in range(len(q))
+    ])
+    assert recall >= 0.9, recall

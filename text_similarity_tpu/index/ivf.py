@@ -402,6 +402,23 @@ class IVFIndex:
         probes_per_step: int = 1,  # >1 (approx only): scan P probed
                                    # clusters per grid step (measured
                                    # slower on v5e; kept as an option)
+        final_merge: str = "auto",  # "kernel" | "xla" | "auto": where the
+                                    # deferred-merge accumulator's top-k
+                                    # runs. "xla" emits the raw (B, w)
+                                    # accs and selects with one lax.top_k
+                                    # (k-invariant kernel cost) — HW A/B
+                                    # at k=100: 201.7k QPS vs 254.5k for
+                                    # the once-per-block kernel merge at
+                                    # identical recall (XLA's sort-based
+                                    # top_k over (16k, 2048) costs more
+                                    # than the amortized k rounds), so
+                                    # auto == "kernel"; "xla" kept for
+                                    # k > 2048 or spread distributions
+                                    # (with acc_slots=2).
+        acc_slots: int = 0,         # 0=auto: 2 accumulator slots per lane
+                                    # class when the XLA merge runs at
+                                    # large k (collision loss ~k³/6w²
+                                    # instead of ~k²/2w), else 1.
     ) -> Tuple[jax.Array, jax.Array]:
         """One fused jitted call: normalize → probe-union → Pallas scan.
         (Eager intermediate ops would each cost a device round trip —
@@ -410,6 +427,13 @@ class IVFIndex:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if approx_width and per_probe:
             raise ValueError("approx_width and per_probe are exclusive")
+        if final_merge == "xla" and not (
+            approx_width and not per_probe and probes_per_step == 1
+        ):
+            raise ValueError(
+                "final_merge='xla' needs the plain deferred-merge path "
+                "(approx_width > 0, no per_probe/probes_per_step)"
+            )
         # NOTE on tuning: ``union_factor=1`` is the bench operating point
         # for C=2048/p=56 — with fewer probes (e.g. IndexConfig.auto's
         # p≈C/37) a 64-query block's shared union needs the default
@@ -427,6 +451,24 @@ class IVFIndex:
         union = min(_round_up(probes * union_factor, 8), n_slabs)
         if k_coarse == 0 and self.rescore_data is not None:
             k_coarse = 2 * k      # measured: matches 4k recall, cheaper merge
+        mc = self.data_padded.shape[1]
+        w = min(approx_width, mc) if approx_width else 0
+        if w and mc % w:
+            w = mc                # pallas clamps the same way
+        k_scan = k_coarse if (
+            self.rescore_data is not None and k_coarse > k
+        ) else k
+        if final_merge == "auto":
+            # the deferred kernel merge won the k=100 A/B (above); "xla"
+            # remains the only path once k exceeds the fold width
+            final_merge = (
+                "xla"
+                if w and k_scan > w and k_scan <= 2 * w
+                and not per_probe and probes_per_step == 1
+                else "kernel"
+            )
+        if acc_slots == 0:
+            acc_slots = 2 if (final_merge == "xla" and k_scan > 32) else 1
         s, i = _ivf_query_fused(
             q, self.centroids, self.data_padded, self.ids_padded,
             self.scales_padded,
@@ -435,6 +477,7 @@ class IVFIndex:
             rescore_data=self.rescore_data, k_coarse=k_coarse,
             per_probe=per_probe, approx_width=approx_width,
             probes_per_step=probes_per_step, group=self.group,
+            final_merge=final_merge, acc_slots=acc_slots,
         )
         return s[:b], i[:b]
 
@@ -671,7 +714,8 @@ class IVFIndex:
     jax.jit,
     static_argnames=("num_base", "k", "probes", "block_q", "union",
                      "interpret", "k_coarse", "per_probe", "approx_width",
-                     "probes_per_step", "group"),
+                     "probes_per_step", "group", "final_merge",
+                     "acc_slots"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
@@ -679,6 +723,7 @@ def _ivf_query_fused(
     interpret: bool, rescore_data=None, k_coarse: int = 0,
     per_probe: bool = False, approx_width: int = 0,
     probes_per_step: int = 1, group: int = 1,
+    final_merge: str = "kernel", acc_slots: int = 1,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
@@ -740,6 +785,14 @@ def _ivf_query_fused(
     idless = (
         dw == d + 1 and approx_width > 0 and not per_probe
         and probes_per_step == 1 and scales_padded is None
+        and final_merge != "xla"
+    )
+    # large-k final merge outside the kernel: the in-kernel k-round merge
+    # is linear in k (k=100 measured 5x slower than k=10); emit_acc makes
+    # the scan k-invariant and one fused XLA top_k does the selection.
+    emit_acc = (
+        final_merge == "xla" and approx_width > 0 and not per_probe
+        and probes_per_step == 1
     )
 
     def rescore(s_c, i_c):
@@ -787,7 +840,11 @@ def _ivf_query_fused(
             k_scan,
             block_q, interpret=interpret, approx_width=approx_width,
             probes_per_step=probes_per_step, idless=idless,
+            emit_acc=emit_acc, acc_slots=acc_slots if emit_acc else 1,
         )
+        if emit_acc:
+            s, tl = jax.lax.top_k(s, k_scan)
+            i = jnp.take_along_axis(i, tl, axis=1)
         if idless:
             # kernel outputs are flat SLOT ids — translate to corpus ids
             # with one tiny (B, k) gather (never streamed per step)
@@ -869,7 +926,7 @@ def _ivf_query_xla(
 def _ivf_body(
     q_ref, data_ref, ids_ref, scales_ref, out_s_ref, out_i_ref,
     acc_s, acc_i, s_scr, k: int, per_probe: bool = False,
-    approx_width: int = 0,
+    approx_width: int = 0, emit_acc: bool = False, acc_slots: int = 1,
 ):
     """Shared body: one (query-block, probed-cluster) step of the scan.
 
@@ -941,17 +998,45 @@ def _ivf_body(
         for off in range(0, mc, w):          # result aborts Mosaic
             sl = s_scr[:, off:off + w]
             il = ids_fn(off, off + w)
-            upd = sl > acc_s[...]
-            acc_s[...] = jnp.where(upd, sl, acc_s[...])
-            acc_i[...] = jnp.where(upd, il, acc_i[...])
+            if acc_slots == 1:
+                upd = sl > acc_s[...]
+                acc_s[...] = jnp.where(upd, sl, acc_s[...])
+                acc_i[...] = jnp.where(upd, il, acc_i[...])
+            else:
+                # two-slot fold (large-k mode): keep the top-2 per lane
+                # class — collision loss drops from ~k²/2w (2.4% of
+                # k=100 at w=2048) to ~k³/6w² (0.04%). The slot-1 loser
+                # competes for slot 2, so each lane holds its true top-2.
+                a1 = acc_s[:, :w]
+                i1 = acc_i[:, :w]
+                upd1 = sl > a1
+                disp_s = jnp.where(upd1, a1, sl)
+                disp_i = jnp.where(upd1, i1, il)
+                acc_s[:, :w] = jnp.where(upd1, sl, a1)
+                acc_i[:, :w] = jnp.where(upd1, il, i1)
+                a2 = acc_s[:, w:]
+                i2 = acc_i[:, w:]
+                upd2 = disp_s > a2
+                acc_s[:, w:] = jnp.where(upd2, disp_s, a2)
+                acc_i[:, w:] = jnp.where(upd2, disp_i, i2)
 
         @pl.when(u == n_u - 1)
         def _flush_approx():
-            new_s, new_i = _topk_exact_merge_rounds(
-                acc_s[...], acc_i[...], k
-            )
-            out_s_ref[...] = new_s
-            out_i_ref[...] = new_i
+            if emit_acc:
+                # large-k mode: the k-round merge scales linearly with k
+                # (k=100 ran 5x slower than k=10 — docs/ROUND3.md), so
+                # emit the raw (block_q, w) accumulators and let ONE
+                # fused XLA top_k outside the kernel do the selection.
+                # Identical results: both paths take the exact top-k of
+                # the same accumulator.
+                out_s_ref[...] = acc_s[...]
+                out_i_ref[...] = acc_i[...]
+            else:
+                new_s, new_i = _topk_exact_merge_rounds(
+                    acc_s[...], acc_i[...], k
+                )
+                out_s_ref[...] = new_s
+                out_i_ref[...] = new_i
 
         return
 
@@ -1091,24 +1176,27 @@ def _ivf_kernel_idless(
 
 def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,
                 out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
-                per_probe: bool = False, approx_width: int = 0):
+                per_probe: bool = False, approx_width: int = 0,
+                emit_acc: bool = False, acc_slots: int = 1):
     _ivf_body(q_ref, data_ref, ids_ref, None,
               out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe,
-              approx_width)
+              approx_width, emit_acc, acc_slots)
 
 
 def _ivf_kernel_int8(probes_ref, q_ref, data_ref, ids_ref, scales_ref,
                      out_s_ref, out_i_ref, acc_s, acc_i, s_scr, *, k: int,
-                     per_probe: bool = False, approx_width: int = 0):
+                     per_probe: bool = False, approx_width: int = 0,
+                     emit_acc: bool = False, acc_slots: int = 1):
     _ivf_body(q_ref, data_ref, ids_ref, scales_ref,
               out_s_ref, out_i_ref, acc_s, acc_i, s_scr, k, per_probe,
-              approx_width)
+              approx_width, emit_acc, acc_slots)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "interpret", "per_probe",
-                     "approx_width", "probes_per_step", "idless"),
+                     "approx_width", "probes_per_step", "idless",
+                     "emit_acc", "acc_slots"),
 )
 def _ivf_query_pallas(
     q,            # (B, Dw) padded to block_q (Dw = D+1 on sentinel layouts)
@@ -1124,6 +1212,12 @@ def _ivf_query_pallas(
     probes_per_step: int = 1,
     idless: bool = False,   # sentinel layout: no ids operand; outputs are
                             # flat slot ids (caller translates)
+    emit_acc: bool = False,  # large-k mode: return the raw (B, w)
+                             # deferred-merge accumulators; the caller
+                             # runs ONE XLA top_k instead of k in-kernel
+                             # merge rounds (k-invariant step cost)
+    acc_slots: int = 1,      # 2 (emit_acc only): top-2 per lane class —
+                             # collision loss ~k³/6w² instead of ~k²/2w
 ):
     """``per_probe=False``: returns the merged (B, k). ``per_probe=True``:
     returns per-probe top-k as (U, B, k) — the leading probe axis keeps
@@ -1138,6 +1232,13 @@ def _ivf_query_pallas(
         approx_width = min(approx_width, mc)
         if mc % approx_width:
             approx_width = mc   # single fold — always valid
+    if emit_acc:
+        if not approx_width or per_probe or probes_per_step > 1 or idless:
+            raise ValueError("emit_acc needs the plain approx path")
+        if k > acc_slots * approx_width:
+            raise ValueError("emit_acc needs k <= acc_slots * approx_width")
+    if acc_slots not in (1, 2) or (acc_slots == 2 and not emit_acc):
+        raise ValueError("acc_slots=2 requires emit_acc")
     if idless:
         if not approx_width or per_probe or probes_per_step > 1:
             raise ValueError("idless needs the plain approx path")
@@ -1251,7 +1352,8 @@ def _ivf_query_pallas(
     ]
     operands = [probe_list, q, data_padded, ids_padded[:, None, :]]
     kernel = functools.partial(
-        _ivf_kernel, k=k, per_probe=per_probe, approx_width=approx_width
+        _ivf_kernel, k=k, per_probe=per_probe, approx_width=approx_width,
+        emit_acc=emit_acc, acc_slots=acc_slots,
     )
     if scales_padded is not None:
         in_specs.append(
@@ -1260,7 +1362,8 @@ def _ivf_query_pallas(
         operands.append(scales_padded[:, None, :])
         kernel = functools.partial(
             _ivf_kernel_int8, k=k, per_probe=per_probe,
-            approx_width=approx_width,
+            approx_width=approx_width, emit_acc=emit_acc,
+            acc_slots=acc_slots,
         )
 
     if per_probe:
@@ -1274,13 +1377,14 @@ def _ivf_query_pallas(
         ]
         semantics = ("parallel", "parallel")
     else:
+        ow = acc_slots * approx_width if emit_acc else k
         out_specs = [
-            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
-            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+            pl.BlockSpec((block_q, ow), lambda i, j, probes: (i, 0)),
+            pl.BlockSpec((block_q, ow), lambda i, j, probes: (i, 0)),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, ow), jnp.float32),
+            jax.ShapeDtypeStruct((b, ow), jnp.int32),
         ]
         semantics = ("parallel", "arbitrary")
 
@@ -1290,8 +1394,12 @@ def _ivf_query_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((block_q, approx_width or k), jnp.float32),
-            pltpu.VMEM((block_q, approx_width or k), jnp.int32),
+            pltpu.VMEM(
+                (block_q, acc_slots * approx_width or k), jnp.float32
+            ),
+            pltpu.VMEM(
+                (block_q, acc_slots * approx_width or k), jnp.int32
+            ),
             pltpu.VMEM((block_q, mc), jnp.float32),
         ],
     )

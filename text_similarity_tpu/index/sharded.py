@@ -319,10 +319,21 @@ class ShardedIVFIndex:
                 # measured recall, +44% scan QPS — index/ivf._ivf_body);
                 # small-Mc shards keep the exact merge
                 mc = data.shape[1]
+                aw = 2048 if mc >= 1024 else 0
+                w = min(aw, mc) if aw else 0
+                if w and mc % w:
+                    w = mc
+                # k beyond the fold width: emit the raw accumulators and
+                # top_k in XLA with two slots per lane class (the only
+                # path that can return > w candidates; for k <= w the
+                # once-per-block kernel merge measured faster — ivf.query)
+                over_w = bool(w) and w < k <= 2 * w
                 ts, ti = _ivf_query_fused(
                     q, cent, data, ids, None, n_base, k, p, block_q,
                     union, jax.default_backend() != "tpu",
-                    approx_width=2048 if mc >= 1024 else 0,
+                    approx_width=aw,
+                    final_merge="xla" if over_w else "kernel",
+                    acc_slots=2 if over_w else 1,
                 )
             else:
                 cs = jnp.einsum(
