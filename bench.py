@@ -20,19 +20,18 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-
 import numpy as np
 import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# platform/host-fingerprinted persistent compile cache (core/cache.py):
+# TPU entries stay shared at the repo root, CPU entries are per-host
+from text_similarity_tpu.core.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
+
+import jax.numpy as jnp  # noqa: E402
 
 from text_similarity_tpu.core.config import IndexConfig  # noqa: E402
 from text_similarity_tpu.index.ivf import IVFIndex  # noqa: E402

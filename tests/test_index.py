@@ -764,10 +764,11 @@ def test_ivf_final_merge_xla_matches_kernel():
     )
     sk, ik = ivf.query(
         queries, k=10, impl="pallas", approx_width=2048,
-        final_merge="kernel",
+        final_merge="kernel", acc_slots=1,
     )
     sx, ix = ivf.query(
         queries, k=10, impl="pallas", approx_width=2048, final_merge="xla",
+        acc_slots=1,
     )
     for r in range(64):
         assert set(np.asarray(ik)[r]) == set(np.asarray(ix)[r]), r
@@ -777,9 +778,35 @@ def test_ivf_final_merge_xla_matches_kernel():
     )
 
 
-def test_ivf_large_k_auto_xla_merge_recall():
-    """k=50 auto-dispatches to the XLA final merge (k-invariant kernel);
-    recall@50 vs brute force must track the exact-merge path."""
+def test_ivf_approx_merge_plan():
+    """Unit-test the collision-loss-aware slot sizing (the r3 recall-cliff
+    fix): small k at wide folds stays single-slot (the bench operating
+    point), large k picks more slots, misaligned small-Mc geometry falls
+    back to the exact merge."""
+    from text_similarity_tpu.index.ivf import _approx_merge_plan
+
+    assert _approx_merge_plan(10, 4096, 2048) == (2048, 1)   # bench point
+    assert _approx_merge_plan(100, 4096, 2048) == (2048, 2)  # rerank k=100
+    # Mc=352 is only 8-aligned → multi-slot blocked → exact fallback
+    assert _approx_merge_plan(50, 352, 2048) == (0, 1)
+    # 128-aligned small Mc: multi-slot engages
+    w, s = _approx_merge_plan(50, 256, 2048)
+    assert w == 256 and s >= 2 and 50 <= s * w
+    # k beyond every slot count → exact fallback
+    assert _approx_merge_plan(9000, 2048, 2048) == (0, 1)
+    # tiny fold width + k <= 32 must not crash or under-provision
+    # (ADVICE r3: w < k_scan <= 32 raised in the kernel before the fix)
+    w, s = _approx_merge_plan(16, 8, 2048)
+    assert (w, s) == (0, 1)
+    # capacity-only plan (explicit xla merge): largest feasible slots
+    w, s = _approx_merge_plan(50, 256, 2048, tol=None)
+    assert w == 256 and s == 4
+
+
+def test_ivf_large_k_auto_small_mc_recall():
+    """k=50 on a small-Mc (misaligned) index: the auto plan must fall back
+    to the exact merge instead of the single-slot fold that lost 7%
+    recall in r3 — recall@50 tracks the exact-merge path."""
     x = _clustered_corpus(n=4000, d=64, n_clusters=20)
     cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
     ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
@@ -801,6 +828,87 @@ def test_ivf_large_k_auto_xla_merge_recall():
         for r in range(32)
     ])
     assert rec >= exact_rec - 0.03, (rec, exact_rec)
+
+
+def test_ivf_large_k_multislot_fold_recall():
+    """128-aligned Mc + k=50: the auto plan engages the multi-slot
+    deferred fold (asserted, not assumed — ADVICE r3 found the old tests
+    never triggered the path they named); recall@50 must track the
+    exact-merge path."""
+    from text_similarity_tpu.index.ivf import _approx_merge_plan
+
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(
+        num_clusters=16, num_probes=8, kmeans_iters=10,
+        max_cluster_size=256,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    mc = ivf.data_padded.shape[1]
+    assert mc == 256, mc  # cap engaged → 128-aligned width
+    w, s = _approx_merge_plan(50, mc, 2048)
+    assert w == 256 and s >= 2  # multi-slot fold engaged
+    queries = l2_normalize(
+        x[:32] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, true_i = brute.query(queries, k=50)
+    _, exact_i = ivf.query(queries, k=50, impl="pallas")
+    _, auto_i = ivf.query(
+        queries, k=50, impl="pallas", approx_width=2048,
+    )
+    exact_rec = np.mean([
+        len(set(np.asarray(exact_i)[r]) & set(true_i[r])) / 50
+        for r in range(32)
+    ])
+    rec = np.mean([
+        len(set(np.asarray(auto_i)[r]) & set(true_i[r])) / 50
+        for r in range(32)
+    ])
+    assert rec >= exact_rec - 0.02, (rec, exact_rec)
+
+
+def test_ivf_multislot_kernel_vs_xla_merge_match():
+    """With the SAME slot count, the in-kernel k-round merge and the XLA
+    final top_k select from the same multi-slot accumulator — results
+    must match id-for-id."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(
+        num_clusters=16, num_probes=8, kmeans_iters=10,
+        max_cluster_size=256,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    queries = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    sk, ik = ivf.query(
+        queries, k=50, impl="pallas", approx_width=256,
+        final_merge="kernel", acc_slots=2,
+    )
+    sx, ix = ivf.query(
+        queries, k=50, impl="pallas", approx_width=256,
+        final_merge="xla", acc_slots=2,
+    )
+    for r in range(64):
+        assert set(np.asarray(ik)[r]) == set(np.asarray(ix)[r]), r
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sk), axis=1), np.sort(np.asarray(sx), axis=1),
+        rtol=1e-5,
+    )
+
+
+def test_ivf_k_exceeding_accumulator_raises():
+    """Explicit slot counts too small for k fail loudly instead of
+    returning -inf/-1 tails (ADVICE r3: the silent recall cliff)."""
+    x = _clustered_corpus(n=2000, d=32, n_clusters=10)
+    cfg = IndexConfig(
+        num_clusters=8, num_probes=4, kmeans_iters=5, max_cluster_size=128,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    assert ivf.data_padded.shape[1] == 128
+    with pytest.raises(ValueError):
+        ivf.query(
+            x[:8], k=200, impl="pallas", approx_width=128, acc_slots=1,
+        )
 
 
 def test_ivf_large_k_int8_rescore_xla_merge():

@@ -42,21 +42,12 @@ import numpy as np
 def _jax():
     import jax
 
-    # anchor the persistent compile cache to the package dir, not the
-    # cwd: running a subcommand from elsewhere would silently re-pay
-    # minutes-long remote compiles into a fresh empty cache
-    default_cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)
-        ))),
-        ".jax_cache",
-    )
-    cache = os.environ.get("TS_TPU_CACHE", default_cache)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compile cache, anchored to the package dir (not the cwd)
+    # and fingerprinted by platform/host so CPU runs on another machine
+    # never load this host's CPU executables (SIGILL — core/cache.py)
+    from ..core.cache import setup_compile_cache
+
+    setup_compile_cache()
     return jax
 
 

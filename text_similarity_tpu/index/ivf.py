@@ -24,6 +24,7 @@ Design (SURVEY.md §2.1, §7 stage 6):
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Optional, Tuple
 
@@ -44,6 +45,43 @@ from ..ops.topk import (
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _approx_merge_plan(
+    k_scan: int, mc: int, approx_width: int,
+    max_slots: int = 4, tol: float = 0.005,
+) -> Tuple[int, int]:
+    """Size the deferred lane-class fold from the query geometry.
+
+    Returns ``(approx_width, acc_slots)`` — or ``(0, 1)`` meaning "use the
+    exact two-stage merge instead". The fold keeps the top-``acc_slots``
+    scores per lane class; a true top-k hit is lost iff >= acc_slots
+    stronger hits share its class, so the expected relative recall loss is
+    ~ k^S / ((S+1)! * w^S). We pick the smallest S that bounds the loss at
+    ``tol`` AND can hold k candidates (k <= S*w) AND keeps the slot stride
+    lane-aligned (Mosaic slices at offset S*w need w % 128 == 0 for S > 1
+    — ADVICE r3). Small-Mc / huge-k geometries where no S qualifies fall
+    back to the exact merge — which is what bounded the round-3 failure
+    (k=50 at Mc~300 lost 7% recall through a single-slot fold)."""
+    w = min(approx_width, mc) if approx_width else 0
+    if w and mc % w:
+        w = mc
+    if not w:
+        return 0, 1
+    # tol=None = capacity-gated only: take the LARGEST feasible slot count
+    # (minimum loss) — used when the caller insists on the deferred path
+    sizes = range(max_slots, 0, -1) if tol is None else range(1, max_slots + 1)
+    for s in sizes:
+        if k_scan > s * w:
+            continue
+        if s > 1 and w % 128:
+            continue
+        if (
+            tol is None
+            or k_scan ** s / (math.factorial(s + 1) * w ** s) <= tol
+        ):
+            return w, s
+    return 0, 1
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -458,17 +496,43 @@ class IVFIndex:
         k_scan = k_coarse if (
             self.rescore_data is not None and k_coarse > k
         ) else k
-        if final_merge == "auto":
-            # the deferred kernel merge won the k=100 A/B (above); "xla"
-            # remains the only path once k exceeds the fold width
-            final_merge = (
-                "xla"
-                if w and k_scan > w and k_scan <= 2 * w
-                and not per_probe and probes_per_step == 1
-                else "kernel"
-            )
+        if w and acc_slots == 0 and not per_probe and probes_per_step == 1:
+            # collision-loss-aware slot sizing (r3 fix: a single-slot fold
+            # at k=50/Mc~300 lost 7% recall); no qualifying slot count ⇒
+            # exact-merge fallback. An explicit "xla" merge falls back to
+            # the capacity-gated plan — the user asked for the deferred
+            # accumulator, so give them the minimum-loss feasible one.
+            w_req = w
+            w, acc_slots = _approx_merge_plan(k_scan, mc, w_req)
+            if w == 0 and final_merge == "xla":
+                w, acc_slots = _approx_merge_plan(
+                    k_scan, mc, w_req, tol=None
+                )
+            if w == 0:
+                if final_merge == "xla":
+                    raise ValueError(
+                        f"k={k_scan} is too large for the deferred "
+                        f"accumulator at cluster width {mc}; use "
+                        f"approx_width=0 (exact merge) or a wider index"
+                    )
+                approx_width = 0
+                acc_slots = 1
+            else:
+                approx_width = w
         if acc_slots == 0:
-            acc_slots = 2 if (final_merge == "xla" and k_scan > 32) else 1
+            acc_slots = 1
+        if w and k_scan > acc_slots * w:
+            # a k wider than the accumulator would return -inf/-1 tails —
+            # a silent recall cliff (ADVICE r3); fail loudly instead
+            raise ValueError(
+                f"k={k_scan} exceeds the deferred accumulator "
+                f"({acc_slots}×{w}); pass approx_width=0 or more acc_slots"
+            )
+        if final_merge == "auto":
+            # the once-per-block in-kernel k-round merge won every HW A/B
+            # incl. k=100 (254.5k vs 201.7k QPS, docs/ROUND3.md); "xla"
+            # stays available for k > the merge-round budget
+            final_merge = "kernel"
         s, i = _ivf_query_fused(
             q, self.centroids, self.data_padded, self.ids_padded,
             self.scales_padded,
@@ -785,7 +849,7 @@ def _ivf_query_fused(
     idless = (
         dw == d + 1 and approx_width > 0 and not per_probe
         and probes_per_step == 1 and scales_padded is None
-        and final_merge != "xla"
+        and final_merge != "xla" and acc_slots == 1
     )
     # large-k final merge outside the kernel: the in-kernel k-round merge
     # is linear in k (k=100 measured 5x slower than k=10); emit_acc makes
@@ -840,7 +904,10 @@ def _ivf_query_fused(
             k_scan,
             block_q, interpret=interpret, approx_width=approx_width,
             probes_per_step=probes_per_step, idless=idless,
-            emit_acc=emit_acc, acc_slots=acc_slots if emit_acc else 1,
+            emit_acc=emit_acc,
+            acc_slots=acc_slots if (emit_acc or (
+                approx_width and not idless and probes_per_step == 1
+            )) else 1,
         )
         if emit_acc:
             s, tl = jax.lax.top_k(s, k_scan)
@@ -1003,22 +1070,27 @@ def _ivf_body(
                 acc_s[...] = jnp.where(upd, sl, acc_s[...])
                 acc_i[...] = jnp.where(upd, il, acc_i[...])
             else:
-                # two-slot fold (large-k mode): keep the top-2 per lane
+                # S-slot fold (large-k mode): keep the top-S per lane
                 # class — collision loss drops from ~k²/2w (2.4% of
-                # k=100 at w=2048) to ~k³/6w² (0.04%). The slot-1 loser
-                # competes for slot 2, so each lane holds its true top-2.
-                a1 = acc_s[:, :w]
-                i1 = acc_i[:, :w]
-                upd1 = sl > a1
-                disp_s = jnp.where(upd1, a1, sl)
-                disp_i = jnp.where(upd1, i1, il)
-                acc_s[:, :w] = jnp.where(upd1, sl, a1)
-                acc_i[:, :w] = jnp.where(upd1, il, i1)
-                a2 = acc_s[:, w:]
-                i2 = acc_i[:, w:]
-                upd2 = disp_s > a2
-                acc_s[:, w:] = jnp.where(upd2, disp_s, a2)
-                acc_i[:, w:] = jnp.where(upd2, disp_i, i2)
+                # k=100 at w=2048) to ~k^{S+1}/(S+1)!w^S (0.04% at S=2).
+                # Each slot's loser cascades down to compete for the next
+                # slot, so every lane class holds its true top-S. Slot
+                # offsets are s_idx*w with w % 128 == 0 (validated in
+                # _ivf_query_pallas — Mosaic lane slices need alignment).
+                disp_s, disp_i = sl, il
+                for s_idx in range(acc_slots):
+                    a = acc_s[:, s_idx * w:(s_idx + 1) * w]
+                    ai = acc_i[:, s_idx * w:(s_idx + 1) * w]
+                    upd = disp_s > a
+                    nds = jnp.where(upd, a, disp_s)
+                    ndi = jnp.where(upd, ai, disp_i)
+                    acc_s[:, s_idx * w:(s_idx + 1) * w] = jnp.where(
+                        upd, disp_s, a
+                    )
+                    acc_i[:, s_idx * w:(s_idx + 1) * w] = jnp.where(
+                        upd, disp_i, ai
+                    )
+                    disp_s, disp_i = nds, ndi
 
         @pl.when(u == n_u - 1)
         def _flush_approx():
@@ -1235,10 +1307,22 @@ def _ivf_query_pallas(
     if emit_acc:
         if not approx_width or per_probe or probes_per_step > 1 or idless:
             raise ValueError("emit_acc needs the plain approx path")
-        if k > acc_slots * approx_width:
-            raise ValueError("emit_acc needs k <= acc_slots * approx_width")
-    if acc_slots not in (1, 2) or (acc_slots == 2 and not emit_acc):
-        raise ValueError("acc_slots=2 requires emit_acc")
+    if acc_slots < 1:
+        raise ValueError("acc_slots must be >= 1")
+    if acc_slots > 1:
+        if not approx_width or per_probe or probes_per_step > 1 or idless:
+            raise ValueError("acc_slots > 1 needs the plain approx path")
+        if approx_width % 128:
+            raise ValueError(
+                "acc_slots > 1 needs a 128-aligned approx_width (the slot "
+                "stride is a Mosaic lane-slice offset)"
+            )
+    if approx_width and k > acc_slots * approx_width:
+        # merge rounds beyond the accumulator width return -inf/-1 tails
+        raise ValueError(
+            "k exceeds acc_slots * approx_width — the deferred accumulator "
+            "cannot hold k candidates"
+        )
     if idless:
         if not approx_width or per_probe or probes_per_step > 1:
             raise ValueError("idless needs the plain approx path")

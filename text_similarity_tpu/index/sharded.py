@@ -311,29 +311,23 @@ class ShardedIVFIndex:
             if impl == "pallas":
                 # the same fused probe-union + Pallas scan as the
                 # single-device index, per shard inside shard_map
-                from .ivf import _ivf_query_fused, _round_up
+                from .ivf import _approx_merge_plan, _ivf_query_fused, \
+                    _round_up
 
                 block_q = min(16, q.shape[0])
                 union = min(_round_up(p * 3, 8), n_base)
-                # deferred lane-class merge for big clusters (same
-                # measured recall, +44% scan QPS — index/ivf._ivf_body);
-                # small-Mc shards keep the exact merge
+                # deferred lane-class merge with collision-loss-aware slot
+                # sizing (same policy as IVFIndex.query): the plan picks
+                # the slot count that bounds the lane-class collision loss
+                # for this (k, Mc) geometry and falls back to the exact
+                # two-stage merge when no slot count qualifies (small-Mc
+                # shards / huge k — the r3 recall-cliff fix)
                 mc = data.shape[1]
-                aw = 2048 if mc >= 1024 else 0
-                w = min(aw, mc) if aw else 0
-                if w and mc % w:
-                    w = mc
-                # k beyond the fold width: emit the raw accumulators and
-                # top_k in XLA with two slots per lane class (the only
-                # path that can return > w candidates; for k <= w the
-                # once-per-block kernel merge measured faster — ivf.query)
-                over_w = bool(w) and w < k <= 2 * w
+                aw, slots = _approx_merge_plan(k, mc, 2048)
                 ts, ti = _ivf_query_fused(
                     q, cent, data, ids, None, n_base, k, p, block_q,
                     union, jax.default_backend() != "tpu",
-                    approx_width=aw,
-                    final_merge="xla" if over_w else "kernel",
-                    acc_slots=2 if over_w else 1,
+                    approx_width=aw, acc_slots=slots,
                 )
             else:
                 cs = jnp.einsum(
@@ -388,7 +382,8 @@ class ShardedIVFIndex:
         return jax.jit(fn)
 
     def query(
-        self, queries, k: int = 10, probes: Optional[int] = None
+        self, queries, k: int = 10, probes: Optional[int] = None,
+        impl: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         probes = probes or self.num_probes
         # a k wider than the probed candidate pool can't fill its top-k
@@ -401,9 +396,9 @@ class ShardedIVFIndex:
         n_q = len(queries)
         q = l2_normalize(jnp.asarray(queries, jnp.float32))
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
-        key = (k, probes)
+        key = (k, probes, impl)
         if key not in self._query_fn:
-            self._query_fn[key] = self._make_query(k, probes)
+            self._query_fn[key] = self._make_query(k, probes, impl)
         s, i = self._query_fn[key](
             q, self.centroids, self.data_padded, self.ids_padded
         )
