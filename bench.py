@@ -41,24 +41,72 @@ from text_similarity_tpu.ops.topk import (  # noqa: E402
     l2_normalize,
 )
 
-N_CORPUS = 1_000_000
-DIM = 384
+N_CORPUS = int(os.environ.get("TS_BENCH_N", 1_000_000))
+DIM = int(os.environ.get("TS_BENCH_D", 384))
 # Per-call batch: the relay's per-dispatch floor is ~26ms regardless of
 # work, so serving throughput is batch-size-bound — 16384 queries/call
 # measured 158k QPS vs 61k at 2048 (device-side marginal rate ~173k QPS).
-N_QUERIES = 16384
+N_QUERIES = int(os.environ.get("TS_BENCH_Q", 16384))
 N_RECALL = 256     # recall oracle over a subset (oracle cost is O(Q*N))
 K = 10
+K_RERANK = 100     # the retrieve-for-rerank depth (BASELINE config 4)
 ITERS = 5
 # serving query config: 64-query blocks sharing a 56-probe union, and the
 # deferred ("approx") merge — per probe step only a per-lane-class running
 # max is folded; the k-round merge runs once per block (r3: 339k vs 235k
 # QPS at IDENTICAL measured recall 0.9961; docs/ROUND3.md)
 QARGS = dict(union_factor=1, block_q=64, approx_width=2048)
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def sentinel_rtt(reps: int = 3):
+    """Contention sentinel (VERDICT r3 weak #5): round-trip time of a tiny
+    matmul through the relay. On an idle chip this is the dispatch floor
+    (~30ms); external contention inflates it — recording best/worst lets a
+    reader tell a regression from a noisy measurement window."""
+    x = jnp.ones((128, 128), jnp.float32)
+    f = jax.jit(lambda a: a @ a)
+    np.asarray(f(x))  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(f(x))
+        ts.append(time.time() - t0)
+    return {
+        "best_ms": round(min(ts) * 1e3, 1),
+        "worst_ms": round(max(ts) * 1e3, 1),
+    }
+
+
+def _oracle_cache_path(tag: str) -> str:
+    """Oracle results are deterministic given (recipe constants, jax
+    version) — cache them so warm benches skip the O(Q·N) exact scans
+    (the 795s cold tail of BENCH_r03)."""
+    import hashlib
+
+    key = hashlib.md5(
+        f"{tag}-{N_CORPUS}-{DIM}-{N_QUERIES}-{N_RECALL}-{jax.__version__}"
+        .encode()
+    ).hexdigest()[:16]
+    return os.path.join(_CACHE_DIR, f"oracle-{key}.npz")
+
+
+def cached_oracle(tag: str, compute):
+    path = _oracle_cache_path(tag)
+    if os.path.exists(path) and not os.environ.get("TS_BENCH_NO_CACHE"):
+        with np.load(path) as z:
+            log(f"oracle[{tag}]: loaded from cache ({path})")
+            return z["i"]
+    out = np.asarray(compute())
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    np.savez(path, i=out)
+    return out
 
 
 def main():
@@ -79,20 +127,28 @@ def main():
     )
     corpus.block_until_ready()
     log(f"corpus built on device: {time.time() - t_start:.1f}s")
+    sent_start = sentinel_rtt()
+    log(f"contention sentinel (start): {sent_start}")
 
     # exact oracle (on device; subset of queries). The fused Pallas kernel
     # is exact (tie-aware two-stage merge, verified index-exact vs the XLA
     # oracle in tests AND on this hardware) and ~25x faster than the
     # chunked-scan XLA oracle here (2 min -> seconds of bench time).
+    # Oracle results are recipe-deterministic and cached across runs
+    # (VERDICT r3 weak #5: the cold oracle tail cost 795s per bench).
     t0 = time.time()
-    oracle_fn = (
-        cosine_topk_pallas if jax.default_backend() == "tpu"
-        else cosine_topk_xla
+    on_tpu = jax.default_backend() == "tpu"
+    oracle_fn = cosine_topk_pallas if on_tpu else cosine_topk_xla
+    oracle_i = cached_oracle(
+        "k10", lambda: oracle_fn(queries[:N_RECALL], corpus, k=K)[1]
     )
-    _, oracle_i = oracle_fn(queries[:N_RECALL], corpus, k=K)
-    oracle_i = np.asarray(oracle_i)
+    # top-100 oracle for the rerank-depth retrieval leg (config 4)
+    oracle_i100 = cached_oracle(
+        "k100",
+        lambda: oracle_fn(queries[:N_RECALL], corpus, k=K_RERANK)[1],
+    )
     log(f"brute-force oracle: {time.time() - t0:.1f}s")
-    if oracle_fn is cosine_topk_pallas:
+    if on_tpu and not os.path.exists(_oracle_cache_path("xla_ok")):
         # independence gate (ADVICE r2): the Pallas kernel is the system
         # under test — cross-check a 32-query subset against the XLA
         # oracle so a hardware-only exactness regression can't silently
@@ -105,6 +161,7 @@ def main():
                 f"{sorted(oracle_i[r])} vs {sorted(xla_i[r])}"
             )
         log("oracle cross-check vs XLA: 32/32 rows index-exact")
+        cached_oracle("xla_ok", lambda: jnp.ones((1,), jnp.int32))
 
     # IVF build on device
     # C ≈ 2·√N: the sweep showed 2048 clusters dominates 1024 on this
@@ -230,14 +287,15 @@ def main():
         f"recall@10={rec8r:.4f} (bf16 path: {ivf_qps:.0f} QPS)"
     )
 
-    # encode throughput (BASELINE.md: "encode sentences/sec measured &
-    # reported"): random-token batches through the MiniLM-class encoder,
-    # async dispatch + one final sync, on-device output. The 1M corpus +
-    # indexes are freed first — ~4 GB of live HBM measurably depresses
-    # encoder throughput (14.2k vs 19k sent/s).
-    del ivf, ivf8, corpus, queries, s, i
+    # ---- retrieval at rerank depth (k=100) + composed retrieve→rerank
+    # (BASELINE config 4; VERDICT r4 tasks 1+3). k=100 auto-engages the
+    # multi-slot deferred fold (index/ivf._approx_merge_plan).
     from text_similarity_tpu.core.config import ARCH_PRESETS
+    from text_similarity_tpu.core.precision import precision_for
     from text_similarity_tpu.models import init_params, encoder_forward, mean_pool
+    from text_similarity_tpu.train.steps import (
+        classifier_forward, init_classifier_head,
+    )
 
     arch = ARCH_PRESETS["minilm-l6"]
     # serving params live in bf16 (SentenceEncoder.to_bf16 semantics):
@@ -247,6 +305,97 @@ def main():
         if jnp.issubdtype(p.dtype, jnp.floating) else p,
         init_params(jax.random.PRNGKey(1), arch),
     )
+    ce_params = {
+        "encoder": enc_params,
+        "head": init_classifier_head(
+            jax.random.PRNGKey(5), arch.hidden_size, 1
+        ),
+    }
+    ce_precision = precision_for(True)
+
+    @jax.jit
+    def ce_score(p, ids, mask, tts):
+        return classifier_forward(
+            p, ids, mask, tts, arch=arch, precision=ce_precision,
+            pooling="cls",
+        )
+
+    _, i100 = ivf.query(queries, k=K_RERANK, **QARGS)
+    i100 = np.asarray(i100)
+    rec100 = np.mean([
+        len(set(i100[r]) & set(oracle_i100[r])) / K_RERANK
+        for r in range(N_RECALL)
+    ])
+    ivf100_dt = timed(lambda: ivf.query(queries, k=K_RERANK, **QARGS))
+    k100_qps = N_QUERIES / ivf100_dt
+    log(
+        f"IVF k=100 retrieval leg: {k100_qps:.0f} QPS at "
+        f"recall@100={rec100:.4f}"
+    )
+    # teacher-vs-student retrieval consistency at rerank depth: the int8
+    # serving index (student) vs the bf16 index (teacher) — the
+    # compare_models quality column (reference
+    # eval_sentence_mining.py:11-34)
+    _, i8_100 = ivf8.query(queries[:N_RECALL], k=K_RERANK, **QARGS)
+    i8_100 = np.asarray(i8_100)
+    overlap100 = np.mean([
+        len(set(i8_100[r]) & set(i100[r])) / K_RERANK
+        for r in range(N_RECALL)
+    ])
+    log(f"int8-vs-bf16 top-100 overlap (compare_models): {overlap100:.4f}")
+
+    # composed: ONE loop running both legs — retrieve k=100 for a query
+    # batch, then cross-encoder-score all (query, candidate) pairs at
+    # s=128 in 1024-pair calls (candidate token ids are synthetic: the CE
+    # cost is shape-bound; tokenization is host-side and out of scope)
+    nq_rr = int(os.environ.get("TS_BENCH_RR", 256))
+    es_rr = 128
+    n_pairs = nq_rr * K_RERANK
+    ce_chunk = 1024 if n_pairs % 1024 == 0 else n_pairs
+    pair_ids = jax.random.randint(
+        jax.random.PRNGKey(8), (n_pairs, es_rr), 5, arch.vocab_size
+    )
+    pair_mask = jnp.ones((n_pairs, es_rr), jnp.int32)
+    pair_tts = jnp.zeros((n_pairs, es_rr), jnp.int32)
+
+    def composed_once():
+        _, cids = ivf.query(queries[:nq_rr], k=K_RERANK, **QARGS)
+        outs = [
+            ce_score(
+                ce_params,
+                pair_ids[off:off + ce_chunk],
+                pair_mask[:ce_chunk], pair_tts[:ce_chunk],
+            )
+            for off in range(0, n_pairs, ce_chunk)
+        ]
+        return cids, outs
+
+    cids_w, outs_w = composed_once()   # warm both legs
+    np.asarray(cids_w)
+    for o in outs_w:
+        o.block_until_ready()
+    comp_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        cids_c, outs_c = composed_once()
+        np.asarray(cids_c)
+        for o in outs_c:
+            o.block_until_ready()
+        float(np.asarray(outs_c[-1]).ravel()[0])
+        comp_dt = min(comp_dt, time.time() - t0)
+    composed_qps = nq_rr / comp_dt
+    log(
+        f"composed retrieve(k=100)+rerank: {composed_qps:.1f} queries/sec "
+        f"({comp_dt * 1e3:.0f}ms per {nq_rr}-query batch, "
+        f"{n_pairs} CE pairs at s={es_rr})"
+    )
+
+    # encode throughput (BASELINE.md: "encode sentences/sec measured &
+    # reported"): random-token batches through the MiniLM-class encoder,
+    # async dispatch + one final sync, on-device output. The 1M corpus +
+    # indexes are freed first — ~4 GB of live HBM measurably depresses
+    # encoder throughput (14.2k vs 19k sent/s).
+    del ivf, ivf8, corpus, queries, s, i, pair_ids, pair_mask, pair_tts
 
     @jax.jit
     def embed(p, ids, mask):
@@ -275,6 +424,92 @@ def main():
         f"encode: {enc_rate:.0f} sentences/sec (b={eb}, s={es}, "
         f"MFU={enc_mfu * 100:.1f}% of v5e bf16 peak)"
     )
+
+    # variable-length encode (VERDICT r4 task 8): real traffic is not
+    # fixed-s=128 — draw an STS-like length distribution and A/B the
+    # bucketing policy (reference length-sorted batching,
+    # sentence_encoder.py:138) against greedy packing (block-diagonal
+    # attention, data/packing.py). sentences/sec is the metric that
+    # matters here, not MFU.
+    from text_similarity_tpu.data.batching import LengthBucketBatcher
+    from text_similarity_tpu.data.packing import (
+        pack_sequences, packing_efficiency,
+    )
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+    n_var = int(os.environ.get("TS_BENCH_VAR_N", 32768))
+    rng_len = np.random.RandomState(9)
+    # lognormal lengths, median ~22 tokens (STS-B-like short text)
+    var_lens = np.clip(
+        np.round(np.exp(rng_len.normal(3.1, 0.45, n_var))).astype(int),
+        6, 126,
+    )
+    rows_var = [
+        list(rng_len.randint(5, arch.vocab_size, L + 2)) for L in var_lens
+    ]
+    se = SentenceEncoder(
+        enc_params, arch, tokenizer=None, pooling="mean",
+        precision=precision_for(True),
+    )
+
+    def run_bucketed():
+        batcher = LengthBucketBatcher(1024, shuffle_batches=False)
+        pending = [
+            se.embed_tokens(b["ids"], b["mask"])
+            for b in batcher.batches(rows_var, pad_id=0)
+        ]
+        pending[-1].block_until_ready()
+        float(np.asarray(pending[-1][0, 0]))
+        return pending
+
+    packed_var = pack_sequences(rows_var, 128, pad_id=0)
+    m_var = int(packed_var["owners"].shape[1])
+    pk_ids = packed_var["ids"]
+    pk_seg = packed_var["segments"]
+    pk_pos = packed_var["positions"]
+    pk_fn = se._jitted_packed((256, 128), m_var)
+    r_var = pk_ids.shape[0]
+    pad_r = (-r_var) % 256
+    if pad_r:
+        pk_ids = np.pad(pk_ids, ((0, pad_r), (0, 0)))
+        pk_seg = np.pad(pk_seg, ((0, pad_r), (0, 0)))
+        pk_pos = np.pad(pk_pos, ((0, pad_r), (0, 0)))
+    def run_packed():
+        # host-side chunk slicing + per-call transfer: the same data
+        # movement pattern as the bucketed path, so the A/B isolates the
+        # packing policy
+        pending = [
+            pk_fn(
+                enc_params,
+                jnp.asarray(pk_ids[st:st + 256]),
+                jnp.asarray(pk_seg[st:st + 256]),
+                jnp.asarray(pk_pos[st:st + 256]),
+            )
+            for st in range(0, pk_ids.shape[0], 256)
+        ]
+        pending[-1].block_until_ready()
+        float(np.asarray(pending[-1][0, 0, 0]))
+        return pending
+
+    run_bucketed()  # warm (compiles every bucket shape)
+    run_packed()
+    tb_var = tp_var = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_bucketed()
+        tb_var = min(tb_var, time.time() - t0)
+        t0 = time.time()
+        run_packed()
+        tp_var = min(tp_var, time.time() - t0)
+    var_bucketed = n_var / tb_var
+    var_packed = n_var / tp_var
+    log(
+        f"variable-length encode (median~22 tok, n={n_var}): "
+        f"bucketed {var_bucketed:.0f} sent/s | packed {var_packed:.0f} "
+        f"sent/s ({packing_efficiency(packed_var) * 100:.0f}% row fill, "
+        f"{pk_ids.shape[0]} rows, <= {m_var} seq/row)"
+    )
+    del se, rows_var
 
     # train-step throughput (bi-encoder cosine-MSE step — fwd+bwd of two
     # towers + AdamW; the TPU-native training perf claim gets a number)
@@ -359,28 +594,11 @@ def main():
     )
     del bb_state, bb_params
 
-    # rerank throughput (BASELINE config 4: cross-encoder scoring of the
+    # rerank-leg throughput in isolation (cross-encoder scoring of the
     # bi-encoder's top-100 candidates): batched (query, candidate) pair
     # scoring through a MiniLM-class cross encoder (reference
-    # ranking_pipeline.py:14-43 scores pairs one query at a time on GPU)
-    from text_similarity_tpu.core.precision import precision_for
-    from text_similarity_tpu.train.steps import (
-        classifier_forward, init_classifier_head,
-    )
-
-    ce_params = {
-        "encoder": enc_params,  # bf16-resident encoder from above
-        "head": init_classifier_head(jax.random.PRNGKey(5), arch.hidden_size, 1),
-    }
-    ce_precision = precision_for(True)
-
-    @jax.jit
-    def ce_score(p, ids, mask, tts):
-        return classifier_forward(
-            p, ids, mask, tts, arch=arch, precision=ce_precision,
-            pooling="cls",
-        )
-
+    # ranking_pipeline.py:14-43 scores pairs one query at a time on GPU).
+    # ce_params/ce_score come from the composed section above.
     rb = 1024   # pairs per call
     r_ids = jax.random.randint(
         jax.random.PRNGKey(6), (rb, es), 5, arch.vocab_size
@@ -423,17 +641,29 @@ def main():
         log(f"cpu baseline failed: {e}")
         cpu_qps = float("nan")
 
+    sent_end = sentinel_rtt()
+    log(f"contention sentinel (end): {sent_end}")
     print(json.dumps({
         "metric": "ivf_query_qps_1chip",
         "value": round(ivf_qps, 1),
         "unit": (
             f"queries/sec (top-10, 1M x 384, recall@10={recall:.3f} "
-            f"vs brute force; int8 {N_QUERIES / ivf8_dt:.0f} QPS@{rec8:.3f}, "
+            f"vs brute force; k=100 {k100_qps:.0f} QPS@{rec100:.3f}; "
+            f"int8 {N_QUERIES / ivf8_dt:.0f} QPS@{rec8:.3f}, "
             f"+rescore {N_QUERIES / ivf8r_dt:.0f} QPS@{rec8r:.3f}; "
+            f"composed retrieve+rerank {composed_qps:.0f} q/s "
+            f"@overlap100={overlap100:.3f}; "
             f"encode {enc_rate:.0f} sent/s; train {train_rate:.0f} pairs/s; "
             f"rerank {rerank_rate:.0f} pairs/s)"
         ),
         "vs_baseline": round(ivf_qps / cpu_qps, 2) if np.isfinite(cpu_qps) else None,
+        "sentinel_rtt_ms": {"start": sent_start, "end": sent_end},
+        "k100_qps": round(k100_qps, 1),
+        "recall_at_100": round(float(rec100), 4),
+        "composed_rerank_qps": round(composed_qps, 1),
+        "teacher_student_overlap100": round(float(overlap100), 4),
+        "var_encode_bucketed_sps": round(var_bucketed, 1),
+        "var_encode_packed_sps": round(var_packed, 1),
     }))
 
 

@@ -21,12 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent per-host CPU compile cache (core/cache.py): repeated test
-# runs skip recompiles; the host fingerprint keeps this machine's CPU
-# executables from ever being loaded on another (r3: foreign-host SIGILL).
+# Compile cache: a no-op on CPU platforms by design (core/cache.py) — CPU
+# executables are host-specific (r3: foreign-host SIGILL from the shipped
+# cache) and cheap to recompile. The call pins that invariant here.
 from text_similarity_tpu.core.cache import setup_compile_cache  # noqa: E402
 
-setup_compile_cache()
+assert setup_compile_cache() is None
 
 import pytest  # noqa: E402
 

@@ -51,11 +51,17 @@ def test_router_matches_numpy_oracle():
     t, e, k, cap = 24, 4, 2, 6
     logits = rng.normal(size=(t, e)).astype(np.float32)
     valid = (rng.random(t) > 0.2).astype(np.float32)
-    choice, slot, gate, keep, aux = jax.jit(
+    choice, slot, gate, keep, aux, dropped = jax.jit(
         router_topk, static_argnums=(2, 3)
     )(jnp.asarray(logits), jnp.asarray(valid), k, cap)
     oc, os_, og, ok_ = _np_router(logits, valid, k, cap)
     np.testing.assert_array_equal(np.asarray(keep), ok_)
+    n_valid = max(valid.sum(), 1.0)
+    np.testing.assert_allclose(
+        float(dropped),
+        ((valid[None, :] > 0) & ~ok_).sum() / (k * n_valid),
+        atol=1e-6,
+    )
     # choice/slot only meaningful where kept
     np.testing.assert_array_equal(np.asarray(choice)[ok_], oc[ok_])
     np.testing.assert_array_equal(np.asarray(slot)[ok_], os_[ok_])
@@ -69,9 +75,9 @@ def test_router_aux_balanced_vs_collapsed():
     t, e = 512, 8
     uniform = jnp.zeros((t, e))
     valid = jnp.ones((t,))
-    *_, aux_u = router_topk(uniform, valid, 1, t)
+    *_, aux_u, _ = router_topk(uniform, valid, 1, t)
     collapsed = jnp.zeros((t, e)).at[:, 3].set(10.0)
-    *_, aux_c = router_topk(collapsed, valid, 1, t)
+    *_, aux_c, _ = router_topk(collapsed, valid, 1, t)
     assert abs(float(aux_u) - 1.0) < 1e-3
     assert abs(float(aux_c) - e) < 1e-2
 
@@ -87,10 +93,11 @@ def test_moe_e1_equals_dense_ffn():
     bi = jnp.asarray(rng.normal(size=(1, i)).astype(np.float32)) * 0.1
     wo = jnp.asarray(rng.normal(size=(1, i, h)).astype(np.float32)) * 0.1
     bo = jnp.asarray(rng.normal(size=(1, h)).astype(np.float32)) * 0.1
-    y, aux = moe_ffn(
+    y, aux, drop = moe_ffn(
         x, mask, router_w, wi, bi, wo, bo,
         top_k=1, capacity_factor=1.0,
     )
+    assert float(drop) == 0.0  # full capacity: nothing dropped
     dense = jax.nn.gelu(
         jnp.einsum("bsh,hi->bsi", x, wi[0]) + bi[0]
     )
@@ -113,9 +120,10 @@ def test_moe_capacity_drop_and_padding():
     wo = jnp.ones((e, i, h), jnp.float32) * 0.1
     bo = jnp.zeros((e, h))
     # capacity_factor chosen so C = 4 (T=8, k=1, E=2 → 8/2=4 · 1.0)
-    y, _ = moe_ffn(
+    y, _, drop = moe_ffn(
         x, mask, router_w, wi, bi, wo, bo, top_k=1, capacity_factor=1.0,
     )
+    assert float(drop) == 0.0  # padding is not a drop
     assert expert_capacity(8, 2, 1, 1.0) == 8  # min multiple=8 floor
     # with the multiple=8 floor nothing drops here; shrink via factor
     y = np.asarray(y)
@@ -139,9 +147,11 @@ def test_moe_overflow_drops_tokens():
     wo = jnp.ones((e, i, h), jnp.float32) * 0.1
     bo = jnp.zeros((e, h))
     # C = ceil(64·1·0.25/2)=8 → exactly 8 of 64 tokens fit expert 0
-    y, _ = moe_ffn(
+    y, _, drop = moe_ffn(
         x, mask, router_w, wi, bi, wo, bo, top_k=1, capacity_factor=0.25,
     )
+    # 8 of 64 assignments fit → 56/64 dropped, and the metric says so
+    np.testing.assert_allclose(float(drop), 56 / 64, atol=1e-6)
     y = np.asarray(y)[0]
     nz = np.abs(y).sum(axis=-1) > 1e-9
     assert nz[:8].all()          # first 8 tokens served (priority by order)
@@ -217,6 +227,9 @@ def test_moe_ep_sharded_matches_unsharded(eight_devices):
     np.testing.assert_allclose(
         float(out.moe_aux), float(ref.moe_aux), atol=1e-5
     )
+    np.testing.assert_allclose(
+        float(out.moe_drop), float(ref.moe_drop), atol=1e-5
+    )
 
 
 def test_moe_bi_encoder_train_step_learns():
@@ -246,6 +259,8 @@ def test_moe_bi_encoder_train_step_learns():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
         assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
+        assert "moe_drop" in metrics
+        assert 0.0 <= float(metrics["moe_drop"]) <= 1.0
     assert losses[-1] < losses[0]
 
 
@@ -270,7 +285,7 @@ def test_router_fuzz_vs_numpy_oracle():
         cap = int(rng.integers(1, t + 4))
         logits = rng.normal(size=(t, e)).astype(np.float32)
         valid = (rng.random(t) > 0.3).astype(np.float32)
-        choice, slot, gate, keep, aux = router_topk(
+        choice, slot, gate, keep, aux, dropped = router_topk(
             jnp.asarray(logits), jnp.asarray(valid), k, cap
         )
         oc, os_, og, ok_ = _np_router(logits, valid, k, cap)
@@ -286,3 +301,9 @@ def test_router_fuzz_vs_numpy_oracle():
             np.asarray(gate), og, atol=1e-5, err_msg=str(ctx)
         )
         assert np.isfinite(float(aux)), ctx
+        n_valid = max(valid.sum(), 1.0)
+        np.testing.assert_allclose(
+            float(dropped),
+            ((valid[None, :] > 0) & ~ok_).sum() / (k * n_valid),
+            atol=1e-6, err_msg=str(ctx),
+        )

@@ -1,0 +1,137 @@
+"""Greedy sequence packing (data/packing.py + segment-aware attention).
+
+Parity contract: packing several short sequences into one row behind a
+block-diagonal attention mask, restarting positions, and segment-mean
+pooling must reproduce the per-sequence (unpacked) embeddings exactly —
+the only differences are float-accumulation order. Generalizes the
+reference's length-sorted batching (src/models/sentence_encoder.py:138)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text_similarity_tpu.core.config import EncoderArch
+from text_similarity_tpu.core.precision import precision_for
+from text_similarity_tpu.data.packing import pack_sequences, packing_efficiency
+from text_similarity_tpu.models.encoder import init_params
+from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+
+
+def _rand_rows(rng, n, width, vocab=100):
+    lens = rng.integers(4, width // 2, n)
+    return [list(rng.integers(5, vocab, L)) for L in lens]
+
+
+def test_pack_sequences_layout():
+    rng = np.random.default_rng(0)
+    width = 64
+    rows = _rand_rows(rng, 40, width)
+    packed = pack_sequences(rows, width, pad_id=0)
+    ids, segs, pos, owners = (
+        packed["ids"], packed["segments"], packed["positions"],
+        packed["owners"],
+    )
+    # every sequence appears exactly once, token-exact, positions 0..L-1
+    seen = set()
+    for ri in range(ids.shape[0]):
+        for mi in range(owners.shape[1]):
+            si = owners[ri, mi]
+            if si < 0:
+                continue
+            assert si not in seen
+            seen.add(int(si))
+            sel = segs[ri] == mi + 1
+            np.testing.assert_array_equal(
+                ids[ri][sel], np.asarray(rows[si], np.int32)
+            )
+            np.testing.assert_array_equal(
+                pos[ri][sel], np.arange(sel.sum(), dtype=np.int32)
+            )
+    assert seen == set(range(40))
+    # pads carry segment 0 and pad_id
+    assert (ids[segs == 0] == 0).all()
+    # packing actually packs: fewer rows than sequences, decent fill
+    assert ids.shape[0] < 40
+    assert packing_efficiency(packed) > 0.5
+
+
+def test_pack_truncates_overlong():
+    packed = pack_sequences([list(range(5, 40))], width=16, pad_id=0)
+    assert packed["ids"].shape == (1, 16)
+    assert (packed["segments"][0] == 1).all()
+
+
+def _tiny_encoder():
+    arch = EncoderArch(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=64, has_pooler=False,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    params = init_params(jax.random.PRNGKey(0), arch)
+    return SentenceEncoder(
+        params, arch, tokenizer=None, pooling="mean",
+        precision=precision_for(False),
+    )
+
+
+def test_packed_embeddings_match_unpacked():
+    rng = np.random.default_rng(1)
+    width = 64
+    rows = _rand_rows(rng, 24, width, vocab=120)
+    enc = _tiny_encoder()
+
+    # unpacked oracle: one padded row per sequence
+    ids_u = np.zeros((24, width), np.int32)
+    mask_u = np.zeros((24, width), np.int32)
+    for i, r in enumerate(rows):
+        ids_u[i, : len(r)] = r
+        mask_u[i, : len(r)] = 1
+    ref = np.asarray(enc.embed_tokens(ids_u, mask_u))
+
+    packed = pack_sequences(rows, width, pad_id=0)
+    emb = np.asarray(
+        enc.embed_tokens_packed(
+            packed["ids"], packed["segments"], packed["positions"]
+        )
+    )
+    out = np.zeros_like(ref)
+    owners = packed["owners"]
+    sel = owners >= 0
+    out[owners[sel]] = emb[sel]
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_segment_mean_pool_matches_per_segment_mean():
+    from text_similarity_tpu.models.pooling import segment_mean_pool
+
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(2, 16, 8)).astype(np.float32))
+    segs = jnp.asarray(
+        [[1, 1, 1, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+         [1, 2, 2, 2, 3, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]], jnp.int32
+    )
+    out = np.asarray(segment_mean_pool(h, segs, 3))
+    hn = np.asarray(h)
+    np.testing.assert_allclose(out[0, 0], hn[0, :3].mean(0), atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], hn[0, 3:5].mean(0), atol=1e-6)
+    np.testing.assert_allclose(out[0, 2], np.zeros(8), atol=1e-6)
+    np.testing.assert_allclose(out[1, 2], hn[1, 4:6].mean(0), atol=1e-6)
+
+
+def test_segment_attention_blocks_cross_talk():
+    """A token's output must be invariant to the CONTENT of other segments
+    in the same packed row."""
+    from text_similarity_tpu.ops.attention import attention_reference
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 8, 2, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 8, 2, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 8, 2, 4)).astype(np.float32))
+    segs = jnp.asarray([[1, 1, 1, 1, 2, 2, 2, 2]], jnp.int32)
+    out1 = np.asarray(attention_reference(q, k, v, segment_ids=segs))
+    # perturb segment 2's keys/values: segment 1's outputs must not move
+    k2 = k.at[0, 4:].set(jnp.asarray(rng.normal(size=(4, 2, 4)), jnp.float32))
+    v2 = v.at[0, 4:].set(jnp.asarray(rng.normal(size=(4, 2, 4)), jnp.float32))
+    out2 = np.asarray(attention_reference(q, k2, v2, segment_ids=segs))
+    np.testing.assert_allclose(out1[0, :4], out2[0, :4], atol=1e-6)
+    assert np.abs(out1[0, 4:] - out2[0, 4:]).max() > 1e-3

@@ -1,18 +1,15 @@
 """Persistent-compile-cache setup shared by every entry point (CLI, bench,
 driver entries, tests).
 
-Why fingerprinting: XLA's CPU backend emits host-specific machine code —
+Why platform-gating: XLA's CPU backend emits host-specific machine code —
 a cache entry compiled on one machine can SIGILL on another (reproduced in
 round 3: the repo-shipped cache aborted the full pytest run on a foreign
-host with "CPU compilation doesn't match the machine type"). TPU
-executables have no such host dependence (and on this environment they
-cost minutes of remote compile), so:
-
-- TPU/axon runs keep the cache at ``<root>/.jax_cache`` — backwards
-  compatible with the warm entries shipped in the repo;
-- CPU runs use ``<root>/.jax_cache/cpu-<machine>-<cpu-flags-hash>`` — a
-  per-host-microarchitecture subdirectory that can never collide across
-  machines.
+host with "CPU compilation doesn't match the machine type"), and the CPU
+AOT loader warns about feature mismatches even for SAME-host reuse across
+processes. CPU compiles are fast, so CPU runs simply get NO persistent
+cache. TPU executables have no host-CPU dependence and (in this
+environment) cost minutes of remote compile — TPU/axon runs keep the
+shared warm cache at ``<root>/.jax_cache``.
 
 Replaces nothing in the reference (it has no compile cache); this is
 infrastructure for the remote-compile environment (CLAUDE.md rule 3).
@@ -20,36 +17,18 @@ infrastructure for the remote-compile environment (CLAUDE.md rule 3).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import platform
+from typing import Optional
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
 
-def _host_fingerprint() -> str:
-    """Machine arch + a hash of the CPU feature flags: two hosts whose
-    fingerprints match can safely share CPU-compiled XLA executables."""
-    tag = platform.machine() or "unknown"
-    feats = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.lower().startswith(("flags", "features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:
-        feats = platform.processor()
-    h = hashlib.md5(feats.encode()).hexdigest()[:8]
-    return f"{tag}-{h}"
-
-
 def resolve_cache_dir(
-    root: str | None = None, platform_hint: str | None = None
-) -> str:
-    """The platform-appropriate cache dir (no jax import needed).
+    root: Optional[str] = None, platform_hint: Optional[str] = None
+) -> Optional[str]:
+    """The platform-appropriate cache dir, or None = no persistent cache.
 
     Platform intent comes from the env/config the caller already set —
     NOT from ``jax.default_backend()``, which would eagerly initialize the
@@ -71,15 +50,19 @@ def resolve_cache_dir(
     if toks & {"tpu", "axon"} and "cpu" not in toks:
         return base
     # cpu — or unknown, which on a foreign host resolves to cpu: never
-    # share host-specific executables across machines
-    return os.path.join(base, f"cpu-{_host_fingerprint()}")
+    # persist host-specific CPU executables (SIGILL across hosts, AOT
+    # feature-mismatch warnings even within one)
+    return None
 
 
-def setup_compile_cache(root: str | None = None) -> str:
-    """Point jax's persistent compile cache at the fingerprinted dir."""
+def setup_compile_cache(root: Optional[str] = None) -> Optional[str]:
+    """Point jax's persistent compile cache at the platform-keyed dir
+    (no-op for CPU platforms)."""
     import jax
 
     cache = resolve_cache_dir(root)
+    if cache is None:
+        return None
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -453,10 +453,16 @@ class IVFIndex:
                                     # auto == "kernel"; "xla" kept for
                                     # k > 2048 or spread distributions
                                     # (with acc_slots=2).
-        acc_slots: int = 0,         # 0=auto: 2 accumulator slots per lane
-                                    # class when the XLA merge runs at
-                                    # large k (collision loss ~k³/6w²
-                                    # instead of ~k²/2w), else 1.
+        acc_slots: int = 0,         # 0=auto: _approx_merge_plan sizes the
+                                    # lane-class slot count from (k, Mc) —
+                                    # collision loss ~k^{S+1}/(S+1)!w^S —
+                                    # falling back to the exact merge when
+                                    # no slot count bounds the loss.
+        dma_pipeline: bool = False,  # manually double-buffered probe DMA
+                                     # (one grid step per query block;
+                                     # _ivf_kernel_dma) — the r4 A/B
+                                     # against the auto-pipelined scan's
+                                     # per-step fixed cost
     ) -> Tuple[jax.Array, jax.Array]:
         """One fused jitted call: normalize → probe-union → Pallas scan.
         (Eager intermediate ops would each cost a device round trip —
@@ -519,6 +525,20 @@ class IVFIndex:
                 acc_slots = 1
             else:
                 approx_width = w
+        if dma_pipeline and acc_slots == 0:
+            # the DMA kernel always folds at full slab width; it has no
+            # exact-merge form, so fall back to the minimum-loss feasible
+            # slot count when the tolerance plan fails
+            w_dma, acc_slots = _approx_merge_plan(k_scan, mc, mc)
+            if w_dma == 0:
+                w_dma, acc_slots = _approx_merge_plan(
+                    k_scan, mc, mc, tol=None
+                )
+            if w_dma == 0:
+                raise ValueError(
+                    f"k={k_scan} too large for the full-width DMA fold at "
+                    f"Mc={mc}; use the default pipeline (exact merge)"
+                )
         if acc_slots == 0:
             acc_slots = 1
         if w and k_scan > acc_slots * w:
@@ -542,6 +562,7 @@ class IVFIndex:
             per_probe=per_probe, approx_width=approx_width,
             probes_per_step=probes_per_step, group=self.group,
             final_merge=final_merge, acc_slots=acc_slots,
+            dma_pipeline=dma_pipeline,
         )
         return s[:b], i[:b]
 
@@ -779,7 +800,7 @@ class IVFIndex:
     static_argnames=("num_base", "k", "probes", "block_q", "union",
                      "interpret", "k_coarse", "per_probe", "approx_width",
                      "probes_per_step", "group", "final_merge",
-                     "acc_slots"),
+                     "acc_slots", "dma_pipeline"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
@@ -788,6 +809,7 @@ def _ivf_query_fused(
     per_probe: bool = False, approx_width: int = 0,
     probes_per_step: int = 1, group: int = 1,
     final_merge: str = "kernel", acc_slots: int = 1,
+    dma_pipeline: bool = False,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
@@ -897,6 +919,20 @@ def _ivf_query_fused(
             s, tl = jax.lax.top_k(pool_s, k)
             i = jnp.take_along_axis(pool_i, tl, axis=1)
             s = s - shift
+    elif dma_pipeline:
+        if scales_padded is not None:
+            raise ValueError("dma_pipeline does not support int8 scales")
+        k_scan = k_coarse if do_rescore else k
+        s, i = _ivf_query_pallas_dma(
+            q_kern, probe_ids, data_padded, ids_padded, k_scan, block_q,
+            interpret=interpret, acc_slots=max(acc_slots, 1),
+        )
+        if do_rescore:
+            s, i = rescore(s, i)
+        else:
+            s = s - shift
+        inv = jnp.argsort(order)
+        return s[inv], i[inv]
     else:
         k_scan = k_coarse if do_rescore else k
         s, i = _ivf_query_pallas(
@@ -1244,6 +1280,162 @@ def _ivf_kernel_idless(
         new_s, new_i = _topk_exact_merge_rounds(acc_s[...], acc_i[...], k)
         out_s_ref[...] = new_s
         out_i_ref[...] = new_i
+
+
+def _ivf_kernel_dma(
+    probes_ref, q_ref, data_hbm, ids_hbm, out_s_ref, out_i_ref,
+    acc_s, acc_i, data_buf, ids_buf, sem_d, sem_i,
+    *, k: int, n_probes: int, acc_slots: int = 1,
+):
+    """Manually double-buffered probe scan (VERDICT r4 task 5).
+
+    The auto-pipelined kernel pays a fixed ~3.3µs per GRID STEP that is
+    invariant to DMA bytes, dot dtype, and merge width (docs/ROUND3.md) —
+    a per-operand-fetch overhead of Mosaic's pipeline machinery. This
+    variant collapses the probe axis into ONE grid step per query block
+    and streams the probed cluster slabs HBM→VMEM itself with
+    ``make_async_copy`` into two rotating buffers: probe u+1's slab is in
+    flight while probe u's dot runs. data/ids live in ANY (HBM) memory
+    space; the scalar-prefetched probe ids drive the copy offsets.
+
+    Fold: full-slab-width per-lane-class running max (approx_width == Mc
+    semantics), ``acc_slots`` slots; ONE k-round merge at the end."""
+    i_b = pl.program_id(0)
+    mc = data_buf.shape[1]
+    block_q = q_ref.shape[0]
+    w = mc
+
+    def data_dma(slot, u):
+        return pltpu.make_async_copy(
+            data_hbm.at[probes_ref[i_b, u]],
+            data_buf.at[slot],
+            sem_d.at[slot],
+        )
+
+    def ids_dma(slot, u):
+        return pltpu.make_async_copy(
+            ids_hbm.at[probes_ref[i_b, u]],
+            ids_buf.at[slot],
+            sem_i.at[slot],
+        )
+
+    acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
+    acc_i[...] = jnp.full_like(acc_i, -1)
+    data_dma(0, 0).start()
+    ids_dma(0, 0).start()
+
+    if q_ref.dtype == jnp.float32 and data_buf.dtype in (
+        jnp.bfloat16, jnp.int8
+    ):
+        q = q_ref[...].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...]
+
+    def probe_step(u, _):
+        slot = jax.lax.rem(u, 2)
+        nxt = jax.lax.rem(u + 1, 2)
+
+        @pl.when(u + 1 < n_probes)
+        def _prefetch():
+            data_dma(nxt, u + 1).start()
+            ids_dma(nxt, u + 1).start()
+
+        data_dma(slot, u).wait()
+        ids_dma(slot, u).wait()
+        data = data_buf[slot].astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, data, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, Mc)
+        ids = ids_buf[slot][0]
+        ids_b = jnp.broadcast_to(ids[None, :], (block_q, mc))
+        s = jnp.where(ids_b >= 0, s, -jnp.inf)
+        if acc_slots == 1:
+            upd = s > acc_s[...]
+            acc_s[...] = jnp.where(upd, s, acc_s[...])
+            acc_i[...] = jnp.where(upd, ids_b, acc_i[...])
+        else:
+            disp_s, disp_i = s, ids_b
+            for s_idx in range(acc_slots):
+                a = acc_s[:, s_idx * w:(s_idx + 1) * w]
+                ai = acc_i[:, s_idx * w:(s_idx + 1) * w]
+                upd = disp_s > a
+                nds = jnp.where(upd, a, disp_s)
+                ndi = jnp.where(upd, ai, disp_i)
+                acc_s[:, s_idx * w:(s_idx + 1) * w] = jnp.where(
+                    upd, disp_s, a
+                )
+                acc_i[:, s_idx * w:(s_idx + 1) * w] = jnp.where(
+                    upd, disp_i, ai
+                )
+                disp_s, disp_i = nds, ndi
+        return 0
+
+    jax.lax.fori_loop(0, n_probes, probe_step, 0, unroll=False)
+    new_s, new_i = _topk_exact_merge_rounds(acc_s[...], acc_i[...], k)
+    out_s_ref[...] = new_s
+    out_i_ref[...] = new_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "interpret", "acc_slots"),
+)
+def _ivf_query_pallas_dma(
+    q,            # (B, D) padded to block_q
+    probe_list,   # (B/block_q, U) int32
+    data_padded,  # (C_tot, Mc, D)
+    ids_padded,   # (C_tot, Mc)
+    k: int,
+    block_q: int,
+    interpret: bool = False,
+    acc_slots: int = 1,
+):
+    """Double-buffered manual-DMA variant of _ivf_query_pallas (plain
+    deferred-merge path only; full-width fold). A/B target for the
+    per-grid-step fixed cost — see _ivf_kernel_dma."""
+    b, d = q.shape
+    n_blocks, u_tot = probe_list.shape
+    c_tot, mc, _ = data_padded.shape
+    if k > acc_slots * mc:
+        raise ValueError("k exceeds acc_slots * Mc")
+    if acc_slots > 1 and mc % 128:
+        raise ValueError("acc_slots > 1 needs a 128-aligned Mc")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, probes: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, probes: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, probes: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, acc_slots * mc), jnp.float32),
+            pltpu.VMEM((block_q, acc_slots * mc), jnp.int32),
+            pltpu.VMEM((2, mc, d), data_padded.dtype),
+            pltpu.VMEM((2, 1, mc), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        functools.partial(
+            _ivf_kernel_dma, k=k, n_probes=u_tot, acc_slots=acc_slots,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(probe_list, q, data_padded, ids_padded[:, None, :])
+    return out_s, out_i
 
 
 def _ivf_kernel(probes_ref, q_ref, data_ref, ids_ref,

@@ -37,6 +37,8 @@ class EncoderOutput(NamedTuple):
     hidden_states: Optional[jax.Array]      # (L+1, B, S, H) if requested
     moe_aux: Optional[jax.Array] = None     # scalar load-balance loss
                                             # (mean over layers) for MoE archs
+    moe_drop: Optional[jax.Array] = None    # scalar dropped-token fraction
+                                            # (mean over layers) for MoE archs
 
 
 # ---------------------------------------------------------------------------
@@ -279,13 +281,16 @@ def transformer_layer(
     cp_axis: Optional[str] = None,   # context-parallel mesh axis for
                                      # attention_impl="ring"/"ulysses"
     with_aux: bool = False,          # also return the MoE aux-loss scalar
+    segment_ids: Optional[jax.Array] = None,  # (B, S): packed-batch
+                                     # block-diagonal attention mask
 ) -> jax.Array:
     """One post-LN transformer block: MHA + residual + LN, FFN + residual +
     LN. Shared by the stock encoder scan, the theseus mixed stack
     (compress/theseus.py), and pruning rewires. For MoE archs
     (``arch.num_experts > 0``) the FFN is the routed expert block
-    (ops/moe.py); ``with_aux=True`` returns ``(out, aux)`` where aux is the
-    layer's load-balance loss (0.0 for dense archs)."""
+    (ops/moe.py); ``with_aux=True`` returns ``(out, aux, drop)`` where aux
+    is the layer's load-balance loss and drop its dropped-token fraction
+    (both 0.0 for dense archs)."""
     b, s, h = hx.shape
     nh, hd = arch.num_heads, arch.head_dim
     attn, mlp = lp["attn"], lp["mlp"]
@@ -363,6 +368,7 @@ def transformer_layer(
         performer_local_window=arch.performer_local_window,
         window_global_cls=arch.window_global_cls,
         cp_axis=cp_axis,
+        segment_ids=segment_ids,
     ).reshape(b, s, nh * hd)  # nh*hd < h after head pruning
     ctx = dense(ctx, attn["o"])
     ctx = _dropout(
@@ -374,10 +380,11 @@ def transformer_layer(
         arch.layer_norm_eps,
     )
     moe_aux = jnp.zeros((), jnp.float32)
+    moe_drop = jnp.zeros((), jnp.float32)
     if arch.num_experts > 0:
         from ..ops.moe import moe_ffn
 
-        ff, moe_aux = moe_ffn(
+        ff, moe_aux, moe_drop = moe_ffn(
             hx1, attention_mask,
             mlp["router"]["w"], mlp["in"]["w"], mlp["in"]["b"],
             mlp["out"]["w"], mlp["out"]["b"],
@@ -397,7 +404,7 @@ def transformer_layer(
         hx1 + ff, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
         arch.layer_norm_eps,
     )
-    return (out, moe_aux) if with_aux else out
+    return (out, moe_aux, moe_drop) if with_aux else out
 
 
 def embed_inputs(
@@ -410,6 +417,9 @@ def embed_inputs(
     precision: Precision = DEFAULT_PRECISION,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,  # (B, S) override — packed
+                                               # rows restart positions at
+                                               # each segment boundary
 ) -> jax.Array:
     """Word + position (+ token type) embeddings, LN, dropout — in the
     compute dtype. Shared by the stock forward and the theseus mixed
@@ -427,7 +437,9 @@ def embed_inputs(
         return jnp.take(table, idx, axis=0)
 
     x = take(emb["word"], input_ids)
-    if arch.position_offset:
+    if position_ids is not None:
+        x = x + take(emb["position"], position_ids)
+    elif arch.position_offset:
         # RoBERTa: padding tokens keep position = pad index; real tokens
         # get cumulative positions (create_position_ids_from_input_ids)
         m = attention_mask.astype(jnp.int32)
@@ -482,6 +494,10 @@ def encoder_forward(
     attention_impl: str = "auto",
     performer_step=None,   # train step for performer feature redraw
     remat: bool = False,   # rematerialize layer activations in backward
+    segment_ids: Optional[jax.Array] = None,  # (B, S): packed-batch
+                           # block-diagonal attention (data/packing.py)
+    position_ids: Optional[jax.Array] = None,  # (B, S): packed rows
+                           # restart positions per segment
 ) -> EncoderOutput:
     """Run the encoder. ``layer_gate`` supports theseus-style stochastic
     layer skipping and layer-drop distillation (reference semantics:
@@ -498,7 +514,7 @@ def encoder_forward(
     x = embed_inputs(
         params["embeddings"], input_ids, attention_mask, token_type_ids,
         arch=arch, precision=precision, deterministic=deterministic,
-        dropout_rng=dropout_rng,
+        dropout_rng=dropout_rng, position_ids=position_ids,
     )
 
     l = arch.num_layers
@@ -565,14 +581,18 @@ def encoder_forward(
             attention_impl=attention_impl,
             performer_proj=performer_proj,
             with_aux=moe,
+            segment_ids=segment_ids,
         )
         if moe:
-            hx2, aux = hx2
+            hx2, aux, drop = hx2
         out = gate * hx2 + (1.0 - gate) * hx
         out = out.astype(hx.dtype)
         if moe:
             # a gated-off layer contributes no aux (its FFN is discarded)
-            carry_out = (out, aux_acc + gate.astype(jnp.float32) * aux)
+            g = gate.astype(jnp.float32)
+            carry_out = (
+                out, aux_acc + g * jnp.stack([aux, drop])
+            )
         else:
             carry_out = out
         return carry_out, out if output_hidden_states else None
@@ -600,12 +620,13 @@ def encoder_forward(
             )
         else:
             body = jax.checkpoint(layer_body)
-    carry0 = (x, jnp.zeros((), jnp.float32)) if moe else x
+    carry0 = (x, jnp.zeros((2,), jnp.float32)) if moe else x
     final, ys = jax.lax.scan(body, carry0, scanned)
-    moe_aux = None
+    moe_aux = moe_drop = None
     if moe:
         final, aux_total = final
-        moe_aux = aux_total / l   # mean over layers
+        moe_aux = aux_total[0] / l   # mean over layers
+        moe_drop = aux_total[1] / l
 
     hidden_states = None
     if output_hidden_states:
@@ -618,7 +639,7 @@ def encoder_forward(
         w = dequant_weight(pw["w"])   # small (H, H) kernel
         pooler_out = jnp.tanh(cls @ w + pw["b"]).astype(final.dtype)
 
-    return EncoderOutput(final, pooler_out, hidden_states, moe_aux)
+    return EncoderOutput(final, pooler_out, hidden_states, moe_aux, moe_drop)
 
 
 def num_params(params) -> int:

@@ -43,6 +43,26 @@ def max_pool(hidden: jax.Array, mask: jax.Array) -> jax.Array:
     ).astype(hidden.dtype)
 
 
+def segment_mean_pool(
+    hidden: jax.Array,     # (B, S, H)
+    segments: jax.Array,   # (B, S) 1-based segment tag per token, 0 = pad
+    max_segments: int,     # static segments-per-row bound (owners width)
+) -> jax.Array:
+    """Per-segment masked mean for PACKED rows (data/packing.py): one
+    fixed-width row carries several sentences separated by segment tags;
+    each gets its own embedding. Returns (B, max_segments, H); empty
+    segment slots come out zero. One (B,S,M)x(B,S,H) einsum — MXU-friendly
+    and shape-static (M is the packing layout's owners width)."""
+    tags = jnp.arange(1, max_segments + 1, dtype=segments.dtype)
+    oh = (segments[:, :, None] == tags[None, None, :]).astype(jnp.float32)
+    summed = jnp.einsum(
+        "bsm,bsh->bmh", oh, hidden.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    count = jnp.maximum(jnp.sum(oh, axis=1), 1e-9)    # (B, M)
+    return (summed / count[..., None]).astype(hidden.dtype)
+
+
 def bert_pooler(hidden: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     cls = hidden[:, 0, :].astype(jnp.float32)
     return jnp.tanh(cls @ w + b).astype(hidden.dtype)

@@ -31,7 +31,7 @@ from ..core.precision import Precision, DEFAULT_PRECISION, precision_for
 from ..core import checkpoint as ckpt
 from ..data.batching import LengthBucketBatcher, BUCKETS
 from .encoder import encoder_forward, init_params
-from .pooling import mean_pool, cls_pool, max_pool
+from .pooling import mean_pool, cls_pool, max_pool, segment_mean_pool
 
 
 class SentenceEncoder:
@@ -150,6 +150,139 @@ class SentenceEncoder:
             )
             outs.append(emb[: self.STACK - pad if pad else self.STACK])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    # ------------------------------------------------------------------
+    # Packed encode (data/packing.py): several short sentences per fixed
+    # row, separated by a block-diagonal attention mask + per-segment
+    # positions, pooled per segment. The throughput lever for short-text
+    # traffic where bucketing still pads most of every row (generalizes
+    # the reference's length-sorted batching, sentence_encoder.py:138).
+    # ------------------------------------------------------------------
+
+    def _jitted_packed(self, shape, max_segments: int):
+        key = ("packed", shape, max_segments)
+        if key not in self._jit_cache:
+            arch, precision, pooling = self.arch, self.precision, self.pooling
+            if pooling != "mean":
+                raise ValueError(
+                    "packed encode supports mean pooling only"
+                )
+
+            def fn(params, ids, segments, positions):
+                mask = (segments > 0).astype(jnp.int32)
+                out = encoder_forward(
+                    params, ids, mask, arch=arch, precision=precision,
+                    segment_ids=segments, position_ids=positions,
+                )
+                emb = segment_mean_pool(
+                    out.last_hidden_state, segments, max_segments
+                )  # (B, M, H)
+                if "projection" in params:
+                    from .encoder import dequant_weight
+
+                    pw = params["projection"]
+                    emb = (
+                        emb.astype(jnp.float32) @ dequant_weight(pw["w"])
+                        + pw["b"]
+                    )
+                emb = emb.astype(jnp.float32)
+                norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))
+                return emb / jnp.maximum(norm, 1e-12)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def embed_tokens_packed(self, ids, segments, positions) -> jax.Array:
+        """Embed a packed (R, W) layout → (R, max_segments, D); slot
+        (r, m) holds the embedding of the row's m-th packed sequence
+        (zeros for empty slots)."""
+        ids = jnp.asarray(ids, jnp.int32)
+        segments = jnp.asarray(segments, jnp.int32)
+        positions = jnp.asarray(positions, jnp.int32)
+        max_seg = int(np.max(np.asarray(jnp.max(segments))))
+        return self._jitted_packed(ids.shape, max_seg)(
+            self.params, ids, segments, positions
+        )
+
+    def encode_packed(
+        self,
+        texts: Sequence[str],
+        width: int = 128,
+        rows_per_batch: int = 256,
+        max_len: int = 128,
+        max_segments: int = 0,   # 0 = derive from the layout (varies per
+                                 # corpus → one compile per distinct value;
+                                 # pass a fixed bound for serving)
+    ) -> np.ndarray:
+        """Encode texts via greedy packing → (N, D) normalized fp32.
+        Same output contract as ``encode`` (row i ↔ texts[i])."""
+        from ..data.packing import pack_sequences
+
+        if self.tokenizer is None:
+            raise ValueError("encoder has no tokenizer; use embed_tokens")
+        if hasattr(self.tokenizer, "tokenize_many"):
+            body = self.tokenizer.tokenize_many(texts)
+            row_ids = [
+                [self.tokenizer.cls_id] + r[: max_len - 2]
+                + [self.tokenizer.sep_id]
+                for r in body
+            ]
+        elif hasattr(self.tokenizer, "tokenize_to_ids"):
+            row_ids = [
+                [self.tokenizer.cls_id]
+                + self.tokenizer.tokenize_to_ids(t)[: max_len - 2]
+                + [self.tokenizer.sep_id]
+                for t in texts
+            ]
+        else:
+            ids_all, mask_all = self.tokenizer.encode_batch(texts, max_len)
+            row_ids = [
+                list(ids_all[i, : mask_all[i].sum()])
+                for i in range(len(texts))
+            ]
+        packed = pack_sequences(
+            row_ids, width, pad_id=self.tokenizer.pad_id
+        )
+        m = max_segments or int(packed["owners"].shape[1])
+        if packed["owners"].shape[1] > m:
+            raise ValueError(
+                f"layout needs {packed['owners'].shape[1]} segment slots, "
+                f"max_segments={m}"
+            )
+        r = packed["ids"].shape[0]
+        fn = self._jitted_packed((rows_per_batch, width), m)
+        out = np.zeros((len(texts), self.embedding_dim), np.float32)
+        pending = []
+        for st in range(0, r, rows_per_batch):
+            chunk = {
+                k: packed[k][st:st + rows_per_batch]
+                for k in ("ids", "segments", "positions", "owners")
+            }
+            pad = rows_per_batch - chunk["ids"].shape[0]
+            if pad:
+                for k in ("ids", "segments", "positions"):
+                    chunk[k] = np.pad(chunk[k], ((0, pad), (0, 0)))
+                chunk["owners"] = np.pad(
+                    chunk["owners"], ((0, pad), (0, 0)),
+                    constant_values=-1,
+                )
+            ow = chunk["owners"]
+            if ow.shape[1] < m:
+                ow = np.pad(
+                    ow, ((0, 0), (0, m - ow.shape[1])), constant_values=-1
+                )
+            emb = fn(
+                self.params,
+                jnp.asarray(chunk["ids"], jnp.int32),
+                jnp.asarray(chunk["segments"], jnp.int32),
+                jnp.asarray(chunk["positions"], jnp.int32),
+            )
+            pending.append((ow, emb))  # async dispatch; sync once below
+        for ow, emb in pending:
+            emb_h = np.asarray(emb)   # (R, M, D)
+            sel = ow >= 0
+            out[ow[sel]] = emb_h[sel]
+        return out
 
     # ------------------------------------------------------------------
     # Text API

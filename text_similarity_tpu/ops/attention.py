@@ -34,6 +34,10 @@ def attention_reference(
     window: int = 0,  # >0: banded (local) attention, |i-j| <= window
     global_cls: bool = True,
     causal: bool = False,
+    segment_ids: Optional[jax.Array] = None,  # (B, S) int; tokens attend
+                                              # only within their segment
+                                              # (greedy sequence packing —
+                                              # block-diagonal mask)
 ) -> jax.Array:
     """Exact softmax attention; softmax reduces in fp32. ``window`` gives
     the Longformer-style sliding-window variant (the reference converts
@@ -55,6 +59,11 @@ def attention_reference(
     if mask is not None:
         bias = jnp.where(mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
         logits = logits + bias
+    if segment_ids is not None:
+        # packed rows: token i sees token j iff they belong to the same
+        # packed sequence — the block-diagonal mask of greedy packing
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        logits = jnp.where(same, logits, NEG_INF)
     if window > 0 or causal:
         qi = jnp.arange(s)[:, None]
         kj = jnp.arange(s)[None, :]
@@ -763,6 +772,9 @@ def multi_head_attention(
     performer_local_window: int = 64,
     window_global_cls: bool = False,
     cp_axis: Optional[str] = None,
+    segment_ids: Optional[jax.Array] = None,  # (B, S): block-diagonal
+                                              # packing mask (reference/
+                                              # auto≤2048 impl only)
 ) -> jax.Array:
     """Dispatching MHA. impl: auto | flash | reference | performer |
     ring | ulysses.
@@ -777,6 +789,11 @@ def multi_head_attention(
     carry this device's SEQUENCE slice and ``cp_axis`` names the mesh
     axis (must be called inside shard_map — models/long_context.py wires
     the full encoder)."""
+    if segment_ids is not None and impl not in ("auto", "reference"):
+        raise ValueError(
+            "segment_ids (packed batches) is only supported by the "
+            "reference/auto attention path"
+        )
     if impl in ("ring", "ulysses"):
         if cp_axis is None:
             raise ValueError(f"impl={impl!r} needs cp_axis (inside shard_map)")
@@ -846,6 +863,7 @@ def multi_head_attention(
         use_flash = (
             _on_tpu()
             and head_mask is None
+            and segment_ids is None
             and q.shape[1] % 128 == 0
             and q.shape[1] >= 4096
         )
@@ -873,5 +891,5 @@ def multi_head_attention(
         )
     return attention_reference(
         q, k, v, mask, head_mask, window=window,
-        global_cls=window_global_cls,
+        global_cls=window_global_cls, segment_ids=segment_ids,
     )

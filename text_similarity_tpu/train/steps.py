@@ -91,9 +91,13 @@ def _encoder_out(
     return EncoderOutput(hidden, pooler_out, None)
 
 
-def _moe_aux_of(out) -> jax.Array:
-    """Scalar MoE load-balance aux of an EncoderOutput (0.0 for dense)."""
-    return out.moe_aux if out.moe_aux is not None else jnp.zeros((), jnp.float32)
+def _moe_stats_of(out) -> jax.Array:
+    """(2,) [load-balance aux, dropped-token fraction] of an EncoderOutput
+    (zeros for dense archs — and for the PP forward, which rejects MoE)."""
+    if out.moe_aux is None:
+        return jnp.zeros((2,), jnp.float32)
+    drop = out.moe_drop if out.moe_drop is not None else jnp.zeros((), jnp.float32)
+    return jnp.stack([out.moe_aux, drop])
 
 
 def _embed(
@@ -101,7 +105,7 @@ def _embed(
     layer_gate=None, remat=False, performer_step=None,
     pp_mesh=None, pp_microbatches=None,
 ):
-    """→ (pooled (B, D), moe_aux scalar — 0.0 for dense archs)."""
+    """→ (pooled (B, D), (2,) [moe aux, moe drop] — zeros for dense)."""
     out = _encoder_out(
         enc_params, ids, mask, arch=arch, precision=precision, rng=rng,
         deterministic=deterministic, layer_gate=layer_gate, remat=remat,
@@ -117,7 +121,7 @@ def _embed(
         # targets in compress/distill.py; matches SentenceEncoder.encode)
         pw = enc_params["projection"]
         pooled = pooled.astype(jnp.float32) @ pw["w"] + pw["b"]
-    return pooled, _moe_aux_of(out)
+    return pooled, _moe_stats_of(out)
 
 
 def init_sharded_train_state(
@@ -236,8 +240,9 @@ def make_bi_encoder_train_step(
             raise ValueError(f"unknown loss {loss_type}")
         if arch.num_experts > 0:
             moe = 0.5 * (moe_u + moe_v)
-            loss = loss + arch.moe_aux_weight * moe
-            aux["moe_aux"] = moe
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
         return loss, aux
 
     def step(state: TrainState, batch) -> tuple:
@@ -269,7 +274,7 @@ def classifier_forward(
 ):
     """Encoder → pool → linear head → logits. The TransformerWrapper
     forward (reference modeling.py:101-116). ``with_moe_aux=True`` returns
-    ``(logits, moe_aux)`` for MoE archs' load-balance term."""
+    ``(logits, (2,) [moe aux, moe drop])`` for MoE archs."""
     out = _encoder_out(
         params["encoder"], ids, mask, type_ids, arch=arch,
         precision=precision, deterministic=deterministic, rng=rng,
@@ -287,7 +292,7 @@ def classifier_forward(
     logits = (
         pooled.astype(jnp.float32) @ dequant_weight(head["w"]) + head["b"]
     )
-    return (logits, _moe_aux_of(out)) if with_moe_aux else logits
+    return (logits, _moe_stats_of(out)) if with_moe_aux else logits
 
 
 def init_classifier_head(key, in_dim: int, num_classes: int) -> dict:
@@ -330,8 +335,9 @@ def make_classifier_train_step(
         loss = L.cross_entropy_loss(logits, batch["labels"], valid)
         aux = {"accuracy": _masked_accuracy(logits, batch["labels"], valid)}
         if arch.num_experts > 0:
-            loss = loss + arch.moe_aux_weight * moe
-            aux["moe_aux"] = moe
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
         return loss, aux
 
     def step(state: TrainState, batch):
@@ -366,7 +372,7 @@ def token_classifier_forward(
     head = params["head"]
     h = out.last_hidden_state.astype(jnp.float32)
     logits = jnp.einsum("bsh,ht->bst", h, head["w"]) + head["b"]
-    return (logits, _moe_aux_of(out)) if with_moe_aux else logits
+    return (logits, _moe_stats_of(out)) if with_moe_aux else logits
 
 
 def make_token_classifier_train_step(
@@ -397,8 +403,9 @@ def make_token_classifier_train_step(
         acc = jnp.sum((pred == tags) * w) / jnp.maximum(jnp.sum(w), 1.0)
         aux = {"accuracy": acc}
         if arch.num_experts > 0:
-            loss = loss + arch.moe_aux_weight * moe
-            aux["moe_aux"] = moe
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
         return loss, aux
 
     def step(state: TrainState, batch):
@@ -441,7 +448,7 @@ def make_word_encoder_train_step(
             deterministic=False, rng=rng,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
-        return word_span_pool(out.last_hidden_state, span), _moe_aux_of(out)
+        return word_span_pool(out.last_hidden_state, span), _moe_stats_of(out)
 
     def loss_fn(params, batch, rng):
         enc = params["encoder"]
@@ -462,8 +469,9 @@ def make_word_encoder_train_step(
         aux = {}
         if arch.num_experts > 0:
             moe = 0.5 * (moe_u + moe_v)
-            loss = loss + arch.moe_aux_weight * moe
-            aux["moe_aux"] = moe
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
         return loss, aux
 
     def step(state: TrainState, batch):
@@ -546,7 +554,7 @@ def mlm_forward(
     )
     if "mlm_bias" in params:
         logits = logits + params["mlm_bias"]
-    return (logits, _moe_aux_of(out)) if with_moe_aux else logits
+    return (logits, _moe_stats_of(out)) if with_moe_aux else logits
 
 
 def make_mlm_train_step(
@@ -581,8 +589,9 @@ def make_mlm_train_step(
         n_pred = jnp.sum((labels >= 0).astype(jnp.float32))
         aux = {"masked_tokens": n_pred}
         if arch.num_experts > 0:
-            loss = loss + arch.moe_aux_weight * moe
-            aux["moe_aux"] = moe
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
         return loss, aux
 
     def step(state: TrainState, batch):
