@@ -307,3 +307,63 @@ def test_router_fuzz_vs_numpy_oracle():
             ((valid[None, :] > 0) & ~ok_).sum() / (k * n_valid),
             atol=1e-6, err_msg=str(ctx),
         )
+
+
+def test_moe_int8_expert_gemms_close_to_f32():
+    """Quantized expert kernels ({"q","s"} leaves) run int8 batched GEMMs
+    inside moe_ffn; outputs stay close to the f32 forward and the router
+    (fp32) picks the same experts."""
+    from text_similarity_tpu.compress.quantize import _quant_leaf
+
+    rng = np.random.default_rng(5)
+    b, s, h, i, e = 2, 16, 32, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, s, h)).astype(np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+    rw = jnp.asarray(rng.normal(size=(h, e)).astype(np.float32))
+    wi = jnp.asarray(rng.normal(size=(e, h, i)).astype(np.float32)) * 0.1
+    bi = jnp.asarray(rng.normal(size=(e, i)).astype(np.float32)) * 0.1
+    wo = jnp.asarray(rng.normal(size=(e, i, h)).astype(np.float32)) * 0.1
+    bo = jnp.asarray(rng.normal(size=(e, h)).astype(np.float32)) * 0.1
+    y, aux, drop = moe_ffn(x, mask, rw, wi, bi, wo, bo, top_k=2)
+    y8, aux8, drop8 = moe_ffn(
+        x, mask, rw, _quant_leaf(wi), bi, _quant_leaf(wo), bo, top_k=2
+    )
+    # same routing (router is fp32 in both), small quantization error
+    np.testing.assert_allclose(float(aux), float(aux8), atol=1e-6)
+    np.testing.assert_allclose(float(drop), float(drop8), atol=1e-6)
+    err = np.abs(np.asarray(y) - np.asarray(y8)).max()
+    scale = np.abs(np.asarray(y)).max()
+    assert err < 0.05 * scale + 1e-3, (err, scale)
+
+
+def test_moe_encoder_to_int8_forward():
+    """SentenceEncoder.to_int8 on an MoE arch quantizes expert kernels
+    (4-D leaves) and the forward still runs, close to the dequantized
+    oracle; the router weight stays a dense fp32 array."""
+    from text_similarity_tpu.compress.quantize import dequantize_params
+    from text_similarity_tpu.models.encoder import encoder_forward, init_params
+    from text_similarity_tpu.models.sentence_encoder import SentenceEncoder
+    from text_similarity_tpu.core.precision import precision_for
+
+    arch = _tiny_moe_arch()
+    params = init_params(jax.random.PRNGKey(0), arch)
+    enc = SentenceEncoder(
+        params, arch, tokenizer=None, pooling="mean",
+        precision=precision_for(False),
+    ).to_int8()
+    q = enc.params["layers"]["mlp"]["in"]["w"]
+    assert isinstance(q, dict) and q["q"].dtype == jnp.int8
+    assert q["q"].ndim == 4 and q["s"].shape == (2, 4, 1, 64)
+    router = enc.params["layers"]["mlp"]["router"]["w"]
+    assert not isinstance(router, dict)  # router stays fp32
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    mask = jnp.ones((2, 16), jnp.int32)
+    emb8 = np.asarray(enc.embed_tokens(ids, mask))
+    deq = dequantize_params(enc.params, dtype=jnp.float32)
+    ref = encoder_forward(deq, ids, mask, arch=arch)
+    from text_similarity_tpu.models.pooling import mean_pool
+    from text_similarity_tpu.ops.topk import l2_normalize
+    refp = np.asarray(l2_normalize(mean_pool(ref.last_hidden_state, mask)))
+    # int8 activation quant error only (weights identical post-dequant)
+    assert np.abs(emb8 - refp).max() < 0.1

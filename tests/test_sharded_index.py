@@ -131,14 +131,14 @@ def test_sharded_ivf_query_slices_padded_batch(eight_devices):
     assert (i[:, 0] == np.arange(20)).all()
 
 
-def test_sharded_ivf_global_clusters_64k_recall(eight_devices):
-    """North-star parity gate (BASELINE config 5 / VERDICT r2 weak #5):
-    sharded IVF with globally-consistent k-means must reach
-    recall@10 >= 0.95 vs the sharded brute-force oracle on a >=64k-row
-    clustered corpus — a real-scale gate, not the 4k toy check."""
+def test_sharded_ivf_global_clusters_256k_recall(eight_devices):
+    """North-star parity gate (BASELINE config 5; gate raised 64k → 256k
+    per VERDICT r4 task 4): sharded IVF with globally-consistent k-means
+    must reach recall@10 >= 0.95 vs the sharded brute-force oracle on a
+    262k-row clustered corpus."""
     mesh = make_mesh(data=1, model=1, index=8)
     rng = np.random.RandomState(7)
-    n, d, n_centers = 65536, 64, 512
+    n, d, n_centers = 262144, 64, 512
     centers = rng.randn(n_centers, d).astype(np.float32)
     # sort rows by center: shards see DISJOINT regions of the space —
     # the regime where shard-local k-means mis-models the global geometry
@@ -148,9 +148,9 @@ def test_sharded_ivf_global_clusters_64k_recall(eight_devices):
     ))
     q = l2_normalize(x[:: n // 64][:64] + 0.05)
 
-    cfg = IndexConfig(num_clusters=256, num_probes=16, kmeans_iters=6)
+    cfg = IndexConfig(num_clusters=512, num_probes=20, kmeans_iters=5)
     sharded = ShardedIVFIndex.build(mesh, x, cfg)
-    assert sharded.centroids.shape[0] == 256  # global clusters, not per-shard
+    assert sharded.centroids.shape[0] == 512  # global clusters, not per-shard
     _, i = sharded.query(q, k=10)
 
     oracle = ShardedBruteForceIndex.build(mesh, x)

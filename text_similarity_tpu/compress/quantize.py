@@ -27,16 +27,14 @@ import numpy as np
 
 
 def _quant_leaf(w: jax.Array) -> Dict[str, jax.Array]:
-    """Per-output-channel (last axis) symmetric int8. Stacked layer
-    kernels (L, ..., out) keep the leading L axis too — a shared scale
-    across layers would let one layer's outlier channel inflate every
-    other layer's quantization error."""
+    """Per-output-channel (last axis) symmetric int8, reducing only the
+    contraction axis (-2). Leading axes — stacked layers L, experts E —
+    each keep their own scales: a shared scale across layers/experts
+    would let one outlier channel inflate every other one's quantization
+    error. (For 2-D (in, out) kernels and (V, H) embedding tables the
+    -2 reduction is the classic per-column scale.)"""
     w32 = w.astype(jnp.float32)
-    red = (
-        tuple(range(1, w.ndim - 1)) if w.ndim >= 3
-        else tuple(range(w.ndim - 1))
-    )
-    amax = jnp.max(jnp.abs(w32), axis=red, keepdims=True)
+    amax = jnp.max(jnp.abs(w32), axis=w.ndim - 2, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
     return {"q": q, "s": scale.astype(jnp.float32)}
@@ -51,10 +49,10 @@ def quantize_params_int8(params) -> dict:
             # MoE router logits feed a softmax — precision-sensitive and
             # tiny (H, E); keep fp32
             return leaf
-        # MoE expert kernels are 4-D (L, E, ·, ·); the int8 forward path
-        # (_int8_dense / moe_ffn) has no int8 expert GEMM — leave them in
-        # the float dtype
-        is_kernel = 2 <= leaf.ndim <= 3 and (
+        # 4-D = stacked MoE expert kernels (L, E, ·, ·): per-(layer,
+        # expert, out-channel) scales; moe_ffn runs them as int8 batched
+        # GEMMs with dynamic per-slot activation quant
+        is_kernel = 2 <= leaf.ndim <= 4 and (
             names[-1] == "w" or names[-1] in ("word", "position", "token_type")
         )
         if is_kernel:

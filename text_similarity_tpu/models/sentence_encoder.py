@@ -455,7 +455,9 @@ class SentenceEncoder:
         dynamic per-token activation quantization and int8×int8→int32
         MXU dots (2× the bf16 MXU rate on v5e, half the weight HBM
         stream) — the TPU-native form of the reference's onnxruntime
-        int8 serving (model_compression.py:784-791). Inference-only."""
+        int8 serving (model_compression.py:784-791). MoE expert kernels
+        quantize too (batched int8 GEMMs, ops/moe.expert_gemm); only the
+        softmax-sensitive router stays fp32. Inference-only."""
         from ..compress.quantize import quantize_params_int8
 
         self.params = quantize_params_int8(self.params)

@@ -33,6 +33,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _dyn_quant_slots(x: jax.Array):
+    """Per-slot (last-axis) symmetric int8: (E, C, H) → int8 + (E, C, 1)
+    fp32 scales (the dispatch-batch analogue of encoder._dyn_quant_tokens)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def expert_capacity(
     num_tokens: int,
     num_experts: int,
@@ -184,19 +194,27 @@ def moe_ffn(
 
     # ---- expert GEMMs: fixed-shape batched matmuls over the E axis (the
     # EP shard axis — wi/wo shard on dim 0, GSPMD partitions the batch).
-    hidden = (
-        jnp.einsum(
-            "ech,ehi->eci", xe, wi.astype(xe.dtype),
-            preferred_element_type=accum_dtype,
+    # Quantized experts ({"q": int8 (E,·,·), "s": (E,1,out)} leaves from
+    # compress/quantize) run int8×int8→int32 with dynamic per-slot
+    # activation quant — the MoE analogue of _int8_dense.
+    def expert_gemm(x_, w, spec):
+        if isinstance(w, dict) and "q" in w:
+            xq, xs = _dyn_quant_slots(x_)
+            y = jnp.einsum(
+                spec, xq, w["q"], preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            return y * xs.astype(jnp.float32) * w["s"].astype(jnp.float32)
+        return jnp.einsum(
+            spec, x_, w.astype(x_.dtype), preferred_element_type=accum_dtype
         )
+
+    hidden = (
+        expert_gemm(xe, wi, "ech,ehi->eci")
         + bi[:, None].astype(accum_dtype)
     )
     hidden = activation(hidden.astype(jnp.float32)).astype(xe.dtype)
     ye = (
-        jnp.einsum(
-            "eci,eih->ech", hidden, wo.astype(xe.dtype),
-            preferred_element_type=accum_dtype,
-        )
+        expert_gemm(hidden, wo, "eci,eih->ech")
         + bo[:, None].astype(accum_dtype)
     ).astype(xe.dtype)
 
