@@ -316,3 +316,29 @@ def test_cli_train_moe(tmp_path, sts_file):
     assert enc.params["layers"]["mlp"]["in"]["w"].shape[1] == 2
     emb = enc.encode(SENTS[:4])
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_cli_encode_packed_matches_bucketed(tmp_path, capsys):
+    """`encode` writes (N, D) embeddings; --packed (greedy packing +
+    block-diagonal attention) matches the bucketed path row-for-row."""
+    sts = tmp_path / "sts.tsv"
+    sts.write_text("\n".join(
+        f"{a}\t{b}\t3.0" for a, b in zip(SENTS, SENTS[1:] + SENTS[:1])
+    ))
+    main(_base_args(tmp_path, ["train-sts", "--data", str(sts), "--no-eval"]))
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(SENTS))
+    main([
+        "encode", "--model", str(tmp_path / "run"), "--corpus", str(corpus),
+        "--out", str(tmp_path / "emb.npy"), "--fp32",
+        "--save-path", str(tmp_path / "x"), "--width", "32",
+    ])
+    main([
+        "encode", "--model", str(tmp_path / "run"), "--corpus", str(corpus),
+        "--out", str(tmp_path / "emb_packed.npy"), "--fp32", "--packed",
+        "--save-path", str(tmp_path / "x"), "--width", "32",
+    ])
+    a = np.load(tmp_path / "emb.npy")
+    b = np.load(tmp_path / "emb_packed.npy")
+    assert a.shape == b.shape == (len(SENTS), a.shape[1])
+    np.testing.assert_allclose(a, b, atol=2e-4)

@@ -841,6 +841,28 @@ def cmd_eval_tatoeba(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_encode(args):
+    """Embed a text file → (N, D) fp32 .npy (the reference's encode_text
+    as a batch tool, sentence_encoder.py:133-173). ``--packed`` packs
+    short sentences several-per-row behind a block-diagonal attention
+    mask (data/packing.py) — the short-text throughput path."""
+    import numpy as np
+
+    from ..models.sentence_encoder import SentenceEncoder
+
+    enc = SentenceEncoder.load(args.model, bf16=not args.fp32)
+    with open(args.corpus, encoding="utf-8") as f:
+        texts = [l.strip() for l in f if l.strip()]
+    if args.packed:
+        emb = enc.encode_packed(
+            texts, width=args.width, max_len=args.width
+        )
+    else:
+        emb = enc.encode(texts, max_len=args.width)
+    np.save(args.out, np.asarray(emb))
+    print(f"encoded {len(texts)} texts -> {args.out} {emb.shape}")
+
+
 def cmd_search(args):
     from ..models.sentence_encoder import SentenceEncoder
     from ..pipelines import SemanticSearchPipeline
@@ -1106,6 +1128,18 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--data", required=True)
         p.add_argument("--max-pairs", type=int, default=5000)
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("encode"); _common(p)
+    p.add_argument("--corpus", required=True,
+                   help="text file, one sentence per line")
+    p.add_argument("--out", required=True, help="output .npy path")
+    p.add_argument("--packed", action="store_true",
+                   help="greedy sequence packing: several short "
+                        "sentences per row behind a block-diagonal "
+                        "attention mask (short-text throughput)")
+    p.add_argument("--width", type=int, default=128,
+                   help="row width / max tokens per sentence")
+    p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("search"); _common(p)
     p.add_argument("--corpus", required=True)
