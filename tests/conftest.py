@@ -21,12 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Compile cache: a no-op on CPU platforms by design (core/cache.py) — CPU
-# executables are host-specific (r3: foreign-host SIGILL from the shipped
-# cache) and cheap to recompile. The call pins that invariant here.
+# Compile cache: CPU platforms cache in a MACHINE-LOCAL tmp dir, never in
+# the repo (core/cache.py) — CPU executables are host-specific (r3:
+# foreign-host SIGILL from the shipped cache). Warm local reruns of the
+# suite skip recompiles.
 from text_similarity_tpu.core.cache import setup_compile_cache  # noqa: E402
 
-assert setup_compile_cache() is None
+_cache_dir = setup_compile_cache()
+assert _cache_dir is not None and ".jax_cache" not in _cache_dir
 
 import pytest  # noqa: E402
 

@@ -135,3 +135,26 @@ def test_segment_attention_blocks_cross_talk():
     out2 = np.asarray(attention_reference(q, k2, v2, segment_ids=segs))
     np.testing.assert_allclose(out1[0, :4], out2[0, :4], atol=1e-6)
     assert np.abs(out1[0, 4:] - out2[0, 4:]).max() > 1e-3
+
+
+def test_packed_encode_dp_sharded_matches(eight_devices):
+    """Packed embed under a data mesh (rows sharded over devices) matches
+    the unsharded packed embed."""
+    from text_similarity_tpu.core.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    width = 64
+    rows = _rand_rows(rng, 32, width, vocab=120)
+    enc = _tiny_encoder()
+    packed = pack_sequences(rows, width, pad_id=0)
+    r = packed["ids"].shape[0]
+    pad = (-r) % 8  # row count must split over the 8-way data axis
+    ids = np.pad(packed["ids"], ((0, pad), (0, 0)))
+    segs = np.pad(packed["segments"], ((0, pad), (0, 0)))
+    pos = np.pad(packed["positions"], ((0, pad), (0, 0)))
+    ref = np.asarray(enc.embed_tokens_packed(ids, segs, pos))
+
+    enc_sharded = _tiny_encoder()
+    enc_sharded.mesh = make_mesh(data=8)
+    out = np.asarray(enc_sharded.embed_tokens_packed(ids, segs, pos))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

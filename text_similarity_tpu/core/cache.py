@@ -49,10 +49,14 @@ def resolve_cache_dir(
     toks = set((plat or "").lower().replace(",", " ").split())
     if toks & {"tpu", "axon"} and "cpu" not in toks:
         return base
-    # cpu — or unknown, which on a foreign host resolves to cpu: never
-    # persist host-specific CPU executables (SIGILL across hosts, AOT
-    # feature-mismatch warnings even within one)
-    return None
+    # cpu — or unknown, which on a foreign host resolves to cpu: CPU
+    # executables are host-specific (SIGILL across hosts), so they cache
+    # only in this MACHINE's tmp dir — never inside the repo where they
+    # could ship to another host. (Same-host reuse across processes is
+    # safe; XLA's AOT loader prints benign feature-preference warnings.)
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "ts_tpu_jax_cache_cpu")
 
 
 def setup_compile_cache(root: Optional[str] = None) -> Optional[str]:

@@ -189,7 +189,17 @@ class SentenceEncoder:
                 norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))
                 return emb / jnp.maximum(norm, 1e-12)
 
-            self._jit_cache[key] = jax.jit(fn)
+            if self.mesh is not None:
+                rows = NamedSharding(self.mesh, P(DATA_AXIS, None))
+                self._jit_cache[key] = jax.jit(
+                    fn,
+                    in_shardings=(None, rows, rows, rows),
+                    out_shardings=NamedSharding(
+                        self.mesh, P(DATA_AXIS, None, None)
+                    ),
+                )
+            else:
+                self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def embed_tokens_packed(self, ids, segments, positions) -> jax.Array:
