@@ -993,3 +993,18 @@ def test_ivf_dma_pipeline_multislot_recall():
         for r in range(32)
     ])
     assert rec >= exact_rec - 0.02, (rec, exact_rec)
+
+
+def test_ivf_dma_pipeline_buffer_depths_match():
+    """3- and 4-deep DMA buffering return identical results to 2-deep
+    (scheduling only — the HW A/B knob must not change semantics)."""
+    x = _clustered_corpus(n=2000, d=32, n_clusters=10)
+    cfg = IndexConfig(num_clusters=16, num_probes=6, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(x[:32] + 0.01)
+    _, i2 = ivf.query(q, k=5, impl="pallas", dma_pipeline=True)
+    for nb in (3, 4):
+        _, ib = ivf.query(
+            q, k=5, impl="pallas", dma_pipeline=True, dma_buffers=nb
+        )
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ib))

@@ -458,6 +458,8 @@ class IVFIndex:
                                     # collision loss ~k^{S+1}/(S+1)!w^S —
                                     # falling back to the exact merge when
                                     # no slot count bounds the loss.
+        dma_buffers: int = 2,        # DMA buffer depth (2-4) for the
+                                     # manual pipeline below
         dma_pipeline: bool = False,  # manually double-buffered probe DMA
                                      # (one grid step per query block;
                                      # _ivf_kernel_dma) — the r4 A/B
@@ -562,7 +564,7 @@ class IVFIndex:
             per_probe=per_probe, approx_width=approx_width,
             probes_per_step=probes_per_step, group=self.group,
             final_merge=final_merge, acc_slots=acc_slots,
-            dma_pipeline=dma_pipeline,
+            dma_pipeline=dma_pipeline, dma_buffers=dma_buffers,
         )
         return s[:b], i[:b]
 
@@ -800,7 +802,7 @@ class IVFIndex:
     static_argnames=("num_base", "k", "probes", "block_q", "union",
                      "interpret", "k_coarse", "per_probe", "approx_width",
                      "probes_per_step", "group", "final_merge",
-                     "acc_slots", "dma_pipeline"),
+                     "acc_slots", "dma_pipeline", "dma_buffers"),
 )
 def _ivf_query_fused(
     queries, centroids, data_padded, ids_padded, scales_padded,
@@ -809,7 +811,7 @@ def _ivf_query_fused(
     per_probe: bool = False, approx_width: int = 0,
     probes_per_step: int = 1, group: int = 1,
     final_merge: str = "kernel", acc_slots: int = 1,
-    dma_pipeline: bool = False,
+    dma_pipeline: bool = False, dma_buffers: int = 2,
 ):
     """normalize → sort queries by nearest centroid → block-probe-union →
     pallas scan → unsort, as ONE compiled call.
@@ -926,6 +928,7 @@ def _ivf_query_fused(
         s, i = _ivf_query_pallas_dma(
             q_kern, probe_ids, data_padded, ids_padded, k_scan, block_q,
             interpret=interpret, acc_slots=max(acc_slots, 1),
+            n_buffers=dma_buffers,
         )
         if do_rescore:
             s, i = rescore(s, i)
@@ -1285,7 +1288,7 @@ def _ivf_kernel_idless(
 def _ivf_kernel_dma(
     probes_ref, q_ref, data_hbm, ids_hbm, out_s_ref, out_i_ref,
     acc_s, acc_i, data_buf, ids_buf, sem_d, sem_i,
-    *, k: int, n_probes: int, acc_slots: int = 1,
+    *, k: int, n_probes: int, acc_slots: int = 1, n_buffers: int = 2,
 ):
     """Manually double-buffered probe scan (VERDICT r4 task 5).
 
@@ -1321,8 +1324,10 @@ def _ivf_kernel_dma(
 
     acc_s[...] = jnp.full_like(acc_s, -jnp.inf)
     acc_i[...] = jnp.full_like(acc_i, -1)
-    data_dma(0, 0).start()
-    ids_dma(0, 0).start()
+    # prime the pipeline: n_buffers - 1 copies in flight before compute
+    for w0 in range(min(n_buffers - 1, n_probes)):
+        data_dma(w0, w0).start()
+        ids_dma(w0, w0).start()
 
     if q_ref.dtype == jnp.float32 and data_buf.dtype in (
         jnp.bfloat16, jnp.int8
@@ -1332,13 +1337,13 @@ def _ivf_kernel_dma(
         q = q_ref[...]
 
     def probe_step(u, _):
-        slot = jax.lax.rem(u, 2)
-        nxt = jax.lax.rem(u + 1, 2)
+        slot = jax.lax.rem(u, n_buffers)
+        nxt = jax.lax.rem(u + n_buffers - 1, n_buffers)
 
-        @pl.when(u + 1 < n_probes)
+        @pl.when(u + n_buffers - 1 < n_probes)
         def _prefetch():
-            data_dma(nxt, u + 1).start()
-            ids_dma(nxt, u + 1).start()
+            data_dma(nxt, u + n_buffers - 1).start()
+            ids_dma(nxt, u + n_buffers - 1).start()
 
         data_dma(slot, u).wait()
         ids_dma(slot, u).wait()
@@ -1378,7 +1383,8 @@ def _ivf_kernel_dma(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "interpret", "acc_slots"),
+    jax.jit,
+    static_argnames=("k", "block_q", "interpret", "acc_slots", "n_buffers"),
 )
 def _ivf_query_pallas_dma(
     q,            # (B, D) padded to block_q
@@ -1389,6 +1395,7 @@ def _ivf_query_pallas_dma(
     block_q: int,
     interpret: bool = False,
     acc_slots: int = 1,
+    n_buffers: int = 2,
 ):
     """Double-buffered manual-DMA variant of _ivf_query_pallas (plain
     deferred-merge path only; full-width fold). A/B target for the
@@ -1415,15 +1422,16 @@ def _ivf_query_pallas_dma(
         scratch_shapes=[
             pltpu.VMEM((block_q, acc_slots * mc), jnp.float32),
             pltpu.VMEM((block_q, acc_slots * mc), jnp.int32),
-            pltpu.VMEM((2, mc, d), data_padded.dtype),
-            pltpu.VMEM((2, 1, mc), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buffers, mc, d), data_padded.dtype),
+            pltpu.VMEM((n_buffers, 1, mc), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buffers,)),
+            pltpu.SemaphoreType.DMA((n_buffers,)),
         ],
     )
     out_s, out_i = pl.pallas_call(
         functools.partial(
             _ivf_kernel_dma, k=k, n_probes=u_tot, acc_slots=acc_slots,
+            n_buffers=n_buffers,
         ),
         grid_spec=grid_spec,
         out_shape=[
