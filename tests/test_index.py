@@ -1008,3 +1008,29 @@ def test_ivf_dma_pipeline_buffer_depths_match():
             q, k=5, impl="pallas", dma_pipeline=True, dma_buffers=nb
         )
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(ib))
+
+
+def test_ivf_final_merge_xla_approx():
+    """final_merge='xla_approx' (approx_max_k partial reduction instead of
+    the full sort) returns near-identical results — on CPU approx_max_k
+    is exact, so results match the 'xla' merge id-for-id."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(
+        num_clusters=16, num_probes=8, kmeans_iters=10,
+        max_cluster_size=256,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(x[:32] + 0.01)
+    _, ix = ivf.query(
+        q, k=50, impl="pallas", approx_width=256, final_merge="xla",
+        acc_slots=2,
+    )
+    _, ia = ivf.query(
+        q, k=50, impl="pallas", approx_width=256, final_merge="xla_approx",
+        acc_slots=2,
+    )
+    same = np.mean([
+        len(set(np.asarray(ix)[r]) & set(np.asarray(ia)[r])) / 50
+        for r in range(32)
+    ])
+    assert same >= 0.98, same

@@ -473,7 +473,7 @@ class IVFIndex:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if approx_width and per_probe:
             raise ValueError("approx_width and per_probe are exclusive")
-        if final_merge == "xla" and not (
+        if final_merge in ("xla", "xla_approx") and not (
             approx_width and not per_probe and probes_per_step == 1
         ):
             raise ValueError(
@@ -512,12 +512,12 @@ class IVFIndex:
             # accumulator, so give them the minimum-loss feasible one.
             w_req = w
             w, acc_slots = _approx_merge_plan(k_scan, mc, w_req)
-            if w == 0 and final_merge == "xla":
+            if w == 0 and final_merge in ("xla", "xla_approx"):
                 w, acc_slots = _approx_merge_plan(
                     k_scan, mc, w_req, tol=None
                 )
             if w == 0:
-                if final_merge == "xla":
+                if final_merge in ("xla", "xla_approx"):
                     raise ValueError(
                         f"k={k_scan} is too large for the deferred "
                         f"accumulator at cluster width {mc}; use "
@@ -873,14 +873,14 @@ def _ivf_query_fused(
     idless = (
         dw == d + 1 and approx_width > 0 and not per_probe
         and probes_per_step == 1 and scales_padded is None
-        and final_merge != "xla" and acc_slots == 1
+        and final_merge == "kernel" and acc_slots == 1
     )
     # large-k final merge outside the kernel: the in-kernel k-round merge
     # is linear in k (k=100 measured 5x slower than k=10); emit_acc makes
     # the scan k-invariant and one fused XLA top_k does the selection.
     emit_acc = (
-        final_merge == "xla" and approx_width > 0 and not per_probe
-        and probes_per_step == 1
+        final_merge in ("xla", "xla_approx") and approx_width > 0
+        and not per_probe and probes_per_step == 1
     )
 
     def rescore(s_c, i_c):
@@ -949,7 +949,15 @@ def _ivf_query_fused(
             )) else 1,
         )
         if emit_acc:
-            s, tl = jax.lax.top_k(s, k_scan)
+            if final_merge == "xla_approx":
+                # TPU-native partial reduction (approx_max_k lowers to the
+                # PartialReduce op) instead of the full sort lax.top_k
+                # runs — the sort dominated the k=100 xla merge on HW
+                s, tl = jax.lax.approx_max_k(
+                    s, k_scan, recall_target=0.99,
+                )
+            else:
+                s, tl = jax.lax.top_k(s, k_scan)
             i = jnp.take_along_axis(i, tl, axis=1)
         if idless:
             # kernel outputs are flat SLOT ids — translate to corpus ids
