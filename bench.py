@@ -320,13 +320,19 @@ def main():
             pooling="cls",
         )
 
-    _, i100 = ivf.query(queries, k=K_RERANK, **QARGS)
+    # k=100 operating point (r4 sweep, docs/ROUND4.md): w=512 → the auto
+    # plan picks a 3-slot fold (collision loss 0.13%) and the once-per-
+    # block kernel merge — the best of every selection strategy measured
+    # (XLA top_k/approx_max_k/full sorts all hit a ~150-200ms/16k-query
+    # selection floor at k=100 on this chip)
+    K100_ARGS = dict(union_factor=1, block_q=64, approx_width=512)
+    _, i100 = ivf.query(queries, k=K_RERANK, **K100_ARGS)
     i100 = np.asarray(i100)
     rec100 = np.mean([
         len(set(i100[r]) & set(oracle_i100[r])) / K_RERANK
         for r in range(N_RECALL)
     ])
-    ivf100_dt = timed(lambda: ivf.query(queries, k=K_RERANK, **QARGS))
+    ivf100_dt = timed(lambda: ivf.query(queries, k=K_RERANK, **K100_ARGS))
     k100_qps = N_QUERIES / ivf100_dt
     log(
         f"IVF k=100 retrieval leg: {k100_qps:.0f} QPS at "
@@ -336,7 +342,7 @@ def main():
     # serving index (student) vs the bf16 index (teacher) — the
     # compare_models quality column (reference
     # eval_sentence_mining.py:11-34)
-    _, i8_100 = ivf8.query(queries[:N_RECALL], k=K_RERANK, **QARGS)
+    _, i8_100 = ivf8.query(queries[:N_RECALL], k=K_RERANK, **K100_ARGS)
     i8_100 = np.asarray(i8_100)
     overlap100 = np.mean([
         len(set(i8_100[r]) & set(i100[r])) / K_RERANK
@@ -359,7 +365,7 @@ def main():
     pair_tts = jnp.zeros((n_pairs, es_rr), jnp.int32)
 
     def composed_once():
-        _, cids = ivf.query(queries[:nq_rr], k=K_RERANK, **QARGS)
+        _, cids = ivf.query(queries[:nq_rr], k=K_RERANK, **K100_ARGS)
         outs = [
             ce_score(
                 ce_params,

@@ -1034,3 +1034,50 @@ def test_ivf_final_merge_xla_approx():
         for r in range(32)
     ])
     assert same >= 0.98, same
+
+
+def test_ivf_packed_fold_matches_exact_sets():
+    """final_merge='packed' (single-int32 packed accumulator) returns the
+    same candidate SETS as the standard deferred path at both k=10 and
+    k=50, with scores within the 14-bit fixed-point resolution."""
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(
+        num_clusters=16, num_probes=8, kmeans_iters=10,
+        max_cluster_size=256,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(
+        x[:64] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+    )
+    for k in (10, 50):
+        sr, ir = ivf.query(q, k=k, impl="pallas", approx_width=256)
+        sp, ip = ivf.query(
+            q, k=k, impl="pallas", approx_width=256, final_merge="packed",
+        )
+        overlap = np.mean([
+            len(set(np.asarray(ir)[r]) & set(np.asarray(ip)[r])) / k
+            for r in range(64)
+        ])
+        # 14-bit score ties can swap borderline candidates
+        assert overlap >= 0.98, (k, overlap)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(sp), axis=1),
+            np.sort(np.asarray(sr), axis=1), atol=2e-4,
+        )
+
+
+def test_ivf_packed_fold_recall_vs_oracle():
+    x = _clustered_corpus(n=4000, d=64, n_clusters=20)
+    cfg = IndexConfig(num_clusters=32, num_probes=8, kmeans_iters=10)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(
+        x[:32] + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+    )
+    brute = BruteForceIndex.from_embeddings(x)
+    _, ti = brute.query(q, k=10)
+    _, pi = ivf.query(
+        q, k=10, impl="pallas", approx_width=2048, final_merge="packed",
+    )
+    pi = np.asarray(pi)
+    rec = np.mean([len(set(pi[r]) & set(ti[r])) / 10 for r in range(32)])
+    assert rec >= 0.95, rec

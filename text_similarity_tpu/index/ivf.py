@@ -473,7 +473,7 @@ class IVFIndex:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if approx_width and per_probe:
             raise ValueError("approx_width and per_probe are exclusive")
-        if final_merge in ("xla", "xla_approx") and not (
+        if final_merge in ("xla", "xla_approx", "packed") and not (
             approx_width and not per_probe and probes_per_step == 1
         ):
             raise ValueError(
@@ -512,12 +512,12 @@ class IVFIndex:
             # accumulator, so give them the minimum-loss feasible one.
             w_req = w
             w, acc_slots = _approx_merge_plan(k_scan, mc, w_req)
-            if w == 0 and final_merge in ("xla", "xla_approx"):
+            if w == 0 and final_merge in ("xla", "xla_approx", "packed"):
                 w, acc_slots = _approx_merge_plan(
                     k_scan, mc, w_req, tol=None
                 )
             if w == 0:
-                if final_merge in ("xla", "xla_approx"):
+                if final_merge in ("xla", "xla_approx", "packed"):
                     raise ValueError(
                         f"k={k_scan} is too large for the deferred "
                         f"accumulator at cluster width {mc}; use "
@@ -921,6 +921,25 @@ def _ivf_query_fused(
             s, tl = jax.lax.top_k(pool_s, k)
             i = jnp.take_along_axis(pool_i, tl, axis=1)
             s = s - shift
+    elif final_merge == "packed":
+        # single-int32 packed accumulator: fold = elementwise max, merge
+        # rounds = ONE lane reduce each, no streamed/emitted id arrays —
+        # the k=100 selection-floor lever (docs/ROUND4.md)
+        if scales_padded is not None:
+            raise ValueError("packed fold does not support int8 scales")
+        if dw != d:
+            raise ValueError("packed fold is incompatible with sentinel")
+        k_scan = k_coarse if do_rescore else k
+        out_p = _ivf_query_pallas_packed(
+            q, probe_ids, data_padded, ids_padded, k_scan, block_q,
+            interpret=interpret, approx_width=approx_width,
+            acc_slots=max(acc_slots, 1),
+        )
+        s, i = _unpack_candidates(out_p, probe_ids, ids_padded, block_q)
+        if do_rescore:
+            s, i = rescore(s, i)
+        inv = jnp.argsort(order)
+        return s[inv], i[inv]
     elif dma_pipeline:
         if scales_padded is not None:
             raise ValueError("dma_pipeline does not support int8 scales")
@@ -1291,6 +1310,173 @@ def _ivf_kernel_idless(
         new_s, new_i = _topk_exact_merge_rounds(acc_s[...], acc_i[...], k)
         out_s_ref[...] = new_s
         out_i_ref[...] = new_i
+
+
+_PACK_SCORE_BITS = 14      # fixed-point cosine resolution ~1.2e-4
+_PACK_U_BITS = 6           # probe index within the block union (<= 64)
+_PACK_POS_BITS = 11        # row position within the cluster (Mc <= 2048)
+_PACK_SCALE = (1 << _PACK_SCORE_BITS) / 2.0 - 0.25  # (s+1)*scale <= 2^14-1
+
+
+def _pack_candidates(s, u, off, block_q, width):
+    """(score, probe, position) → one int32 packet, ordered by score.
+
+    Layout [30:17]=score14 [16:11]=u [10:0]=pos. Packets are unique per
+    candidate (pos+u differ), so a running max IS the fold and equality
+    masks exactly one element per merge round — the whole deferred merge
+    runs on a single int32 array (one lane-reduce per round instead of
+    two, no parallel id array; the k=100 selection floor was ~2 of the
+    ~4 ms/16k-queries — see docs/ROUND4.md decomposition)."""
+    s14 = jnp.clip(
+        ((s + 1.0) * _PACK_SCALE), 0.0, float((1 << _PACK_SCORE_BITS) - 1)
+    ).astype(jnp.int32)
+    pos = off + jax.lax.broadcasted_iota(jnp.int32, (block_q, width), 1)
+    return (
+        (s14 << (_PACK_U_BITS + _PACK_POS_BITS))
+        | (u << _PACK_POS_BITS)
+        | pos
+    )
+
+
+def _ivf_kernel_packed(
+    probes_ref, q_ref, data_ref, ids_ref, out_ref, acc_p, s_scr,
+    *, k: int, approx_width: int, acc_slots: int = 1,
+):
+    """Deferred-merge scan with the PACKED single-int32 accumulator.
+
+    Fold = elementwise max (no compare/select pairs, no id array); flush =
+    k rounds of (max-reduce → one-hot write → equality mask). The caller
+    unpacks (score, probe u, position) in XLA and gathers corpus ids with
+    one (B, k) lookup."""
+    u = pl.program_id(1)
+    n_u = pl.num_programs(1)
+
+    @pl.when(u == 0)
+    def _init():
+        acc_p[...] = jnp.zeros_like(acc_p)
+
+    if data_ref.dtype in (jnp.bfloat16, jnp.int8):
+        q = q_ref[...].astype(jnp.bfloat16)
+        data = data_ref[0].astype(jnp.bfloat16)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+        data = data_ref[0].astype(jnp.float32)
+    mc = data.shape[0]
+    block_q = q.shape[0]
+    s = jax.lax.dot_general(
+        q, data, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s_scr[...] = s                  # stage: no lane-slicing of dot results
+    ids_row = ids_ref[0, 0]
+    w = approx_width
+
+    for off in range(0, mc, w):
+        sl = s_scr[:, off:off + w]
+        p = _pack_candidates(sl, u, off, block_q, w)
+        dead = jnp.broadcast_to(
+            ids_row[off:off + w][None, :] < 0, p.shape
+        )
+        p = jnp.where(dead, 0, p)   # packet 0 = no candidate
+        if acc_slots == 1:
+            acc_p[...] = jnp.maximum(acc_p[...], p)
+        else:
+            disp = p
+            for s_idx in range(acc_slots):
+                a = acc_p[:, s_idx * w:(s_idx + 1) * w]
+                hi = jnp.maximum(a, disp)
+                lo = jnp.minimum(a, disp)
+                acc_p[:, s_idx * w:(s_idx + 1) * w] = hi
+                disp = lo
+
+    @pl.when(u == n_u - 1)
+    def _flush():
+        kcols = jax.lax.broadcasted_iota(jnp.int32, (block_q, k), 1)
+
+        def round_fn(r, carry):
+            cand, out = carry
+            m = jnp.max(cand, axis=1)                     # ONE reduce
+            out = jnp.where(kcols == r, m[:, None], out)
+            cand = jnp.where(cand == m[:, None], 0, cand)
+            return cand, out
+
+        _, out = jax.lax.fori_loop(
+            0, k, round_fn,
+            (acc_p[...], jnp.zeros((block_q, k), jnp.int32)),
+        )
+        out_ref[...] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "interpret", "approx_width",
+                     "acc_slots"),
+)
+def _ivf_query_pallas_packed(
+    q, probe_list, data_padded, ids_padded, k: int, block_q: int,
+    interpret: bool = False, approx_width: int = 0, acc_slots: int = 1,
+):
+    """Packed-accumulator deferred scan → (B, k) int32 packets. The caller
+    unpacks via _unpack_candidates."""
+    b, d = q.shape
+    n_blocks, u_tot = probe_list.shape
+    c_tot, mc, _ = data_padded.shape
+    if u_tot > (1 << _PACK_U_BITS):
+        raise ValueError("packed fold needs a probe union <= 64")
+    if mc > (1 << _PACK_POS_BITS):
+        raise ValueError("packed fold needs Mc <= 2048")
+    w = min(approx_width, mc) if approx_width else mc
+    if mc % w:
+        w = mc
+    if k > acc_slots * w:
+        raise ValueError("k exceeds acc_slots * approx_width")
+    if acc_slots > 1 and w % 128:
+        raise ValueError("acc_slots > 1 needs a 128-aligned width")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, u_tot),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j, probes: (i, 0)),
+            pl.BlockSpec(
+                (1, mc, d), lambda i, j, probes: (probes[i, j], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, mc), lambda i, j, probes: (probes[i, j], 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j, probes: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, acc_slots * w), jnp.int32),
+            pltpu.VMEM((block_q, mc), jnp.float32),
+        ],
+    )
+    (out_p,) = pl.pallas_call(
+        functools.partial(
+            _ivf_kernel_packed, k=k, approx_width=w, acc_slots=acc_slots,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, k), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(probe_list, q, data_padded, ids_padded[:, None, :])
+    return out_p
+
+
+def _unpack_candidates(out_p, probe_list, ids_padded, block_q):
+    """(B, k) packets → (scores f32, corpus ids int32) via one gather."""
+    b = out_p.shape[0]
+    pos = out_p & ((1 << _PACK_POS_BITS) - 1)
+    u = (out_p >> _PACK_POS_BITS) & ((1 << _PACK_U_BITS) - 1)
+    s14 = out_p >> (_PACK_U_BITS + _PACK_POS_BITS)
+    scores = s14.astype(jnp.float32) / _PACK_SCALE - 1.0
+    block = jnp.arange(b, dtype=jnp.int32)[:, None] // block_q
+    slab = probe_list[block, u]             # (B, k) probed slab ids
+    ids = ids_padded[slab, pos]
+    empty = out_p == 0
+    return jnp.where(empty, -jnp.inf, scores), jnp.where(empty, -1, ids)
 
 
 def _ivf_kernel_dma(
