@@ -314,8 +314,20 @@ class ShardedIVFIndex:
                 from .ivf import _approx_merge_plan, _ivf_query_fused, \
                     _round_up
 
-                block_q = min(16, q.shape[0])
-                union = min(_round_up(p * 3, 8), n_base)
+                # Serving operating point (r4): rich probe counts use the
+                # r3 single-device config — 64-query blocks whose own
+                # sorted probes are the union (factor 1, recall 0.9961 on
+                # the 1M bench corpus); small probe counts keep 16-query
+                # blocks with the 3x union headroom (a 64-query block
+                # sharing 3x8 probes measured recall 0.81 — coverage, not
+                # merge). The probe list is a scalar-prefetch SMEM operand:
+                # (B/16, 3p) at 16k-query batches overflowed the 1MB SMEM
+                # budget (r4), so big batches must use 64-query blocks.
+                if p >= 32:
+                    block_q, uf = min(64, q.shape[0]), 1
+                else:
+                    block_q, uf = min(16, q.shape[0]), 3
+                union = min(_round_up(p * uf, 8), n_base)
                 # deferred lane-class merge with collision-loss-aware slot
                 # sizing (same policy as IVFIndex.query): the plan picks
                 # the slot count that bounds the lane-class collision loss
