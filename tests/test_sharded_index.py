@@ -80,8 +80,10 @@ def test_sharded_ivf_pallas_kernel_path(eight_devices):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     qd = _jax.device_put(q, NamedSharding(mesh, P()))
-    s, i = fn(qd, sharded.centroids, sharded.data_padded, sharded.ids_padded)
-    i = np.asarray(_jax.device_get(i))
+    from text_similarity_tpu.index.sharded import _unpack_results
+
+    packed = fn(qd, sharded.centroids, sharded.data_padded, sharded.ids_padded)
+    _, i = _unpack_results(packed, 10)
 
     from text_similarity_tpu.index import BruteForceIndex
 

@@ -29,6 +29,26 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _pack_results(scores: jax.Array, ids: jax.Array) -> jax.Array:
+    """(Q, k) f32 scores + (Q, k) int32 ids → ONE (Q, 2k) int32 array with
+    the scores bitcast into the first half. Through the axon relay each host
+    readback of a jit output is a separate round trip — reading scores and
+    ids individually measured 4.3× slower than the query itself at 16k-query
+    batches (r4 isolation A/B); packing makes the whole query one transfer.
+    int32 is the carrier (not f32): ids below 2²³ bitcast to f32 denormals,
+    which a flush-to-zero hop corrupted (measured overlap 1.00 → 0.40)."""
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(scores, jnp.int32), ids], axis=1
+    )
+
+
+def _unpack_results(packed, k: int, n_q: Optional[int] = None):
+    arr = np.asarray(jax.device_get(packed))
+    if n_q is not None:
+        arr = arr[:n_q]
+    return arr[:, :k].copy().view(np.float32), arr[:, k:].copy()
+
+
 class ShardedBruteForceIndex:
     """Exact kNN over a row-sharded corpus matrix."""
 
@@ -63,6 +83,7 @@ class ShardedBruteForceIndex:
 
         def local_query(q, corpus_shard):
             # q: (Q, D) replicated; corpus_shard: (rows, D)
+            q = l2_normalize(q.astype(jnp.float32))  # in-jit (see IVF note)
             shard_idx = jax.lax.axis_index(INDEX_AXIS)
             # auto-dispatch: the fused Pallas kernel per shard on TPU,
             # the XLA oracle on CPU meshes
@@ -75,25 +96,30 @@ class ShardedBruteForceIndex:
             ms, mi = topk_merge(
                 s_all.transpose(1, 0, 2), i_all.transpose(1, 0, 2), k
             )
-            return ms, mi
+            return _pack_results(ms, mi)
 
         fn = shard_map(
             local_query,
             mesh=mesh,
             in_specs=(P(), P(INDEX_AXIS, None)),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def query(self, queries, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    def query_packed(self, queries, k: int = 10) -> jax.Array:
+        """One async jit dispatch; returns the packed (Q, 2k) int32 DEVICE
+        array (see _pack_results) without a host sync — timing loops and
+        pipelines can overlap many calls and unpack once at the end."""
         k = min(k, self.n_total)   # top_k wider than the corpus can't fill
-        q = l2_normalize(jnp.asarray(queries, jnp.float32))
-        q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        q = jnp.asarray(queries, jnp.float32)
         if k not in self._query_fn:
             self._query_fn[k] = self._make_query(k)
-        s, i = self._query_fn[k](q, self.corpus)
-        return np.asarray(jax.device_get(s)), np.asarray(jax.device_get(i))
+        return self._query_fn[k](q, self.corpus)
+
+    def query(self, queries, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        k = min(k, self.n_total)
+        return _unpack_results(self.query_packed(queries, k), k)
 
 
 class ShardedIVFIndex:
@@ -305,6 +331,9 @@ class ShardedIVFIndex:
             # cent: (C, D) REPLICATED global centroids — probe selection is
             # identical on every shard; data/ids: this shard's local layout
             # whose first C clusters align 1:1 with the global centroid ids
+            q = l2_normalize(q.astype(jnp.float32))  # inside the jit: an
+            # eager per-call normalize + device_put cost two extra relay
+            # dispatches per query call (r4: 63% QPS tax at index=1)
             n_base = cent.shape[0]
             c_tot = data.shape[0]
             p = min(probes, n_base)
@@ -375,9 +404,10 @@ class ShardedIVFIndex:
             # padded/empty candidates carry id -1 with -inf scores; merge
             s_all = jax.lax.all_gather(ts, INDEX_AXIS)
             i_all = jax.lax.all_gather(ti, INDEX_AXIS)
-            return topk_merge(
+            ms, mi = topk_merge(
                 s_all.transpose(1, 0, 2), i_all.transpose(1, 0, 2), k
             )
+            return _pack_results(ms, mi)
 
         fn = shard_map(
             local_query,
@@ -388,15 +418,17 @@ class ShardedIVFIndex:
                 P(INDEX_AXIS, None, None),
                 P(INDEX_AXIS, None),
             ),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def query(
+    def query_packed(
         self, queries, k: int = 10, probes: Optional[int] = None,
         impl: str = "auto",
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Tuple[jax.Array, int]:
+        """One async jit dispatch; returns (packed (Qpad, 2k') int32 DEVICE
+        array, effective k) without a host sync — see _pack_results."""
         probes = probes or self.num_probes
         # a k wider than the probed candidate pool can't fill its top-k
         s_shards = self.mesh.shape[INDEX_AXIS]
@@ -405,18 +437,23 @@ class ShardedIVFIndex:
         mc = self.data_padded.shape[1]
         pool = (min(probes, n_base) + (c_tot - n_base)) * mc
         k = min(k, pool)
-        n_q = len(queries)
-        q = l2_normalize(jnp.asarray(queries, jnp.float32))
-        q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        # normalization happens inside the jitted shard_map (local_query);
+        # placement to the replicated spec is jit's job — both were eager
+        # per-call device round-trips before r4
+        q = jnp.asarray(queries, jnp.float32)
         key = (k, probes, impl)
         if key not in self._query_fn:
             self._query_fn[key] = self._make_query(k, probes, impl)
-        s, i = self._query_fn[key](
+        packed = self._query_fn[key](
             q, self.centroids, self.data_padded, self.ids_padded
         )
+        return packed, k
+
+    def query(
+        self, queries, k: int = 10, probes: Optional[int] = None,
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        packed, k_eff = self.query_packed(queries, k, probes, impl)
         # the pallas path pads the batch to block_q multiples; drop the
         # trailing junk rows so results align 1:1 with the queries
-        return (
-            np.asarray(jax.device_get(s))[:n_q],
-            np.asarray(jax.device_get(i))[:n_q],
-        )
+        return _unpack_results(packed, k_eff, len(queries))
