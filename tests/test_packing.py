@@ -137,6 +137,81 @@ def test_segment_attention_blocks_cross_talk():
     assert np.abs(out1[0, 4:] - out2[0, 4:]).max() > 1e-3
 
 
+def _tok_encoder(pooling="mean"):
+    """Tiny encoder WITH a real WordPiece tokenizer (text-level encode)."""
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "a fast dark fox leaped over a sleepy dog",
+        "semantic similarity of sentences on tensor units",
+        "the dog sleeps while the fox runs far away",
+    ] * 3
+    vocab = train_wordpiece_vocab(corpus, vocab_size=256, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = EncoderArch(
+        vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=64, has_pooler=False,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    params = init_params(jax.random.PRNGKey(0), arch)
+    return SentenceEncoder(
+        params, arch, tokenizer=tok, pooling=pooling,
+        precision=precision_for(False),
+    ), corpus
+
+
+def _packed_jit_used(enc):
+    return any(
+        isinstance(k, tuple) and k and k[0] == "packed"
+        for k in enc._jit_cache
+    )
+
+
+def test_encode_auto_packs_short_texts():
+    """Short texts against max_len=64 clear the PACK_AUTO_RATIO and route
+    through the packed path; embeddings match the bucketed path exactly
+    (same tokens, same math — only the layout differs)."""
+    enc, corpus = _tok_encoder()
+    texts = corpus * 2   # 24 short sentences (~10 tokens vs 64-wide rows)
+    ref = enc.encode(texts, max_len=64, packed=False)
+    assert not _packed_jit_used(enc)
+    out = enc.encode(texts, max_len=64)   # packed="auto" default
+    assert _packed_jit_used(enc), "auto should engage packing here"
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_encode_auto_respects_pooling_guard():
+    """Non-mean pooling can't segment-pool → auto must stay bucketed."""
+    enc, corpus = _tok_encoder(pooling="cls")
+    enc.encode(corpus, max_len=64)
+    assert not _packed_jit_used(enc)
+
+
+def test_encode_auto_skips_near_full_rows():
+    """Texts that already fill their bucket gain nothing from packing —
+    the estimated token ratio stays under PACK_AUTO_RATIO."""
+    enc, corpus = _tok_encoder()
+    long_texts = [
+        " ".join(["the quick brown fox jumps over the lazy dog"] * 3)
+    ] * 12   # ~29 tokens each → bucket 32, 91% full, 1 per packed row ⇒
+             # packing saves nothing (batch_size matches n so bucketed
+             # tail padding doesn't tip the ratio either)
+    enc.encode(long_texts, max_len=32, batch_size=12)
+    assert not _packed_jit_used(enc)
+
+
+def test_encode_packed_device_output_matches_host():
+    enc, corpus = _tok_encoder()
+    texts = corpus * 2
+    host = enc.encode(texts, max_len=64, packed=True)
+    dev = enc.encode(texts, max_len=64, packed=True, device_output=True)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), host, atol=2e-5)
+
+
 def test_packed_encode_dp_sharded_matches(eight_devices):
     """Packed embed under a data mesh (rows sharded over devices) matches
     the unsharded packed embed."""

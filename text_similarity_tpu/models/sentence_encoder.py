@@ -29,7 +29,7 @@ from ..core.config import EncoderArch
 from ..core.mesh import DATA_AXIS
 from ..core.precision import Precision, DEFAULT_PRECISION, precision_for
 from ..core import checkpoint as ckpt
-from ..data.batching import LengthBucketBatcher, BUCKETS
+from ..data.batching import LengthBucketBatcher, BUCKETS, pick_bucket
 from .encoder import encoder_forward, init_params
 from .pooling import mean_pool, cls_pool, max_pool, segment_mean_pool
 
@@ -223,37 +223,39 @@ class SentenceEncoder:
         max_segments: int = 0,   # 0 = derive from the layout (varies per
                                  # corpus → one compile per distinct value;
                                  # pass a fixed bound for serving)
+        device_output: bool = False,
     ) -> np.ndarray:
         """Encode texts via greedy packing → (N, D) normalized fp32.
         Same output contract as ``encode`` (row i ↔ texts[i])."""
+        row_ids = self._tokenize_rows(texts, max_len)
+        return self._encode_packed_rows(
+            row_ids, len(texts), width=width,
+            rows_per_batch=rows_per_batch, max_segments=max_segments,
+            device_output=device_output,
+        )
+
+    def _encode_packed_rows(
+        self,
+        row_ids,
+        n_texts: int,
+        width: int,
+        rows_per_batch: int = 256,
+        max_segments: int = 0,
+        device_output: bool = False,
+        round_segments: bool = False,
+    ):
+        """Pack pre-tokenized rows and embed → (N, D). With
+        ``round_segments`` the derived segment-slot count rounds up to the
+        next power of two so serving traffic with varying layouts reuses a
+        handful of compiled shapes instead of one per distinct count."""
         from ..data.packing import pack_sequences
 
-        if self.tokenizer is None:
-            raise ValueError("encoder has no tokenizer; use embed_tokens")
-        if hasattr(self.tokenizer, "tokenize_many"):
-            body = self.tokenizer.tokenize_many(texts)
-            row_ids = [
-                [self.tokenizer.cls_id] + r[: max_len - 2]
-                + [self.tokenizer.sep_id]
-                for r in body
-            ]
-        elif hasattr(self.tokenizer, "tokenize_to_ids"):
-            row_ids = [
-                [self.tokenizer.cls_id]
-                + self.tokenizer.tokenize_to_ids(t)[: max_len - 2]
-                + [self.tokenizer.sep_id]
-                for t in texts
-            ]
-        else:
-            ids_all, mask_all = self.tokenizer.encode_batch(texts, max_len)
-            row_ids = [
-                list(ids_all[i, : mask_all[i].sum()])
-                for i in range(len(texts))
-            ]
         packed = pack_sequences(
             row_ids, width, pad_id=self.tokenizer.pad_id
         )
         m = max_segments or int(packed["owners"].shape[1])
+        if round_segments and not max_segments and m > 1:
+            m = 1 << (m - 1).bit_length()
         if packed["owners"].shape[1] > m:
             raise ValueError(
                 f"layout needs {packed['owners'].shape[1]} segment slots, "
@@ -261,7 +263,6 @@ class SentenceEncoder:
             )
         r = packed["ids"].shape[0]
         fn = self._jitted_packed((rows_per_batch, width), m)
-        out = np.zeros((len(texts), self.embedding_dim), np.float32)
         pending = []
         for st in range(0, r, rows_per_batch):
             chunk = {
@@ -288,6 +289,22 @@ class SentenceEncoder:
                 jnp.asarray(chunk["positions"], jnp.int32),
             )
             pending.append((ow, emb))  # async dispatch; sync once below
+
+        if device_output:
+            # device-side unsort: scatter (R·M, D) slot embeddings to their
+            # owner rows; empty slots (-1) land in one in-bounds trash row
+            # (OOB "drop" scatters clamp on this backend — CLAUDE.md rule 9)
+            out_dev = jnp.zeros(
+                (n_texts + 1, self.embedding_dim), jnp.float32
+            )
+            for ow, emb in pending:
+                idx = np.where(ow >= 0, ow, n_texts).reshape(-1)
+                out_dev = out_dev.at[jnp.asarray(idx)].set(
+                    emb.reshape(-1, self.embedding_dim)
+                )
+            return out_dev[:n_texts]
+
+        out = np.zeros((n_texts, self.embedding_dim), np.float32)
         for ow, emb in pending:
             emb_h = np.asarray(emb)   # (R, M, D)
             sel = ow >= 0
@@ -298,6 +315,38 @@ class SentenceEncoder:
     # Text API
     # ------------------------------------------------------------------
 
+    def _tokenize_rows(self, texts: Sequence[str], max_len: int):
+        """texts → list of token-id rows ([CLS] body [SEP], ≤ max_len)."""
+        if self.tokenizer is None:
+            raise ValueError("encoder has no tokenizer; use embed_tokens")
+        if hasattr(self.tokenizer, "tokenize_many"):
+            # batched native tokenization (one C call for the corpus)
+            body = self.tokenizer.tokenize_many(texts)
+            return [
+                [self.tokenizer.cls_id] + r[: max_len - 2]
+                + [self.tokenizer.sep_id]
+                for r in body
+            ]
+        if hasattr(self.tokenizer, "tokenize_to_ids"):
+            return [
+                [self.tokenizer.cls_id]
+                + self.tokenizer.tokenize_to_ids(t)[: max_len - 2]
+                + [self.tokenizer.sep_id]
+                for t in texts
+            ]
+        # HF adapter path: tokenize whole corpus at once
+        ids_all, mask_all = self.tokenizer.encode_batch(texts, max_len)
+        return [
+            list(ids_all[i, : mask_all[i].sum()]) for i in range(len(texts))
+        ]
+
+    # Auto-packing engages when bucketed batches would compute ≥30% more
+    # padded tokens than a packed layout (HW: packing measured 2.32× on an
+    # STS-like length distribution, docs/ROUND4.md §8 — the token ratio
+    # understates the win because packed rows also keep the MXU at full
+    # width, so 1.3 is conservative).
+    PACK_AUTO_RATIO = 1.3
+
     def encode(
         self,
         texts: Sequence[str],
@@ -306,6 +355,7 @@ class SentenceEncoder:
         buckets: Sequence[int] = BUCKETS,
         show_progress: bool = False,
         device_output: bool = False,
+        packed="auto",
     ) -> np.ndarray:
         """Encode texts → (N, D) float32 normalized embeddings.
 
@@ -314,29 +364,40 @@ class SentenceEncoder:
         back to input order. With ``device_output=True`` the result stays
         in HBM (feeding the embedding store / index without a host round
         trip — the reference always bounces GPU→numpy,
-        search_pipeline.py:114)."""
-        if self.tokenizer is None:
-            raise ValueError("encoder has no tokenizer; use embed_tokens")
-        if hasattr(self.tokenizer, "tokenize_many"):
-            # batched native tokenization (one C call for the corpus)
-            body = self.tokenizer.tokenize_many(texts)
-            row_ids = [
-                [self.tokenizer.cls_id] + r[: max_len - 2] + [self.tokenizer.sep_id]
-                for r in body
-            ]
-        elif hasattr(self.tokenizer, "tokenize_to_ids"):
-            row_ids = [
-                [self.tokenizer.cls_id]
-                + self.tokenizer.tokenize_to_ids(t)[: max_len - 2]
-                + [self.tokenizer.sep_id]
-                for t in texts
-            ]
-        else:
-            # HF adapter path: tokenize whole corpus at once
-            ids_all, mask_all = self.tokenizer.encode_batch(texts, max_len)
-            row_ids = [
-                list(ids_all[i, : mask_all[i].sum()]) for i in range(len(texts))
-            ]
+        search_pipeline.py:114).
+
+        ``packed``: True / False / "auto". Auto routes short variable-
+        length traffic through greedy sequence packing (segment-masked
+        rows, docs/ROUND4.md §8: 2.32× on STS-like lengths) whenever the
+        estimated padded-token ratio clears PACK_AUTO_RATIO; embeddings
+        are identical either way (tests/test_packing.py parity)."""
+        row_ids = self._tokenize_rows(texts, max_len)
+
+        use_packed = packed is True
+        if packed == "auto" and self.pooling == "mean" and len(texts) > 8:
+            lens = np.asarray([len(r) for r in row_ids], np.int64)
+            width = pick_bucket(int(lens.max()), buckets)
+            # bucketed cost: same-bucket groups of batch_size rows, tail
+            # batches padded to full size (LengthBucketBatcher semantics)
+            bucket_tokens = 0
+            blens = np.asarray([pick_bucket(int(l), buckets) for l in lens])
+            for b in np.unique(blens):
+                cnt = int((blens == b).sum())
+                n_batches = -(-cnt // batch_size)
+                bucket_tokens += n_batches * batch_size * int(b)
+            # packed cost: FFD fills ≥98% of every row in practice
+            est_rows = -(-int(lens.sum()) // int(width * 0.98))
+            use_packed = (
+                bucket_tokens >= self.PACK_AUTO_RATIO * est_rows * width
+            )
+        if use_packed:
+            width = pick_bucket(
+                max(len(r) for r in row_ids), buckets
+            )
+            return self._encode_packed_rows(
+                row_ids, len(texts), width=width,
+                device_output=device_output, round_segments=True,
+            )
 
         batcher = LengthBucketBatcher(
             batch_size, buckets=buckets, shuffle_batches=False
