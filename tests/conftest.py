@@ -21,14 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Compile cache: CPU platforms cache in a MACHINE-LOCAL tmp dir, never in
-# the repo (core/cache.py) — CPU executables are host-specific (r3:
-# foreign-host SIGILL from the shipped cache). Warm local reruns of the
-# suite skip recompiles.
+# Compile cache: CPU platforms get NO persistent cache (core/cache.py) —
+# CPU AOT executables are host-specific (r3: foreign-host SIGILL from the
+# shipped cache) and even same-host cross-process reuse aborted a full
+# pytest run (r4, 2026-08-19). CPU compiles are cheap.
 from text_similarity_tpu.core.cache import setup_compile_cache  # noqa: E402
 
 _cache_dir = setup_compile_cache()
-assert _cache_dir is not None and ".jax_cache" not in _cache_dir
+assert _cache_dir is None or ".jax_cache" not in _cache_dir
 
 import pytest  # noqa: E402
 

@@ -9,16 +9,13 @@ import jax
 from text_similarity_tpu.core.cache import resolve_cache_dir
 
 
-def test_cpu_platform_cache_never_in_repo(tmp_path):
+def test_cpu_platform_gets_no_persistent_cache(tmp_path):
     # the conftest pins jax_platforms=cpu, so this resolves the cpu
-    # branch: a machine-local tmp dir, NEVER under the given root (the
-    # r3 trap was shipping host-specific CPU executables in the repo)
-    import tempfile
-
+    # branch: NO persistent cache (r3: foreign-host SIGILL from shipped
+    # CPU executables; r4: same-host cross-process tmp-dir reuse aborted
+    # a full pytest run mid-readback)
     for hint in ("cpu", "tpu,cpu", "unknown", None):
-        d = resolve_cache_dir(str(tmp_path), hint)
-        assert d is not None and not d.startswith(str(tmp_path))
-        assert d.startswith(tempfile.gettempdir())
+        assert resolve_cache_dir(str(tmp_path), hint) is None
 
 
 def test_tpu_platform_uses_shared_root(tmp_path):
@@ -29,6 +26,6 @@ def test_tpu_platform_uses_shared_root(tmp_path):
     assert resolve_cache_dir(str(tmp_path), "tpu") == str(tmp_path)
 
 
-def test_conftest_cache_outside_repo():
+def test_conftest_leaves_cpu_cache_unset():
     cache = jax.config.jax_compilation_cache_dir
-    assert cache and ".jax_cache" not in cache
+    assert not cache or ".jax_cache" not in cache

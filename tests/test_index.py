@@ -1010,6 +1010,85 @@ def test_ivf_dma_pipeline_buffer_depths_match():
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(ib))
 
 
+def test_ivf_dma_pipeline_rejects_final_merge_override():
+    """dma_pipeline always merges in-kernel; a final_merge override would
+    be silently ignored by branch precedence — must raise (review r4)."""
+    x = _clustered_corpus(n=2000, d=32, n_clusters=10)
+    cfg = IndexConfig(num_clusters=16, num_probes=6, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(x[:8] + 0.01)
+    mc = ivf.data_padded.shape[1]
+    for fm in ("xla", "xla_approx", "packed"):
+        with pytest.raises(ValueError):
+            ivf.query(
+                q, k=5, impl="pallas", dma_pipeline=True,
+                approx_width=mc, final_merge=fm,
+            )
+
+
+def test_ivf_dma_pipeline_plans_slots_when_width_plan_fails():
+    """A user approx_width whose slot plan fails must not drop the DMA
+    path to a single-slot fold (review r4): the DMA planner always sizes
+    the full-width fold, so the result matches the auto-planned call."""
+    x = _clustered_corpus(n=2000, d=32, n_clusters=30)
+    cfg = IndexConfig(
+        num_clusters=32, num_probes=16, kmeans_iters=5,
+        max_cluster_size=128,
+    )
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(x[:16] + 0.01)
+    mc = ivf.data_padded.shape[1]
+    k = max(8, int(mc * 0.75))   # large enough that a narrow-width plan
+                                 # fails but the full-width plan needs >1 slot
+    _, i_req = ivf.query(
+        q, k=k, impl="pallas", dma_pipeline=True, approx_width=8,
+    )
+    _, i_auto = ivf.query(q, k=k, impl="pallas", dma_pipeline=True)
+    np.testing.assert_array_equal(np.asarray(i_req), np.asarray(i_auto))
+
+
+def test_ivf_dma_unaligned_mc_guard():
+    """On hardware the manual ids-row DMA lane-slices at Mc, which Mosaic
+    rejects unless 128-aligned (found on-chip at Mc=360). The kernel
+    wrapper must refuse non-interpret lowering; IVFIndex.query degrades
+    to the default pipeline on TPU backends before reaching it."""
+    from text_similarity_tpu.index.ivf import _ivf_query_pallas_dma
+
+    q = jnp.zeros((8, 32), jnp.float32)
+    probes = jnp.zeros((1, 4), jnp.int32)
+    data = jnp.zeros((4, 360, 32), jnp.float32)   # Mc=360: 8- but not
+    ids = jnp.zeros((4, 360), jnp.int32)          # 128-aligned
+    with pytest.raises(ValueError, match="128-aligned"):
+        _ivf_query_pallas_dma(
+            q, probes, data, ids, k=5, block_q=8, interpret=False,
+        )
+
+
+def test_ivf_multiprobe_large_k_uses_full_width_guard():
+    """probes_per_step>1 folds at full slab width Mc — a k wider than the
+    user-requested approx_width but within Mc must not raise (review r4),
+    and recall must track the exact path."""
+    x = _clustered_corpus(n=2000, d=32, n_clusters=10)
+    cfg = IndexConfig(num_clusters=16, num_probes=8, kmeans_iters=5)
+    ivf = IVFIndex.build(x, cfg, key=jax.random.PRNGKey(0))
+    q = l2_normalize(x[:16] + 0.01)
+    mc = ivf.data_padded.shape[1]
+    # k just above the requested width: the old guard raised 9 > 1*8 even
+    # though the kernel folds at mc; kept small because the multiprobe
+    # fold is single-slot (collision loss grows ~k/2Mc by design)
+    k = 9
+    assert k <= mc
+    s, i = ivf.query(
+        q, k=k, impl="pallas", approx_width=8, probes_per_step=2,
+    )
+    _, i_exact = ivf.query(q, k=k, impl="pallas")
+    rec = np.mean([
+        len(set(np.asarray(i)[r]) & set(np.asarray(i_exact)[r])) / k
+        for r in range(16)
+    ])
+    assert rec >= 0.9, rec
+
+
 def test_ivf_final_merge_xla_approx():
     """final_merge='xla_approx' (approx_max_k partial reduction instead of
     the full sort) returns near-identical results — on CPU approx_max_k

@@ -101,6 +101,51 @@ def test_packed_embeddings_match_unpacked():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_packed_embeddings_match_unpacked_position_offset():
+    """RoBERTa-family archs (position_offset > 0) index position rows at
+    pad_token_id+1+p — the packed position_ids override must apply the
+    same shift or packed embeddings silently diverge (review r4 #1)."""
+    rng = np.random.default_rng(7)
+    width = 64
+    rows = _rand_rows(rng, 24, width, vocab=120)
+    arch = EncoderArch(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=128, has_pooler=False,
+        hidden_dropout=0.0, attention_dropout=0.0,
+        position_offset=2, pad_token_id=1,
+    )
+    params = init_params(jax.random.PRNGKey(0), arch)
+    enc = SentenceEncoder(
+        params, arch, tokenizer=None, pooling="mean",
+        precision=precision_for(False),
+    )
+    ids_u = np.ones((24, width), np.int32)   # pad id 1
+    mask_u = np.zeros((24, width), np.int32)
+    for i, r in enumerate(rows):
+        ids_u[i, : len(r)] = r
+        mask_u[i, : len(r)] = 1
+    ref = np.asarray(enc.embed_tokens(ids_u, mask_u))
+
+    packed = pack_sequences(rows, width, pad_id=1)
+    emb = np.asarray(
+        enc.embed_tokens_packed(
+            packed["ids"], packed["segments"], packed["positions"]
+        )
+    )
+    out = np.zeros_like(ref)
+    owners = packed["owners"]
+    sel = owners >= 0
+    out[owners[sel]] = emb[sel]
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_encode_empty_texts():
+    enc, _ = _tok_encoder()
+    for kw in ({}, {"packed": True}, {"device_output": True}):
+        out = enc.encode([], **kw)
+        assert np.asarray(out).shape == (0, enc.embedding_dim)
+
+
 def test_segment_mean_pool_matches_per_segment_mean():
     from text_similarity_tpu.models.pooling import segment_mean_pool
 

@@ -49,14 +49,14 @@ def resolve_cache_dir(
     toks = set((plat or "").lower().replace(",", " ").split())
     if toks & {"tpu", "axon"} and "cpu" not in toks:
         return base
-    # cpu — or unknown, which on a foreign host resolves to cpu: CPU
-    # executables are host-specific (SIGILL across hosts), so they cache
-    # only in this MACHINE's tmp dir — never inside the repo where they
-    # could ship to another host. (Same-host reuse across processes is
-    # safe; XLA's AOT loader prints benign feature-preference warnings.)
-    import tempfile
-
-    return os.path.join(tempfile.gettempdir(), "ts_tpu_jax_cache_cpu")
+    # cpu — or unknown, which on a foreign host resolves to cpu: NO
+    # persistent cache at all. CPU AOT executables are host-specific
+    # (SIGILL across hosts), and even SAME-host cross-process reuse is
+    # unsafe: the loader flags +prefer-no-scatter/-gather feature
+    # mismatches and a full pytest run was observed to fatally abort
+    # mid-readback loading a tmp-dir cache written by a sibling process
+    # (2026-08-19). CPU compiles are cheap; correctness wins.
+    return None
 
 
 def setup_compile_cache(root: Optional[str] = None) -> Optional[str]:

@@ -26,7 +26,6 @@ def pack_sequences(
     row_ids: Sequence[Sequence[int]],
     width: int,
     pad_id: int = 0,
-    max_rows_hint: int = 0,
 ) -> Dict[str, np.ndarray]:
     """First-fit-decreasing packing of token-id sequences into fixed-width
     rows.

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -504,7 +505,41 @@ class IVFIndex:
         k_scan = k_coarse if (
             self.rescore_data is not None and k_coarse > k
         ) else k
-        if w and acc_slots == 0 and not per_probe and probes_per_step == 1:
+        if dma_pipeline and mc % 128 and jax.default_backend() == "tpu":
+            # the manual ids-row DMA lane-slices the HBM operand at width
+            # Mc — Mosaic requires 128-aligned slices on hardware (found
+            # on-chip at Mc=360; interpret mode tolerates it). The default
+            # auto-pipelined scan returns identical results, so degrade
+            # rather than crash the serving path.
+            warnings.warn(
+                f"dma_pipeline needs a 128-aligned cluster width on TPU "
+                f"(Mc={mc}); falling back to the auto-pipelined scan"
+            )
+            dma_pipeline = False
+        if dma_pipeline:
+            # the DMA kernel always folds at full slab width with its own
+            # in-kernel merge — a final_merge override would be silently
+            # ignored by the branch order in _ivf_query_fused
+            if final_merge not in ("auto", "kernel"):
+                raise ValueError(
+                    "dma_pipeline uses the in-kernel merge; "
+                    f"final_merge={final_merge!r} would be ignored"
+                )
+            if acc_slots == 0:
+                # size the slot count for the full-width fold; fall back
+                # to the minimum-loss feasible plan when tolerance fails
+                # (the DMA kernel has no exact-merge form)
+                w_dma, acc_slots = _approx_merge_plan(k_scan, mc, mc)
+                if w_dma == 0:
+                    w_dma, acc_slots = _approx_merge_plan(
+                        k_scan, mc, mc, tol=None
+                    )
+                if w_dma == 0:
+                    raise ValueError(
+                        f"k={k_scan} too large for the full-width DMA fold "
+                        f"at Mc={mc}; use the default pipeline (exact merge)"
+                    )
+        elif w and acc_slots == 0 and not per_probe and probes_per_step == 1:
             # collision-loss-aware slot sizing (r3 fix: a single-slot fold
             # at k=50/Mc~300 lost 7% recall); no qualifying slot count ⇒
             # exact-merge fallback. An explicit "xla" merge falls back to
@@ -527,28 +562,19 @@ class IVFIndex:
                 acc_slots = 1
             else:
                 approx_width = w
-        if dma_pipeline and acc_slots == 0:
-            # the DMA kernel always folds at full slab width; it has no
-            # exact-merge form, so fall back to the minimum-loss feasible
-            # slot count when the tolerance plan fails
-            w_dma, acc_slots = _approx_merge_plan(k_scan, mc, mc)
-            if w_dma == 0:
-                w_dma, acc_slots = _approx_merge_plan(
-                    k_scan, mc, mc, tol=None
-                )
-            if w_dma == 0:
-                raise ValueError(
-                    f"k={k_scan} too large for the full-width DMA fold at "
-                    f"Mc={mc}; use the default pipeline (exact merge)"
-                )
         if acc_slots == 0:
             acc_slots = 1
-        if w and k_scan > acc_slots * w:
+        # the multiprobe and DMA kernels fold at full slab width Mc, not at
+        # the user-requested approx_width — guard against the accumulator
+        # they actually allocate
+        guard_w = mc if (dma_pipeline or probes_per_step > 1) else w
+        if guard_w and w and k_scan > acc_slots * guard_w:
             # a k wider than the accumulator would return -inf/-1 tails —
             # a silent recall cliff (ADVICE r3); fail loudly instead
             raise ValueError(
                 f"k={k_scan} exceeds the deferred accumulator "
-                f"({acc_slots}×{w}); pass approx_width=0 or more acc_slots"
+                f"({acc_slots}×{guard_w}); pass approx_width=0 or more "
+                f"acc_slots"
             )
         if final_merge == "auto":
             # the once-per-block in-kernel k-round merge won every HW A/B
@@ -1601,6 +1627,12 @@ def _ivf_query_pallas_dma(
         raise ValueError("k exceeds acc_slots * Mc")
     if acc_slots > 1 and mc % 128:
         raise ValueError("acc_slots > 1 needs a 128-aligned Mc")
+    if mc % 128 and not interpret:
+        # the ids-row copy lane-slices the (C, 1, Mc) HBM operand at Mc;
+        # Mosaic aborts on non-128-aligned slices (observed at Mc=360) —
+        # IVFIndex.query degrades to the default pipeline before reaching
+        # here; this guard protects direct callers
+        raise ValueError("dma_pipeline needs a 128-aligned Mc on TPU")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -1698,6 +1730,11 @@ def _ivf_query_pallas(
         approx_width = min(approx_width, mc)
         if mc % approx_width:
             approx_width = mc   # single fold — always valid
+        if probes_per_step > 1:
+            # the multiprobe kernel folds at full slab width (no staging
+            # scratch) — resolve BEFORE the k-capacity check below or a
+            # narrow requested width spuriously rejects a valid k
+            approx_width = mc
     if emit_acc:
         if not approx_width or per_probe or probes_per_step > 1 or idless:
             raise ValueError("emit_acc needs the plain approx path")
@@ -1762,7 +1799,6 @@ def _ivf_query_pallas(
     if probes_per_step > 1:
         if not approx_width or per_probe:
             raise ValueError("probes_per_step>1 needs the approx path")
-        approx_width = mc       # full-width fold, no staging scratch
         P = probes_per_step
         if u_tot % P:
             # pad by repeating the last probe — rescanning a cluster is

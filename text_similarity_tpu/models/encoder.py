@@ -438,6 +438,16 @@ def embed_inputs(
 
     x = take(emb["word"], input_ids)
     if position_ids is not None:
+        if arch.position_offset:
+            # RoBERTa-family tables index real tokens at pad_token_id+1+p
+            # and padding at pad_token_id (same mapping as the cumsum
+            # branch below) — packed rows pass 0-based per-segment
+            # positions, so shift them here or packed embeddings silently
+            # diverge from the bucketed path
+            m = attention_mask.astype(jnp.int32)
+            position_ids = (
+                position_ids + arch.pad_token_id + 1
+            ) * m + arch.pad_token_id * (1 - m)
         x = x + take(emb["position"], position_ids)
     elif arch.position_offset:
         # RoBERTa: padding tokens keep position = pad index; real tokens

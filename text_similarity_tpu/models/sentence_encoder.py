@@ -206,10 +206,12 @@ class SentenceEncoder:
         """Embed a packed (R, W) layout → (R, max_segments, D); slot
         (r, m) holds the embedding of the row's m-th packed sequence
         (zeros for empty slots)."""
+        # derive the slot count host-side BEFORE the device transfer — an
+        # eager jnp.max + readback would cost a full dispatch RTT per call
+        max_seg = int(np.max(np.asarray(segments)))
         ids = jnp.asarray(ids, jnp.int32)
         segments = jnp.asarray(segments, jnp.int32)
         positions = jnp.asarray(positions, jnp.int32)
-        max_seg = int(np.max(np.asarray(jnp.max(segments))))
         return self._jitted_packed(ids.shape, max_seg)(
             self.params, ids, segments, positions
         )
@@ -371,6 +373,9 @@ class SentenceEncoder:
         rows, docs/ROUND4.md §8: 2.32× on STS-like lengths) whenever the
         estimated padded-token ratio clears PACK_AUTO_RATIO; embeddings
         are identical either way (tests/test_packing.py parity)."""
+        if len(texts) == 0:
+            out = np.zeros((0, self.embedding_dim), np.float32)
+            return jnp.asarray(out) if device_output else out
         row_ids = self._tokenize_rows(texts, max_len)
 
         use_packed = packed is True
