@@ -213,3 +213,28 @@ def test_sharded_ivf_large_k_small_mc_exact_fallback(eight_devices):
         len(set(i[r]) & set(oi[r])) / 50 for r in range(len(q))
     ])
     assert recall >= 0.9, recall
+
+
+def test_single_shard_fast_path_matches_shard_map(eight_devices):
+    """At index=1 the shard_map wrapper + identity all-gather are pure
+    overhead (30.6% QPS on HW, docs/ROUND4.md §4) — the fast path must
+    return identical results to the forced shard_map path for both index
+    types."""
+    mesh = make_mesh(data=8, model=1, index=1)
+
+    x = _corpus(1200, 64)
+    q = _corpus(24, 64, seed=3)
+    bf = ShardedBruteForceIndex.build(mesh, x)
+    s_fast, i_fast = bf.query(q, k=10)             # auto → fast path
+    s_map, i_map = bf.query(q, k=10, use_shard_map=True)
+    np.testing.assert_array_equal(i_fast, i_map)
+    np.testing.assert_allclose(s_fast, s_map, atol=1e-6)
+
+    xc = _clustered_corpus(3000, 64, 32)
+    qc = l2_normalize(xc[:24] + 0.01)
+    cfg = IndexConfig(num_clusters=32, num_probes=6, kmeans_iters=5)
+    ivf = ShardedIVFIndex.build(mesh, xc, cfg)
+    s_fast, i_fast = ivf.query(qc, k=10)
+    s_map, i_map = ivf.query(qc, k=10, use_shard_map=True)
+    np.testing.assert_array_equal(i_fast, i_map)
+    np.testing.assert_allclose(s_fast, s_map, atol=1e-6)

@@ -70,26 +70,33 @@ class ShardedBruteForceIndex:
         sharding = NamedSharding(mesh, P(INDEX_AXIS, None))
         return cls(mesh, jax.device_put(emb, sharding), n)
 
-    def _make_query(self, k: int):
+    def _make_query(self, k: int, use_shard_map: Optional[bool] = None):
         mesh = self.mesh
         n_total = self.n_total
         n_shards = mesh.shape[INDEX_AXIS]
         shard_rows = self.corpus.shape[0] // n_shards
+        if use_shard_map is None:
+            use_shard_map = n_shards > 1
 
         # zero-padding rows score 0 and would displace real NEGATIVE-score
         # neighbors inside the per-shard top-k before the gid mask runs:
         # retrieve k + n_pad locally so true candidates survive the merge
         k_local = min(k + self.n_pad, shard_rows)
 
-        def local_query(q, corpus_shard):
+        def local_scan(q, corpus_shard, shard_idx):
             # q: (Q, D) replicated; corpus_shard: (rows, D)
             q = l2_normalize(q.astype(jnp.float32))  # in-jit (see IVF note)
-            shard_idx = jax.lax.axis_index(INDEX_AXIS)
             # auto-dispatch: the fused Pallas kernel per shard on TPU,
             # the XLA oracle on CPU meshes
             s, i = cosine_topk(q, corpus_shard, k=k_local)
             gid = i + shard_idx * shard_rows
             s = jnp.where(gid < n_total, s, -jnp.inf)  # mask padding rows
+            return s, gid
+
+        def local_query(q, corpus_shard):
+            s, gid = local_scan(
+                q, corpus_shard, jax.lax.axis_index(INDEX_AXIS)
+            )
             # (n_shards, Q, k) on every device
             s_all = jax.lax.all_gather(s, INDEX_AXIS)
             i_all = jax.lax.all_gather(gid, INDEX_AXIS)
@@ -97,6 +104,17 @@ class ShardedBruteForceIndex:
                 s_all.transpose(1, 0, 2), i_all.transpose(1, 0, 2), k
             )
             return _pack_results(ms, mi)
+
+        if not use_shard_map:
+            # single-shard fast path: the shard_map wrapper + all-gather
+            # merge machinery measured a 30.6% QPS tax at index=1 even
+            # though the gather is an identity there (docs/ROUND4.md §4)
+            def single_query(q, corpus_shard):
+                s, gid = local_scan(q, corpus_shard, 0)
+                ms, mi = topk_merge(s[:, None, :], gid[:, None, :], k)
+                return _pack_results(ms, mi)
+
+            return jax.jit(single_query)
 
         fn = shard_map(
             local_query,
@@ -107,19 +125,28 @@ class ShardedBruteForceIndex:
         )
         return jax.jit(fn)
 
-    def query_packed(self, queries, k: int = 10) -> jax.Array:
+    def query_packed(
+        self, queries, k: int = 10,
+        use_shard_map: Optional[bool] = None,
+    ) -> jax.Array:
         """One async jit dispatch; returns the packed (Q, 2k) int32 DEVICE
         array (see _pack_results) without a host sync — timing loops and
         pipelines can overlap many calls and unpack once at the end."""
         k = min(k, self.n_total)   # top_k wider than the corpus can't fill
         q = jnp.asarray(queries, jnp.float32)
-        if k not in self._query_fn:
-            self._query_fn[k] = self._make_query(k)
-        return self._query_fn[k](q, self.corpus)
+        key = (k, use_shard_map)
+        if key not in self._query_fn:
+            self._query_fn[key] = self._make_query(k, use_shard_map)
+        return self._query_fn[key](q, self.corpus)
 
-    def query(self, queries, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    def query(
+        self, queries, k: int = 10,
+        use_shard_map: Optional[bool] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
         k = min(k, self.n_total)
-        return _unpack_results(self.query_packed(queries, k), k)
+        return _unpack_results(
+            self.query_packed(queries, k, use_shard_map), k
+        )
 
 
 class ShardedIVFIndex:
@@ -322,12 +349,17 @@ class ShardedIVFIndex:
             num_probes=config.num_probes,
         )
 
-    def _make_query(self, k: int, probes: int, impl: str = "auto"):
+    def _make_query(
+        self, k: int, probes: int, impl: str = "auto",
+        use_shard_map: Optional[bool] = None,
+    ):
         mesh = self.mesh
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if use_shard_map is None:
+            use_shard_map = mesh.shape[INDEX_AXIS] > 1
 
-        def local_query(q, cent, data, ids):
+        def local_scan(q, cent, data, ids):
             # cent: (C, D) REPLICATED global centroids — probe selection is
             # identical on every shard; data/ids: this shard's local layout
             # whose first C clusters align 1:1 with the global centroid ids
@@ -401,6 +433,10 @@ class ShardedIVFIndex:
                     cand_ids.reshape(q.shape[0], -1), tl, axis=1
                 )
                 ts = ts - shift
+            return ts, ti
+
+        def local_query(q, cent, data, ids):
+            ts, ti = local_scan(q, cent, data, ids)
             # padded/empty candidates carry id -1 with -inf scores; merge
             s_all = jax.lax.all_gather(ts, INDEX_AXIS)
             i_all = jax.lax.all_gather(ti, INDEX_AXIS)
@@ -408,6 +444,17 @@ class ShardedIVFIndex:
                 s_all.transpose(1, 0, 2), i_all.transpose(1, 0, 2), k
             )
             return _pack_results(ms, mi)
+
+        if not use_shard_map:
+            # single-shard fast path (docs/ROUND4.md §4): the local scan's
+            # top-k IS the answer — skip the shard_map wrapper, identity
+            # all-gather, and cross-shard merge that together measured a
+            # 30.6% QPS tax at index=1
+            def single_query(q, cent, data, ids):
+                ts, ti = local_scan(q, cent, data, ids)
+                return _pack_results(ts, ti)
+
+            return jax.jit(single_query)
 
         fn = shard_map(
             local_query,
@@ -425,7 +472,7 @@ class ShardedIVFIndex:
 
     def query_packed(
         self, queries, k: int = 10, probes: Optional[int] = None,
-        impl: str = "auto",
+        impl: str = "auto", use_shard_map: Optional[bool] = None,
     ) -> Tuple[jax.Array, int]:
         """One async jit dispatch; returns (packed (Qpad, 2k') int32 DEVICE
         array, effective k) without a host sync — see _pack_results."""
@@ -441,9 +488,11 @@ class ShardedIVFIndex:
         # placement to the replicated spec is jit's job — both were eager
         # per-call device round-trips before r4
         q = jnp.asarray(queries, jnp.float32)
-        key = (k, probes, impl)
+        key = (k, probes, impl, use_shard_map)
         if key not in self._query_fn:
-            self._query_fn[key] = self._make_query(k, probes, impl)
+            self._query_fn[key] = self._make_query(
+                k, probes, impl, use_shard_map
+            )
         packed = self._query_fn[key](
             q, self.centroids, self.data_padded, self.ids_padded
         )
@@ -451,9 +500,11 @@ class ShardedIVFIndex:
 
     def query(
         self, queries, k: int = 10, probes: Optional[int] = None,
-        impl: str = "auto",
+        impl: str = "auto", use_shard_map: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        packed, k_eff = self.query_packed(queries, k, probes, impl)
+        packed, k_eff = self.query_packed(
+            queries, k, probes, impl, use_shard_map
+        )
         # the pallas path pads the batch to block_q multiples; drop the
         # trailing junk rows so results align 1:1 with the queries
         return _unpack_results(packed, k_eff, len(queries))
