@@ -278,3 +278,69 @@ def test_packed_encode_dp_sharded_matches(eight_devices):
     enc_sharded.mesh = make_mesh(data=8)
     out = np.asarray(enc_sharded.embed_tokens_packed(ids, segs, pos))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def _cross_encoder():
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.models.cross_encoder import CrossEncoder
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "a fast dark fox leaped over a sleepy dog",
+        "semantic similarity of sentences on tensor units",
+        "the dog sleeps while the fox runs far away",
+    ] * 3
+    vocab = train_wordpiece_vocab(corpus, vocab_size=256, min_freq=1)
+    tok = WordPieceTokenizer(vocab)
+    arch = EncoderArch(
+        vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=128, has_pooler=False,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    return CrossEncoder.init(
+        jax.random.PRNGKey(3), arch, tokenizer=tok, num_classes=1,
+        precision=precision_for(False),
+    ), corpus
+
+
+def test_cross_encoder_packed_scores_match_unpacked():
+    """Packed pair scoring (several [CLS] a [SEP] b [SEP] pairs per row,
+    each scored at its own CLS via segment_first_pool) must reproduce the
+    per-pair bucketed scores exactly."""
+    ce, corpus = _cross_encoder()
+    pairs = [(corpus[i], corpus[(i + 1) % len(corpus)])
+             for i in range(len(corpus))]
+    ref = ce.predict(pairs, max_len=64, packed=False)
+    out = ce.predict_packed(pairs, width=64, max_len=64)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_cross_encoder_predict_auto_packs():
+    ce, corpus = _cross_encoder()
+    pairs = [(corpus[i], corpus[(i + 1) % len(corpus)])
+             for i in range(len(corpus))]
+    ref = ce.predict(pairs, max_len=64, packed=False)
+    assert not _packed_jit_used(ce)
+    out = ce.predict(pairs, max_len=64)   # auto: short pairs → packed
+    assert _packed_jit_used(ce)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_segment_first_pool_picks_segment_heads():
+    from text_similarity_tpu.models.pooling import segment_first_pool
+
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.normal(size=(2, 10, 4)).astype(np.float32))
+    segs = jnp.asarray(
+        [[1, 1, 2, 2, 2, 0, 0, 0, 0, 0],
+         [1, 2, 2, 3, 3, 3, 0, 0, 0, 0]], jnp.int32
+    )
+    out = np.asarray(segment_first_pool(h, segs, 3))
+    hn = np.asarray(h)
+    np.testing.assert_allclose(out[0, 0], hn[0, 0])
+    np.testing.assert_allclose(out[0, 1], hn[0, 2])
+    np.testing.assert_allclose(out[0, 2], np.zeros(4))
+    np.testing.assert_allclose(out[1, 1], hn[1, 1])
+    np.testing.assert_allclose(out[1, 2], hn[1, 3])

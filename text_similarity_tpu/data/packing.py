@@ -17,7 +17,7 @@ Everything here is host-side layout; shapes stay static: rows are always
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -26,6 +26,7 @@ def pack_sequences(
     row_ids: Sequence[Sequence[int]],
     width: int,
     pad_id: int = 0,
+    row_types: Optional[Sequence[Sequence[int]]] = None,
 ) -> Dict[str, np.ndarray]:
     """First-fit-decreasing packing of token-id sequences into fixed-width
     rows.
@@ -37,6 +38,9 @@ def pack_sequences(
       owners     (R, max_per_row) int32 — original sequence index of each
                  segment in the row, -1 = empty slot
       n_segments (R,) int32
+      type_ids   (R, width) int32 — only when ``row_types`` is given:
+                 per-token token-type ids packed alongside (cross-encoder
+                 [CLS] a [SEP] b [SEP] pairs carry 0/1 types)
 
     Sequences longer than ``width`` are truncated (parity with the
     bucketed path's max_len truncation).
@@ -68,6 +72,7 @@ def pack_sequences(
     ids = np.full((r, width), pad_id, np.int32)
     segs = np.zeros((r, width), np.int32)
     pos = np.zeros((r, width), np.int32)
+    types = np.zeros((r, width), np.int32) if row_types is not None else None
     owners = np.full((r, max_per_row), -1, np.int32)
     n_seg = np.zeros((r,), np.int32)
     for ri, members in enumerate(rows):
@@ -77,13 +82,20 @@ def pack_sequences(
             ids[ri, off:off + L] = np.asarray(row_ids[si][:L], np.int32)
             segs[ri, off:off + L] = mi + 1
             pos[ri, off:off + L] = np.arange(L, dtype=np.int32)
+            if types is not None:
+                types[ri, off:off + L] = np.asarray(
+                    row_types[si][:L], np.int32
+                )
             owners[ri, mi] = si
             off += L
         n_seg[ri] = len(members)
-    return {
+    out = {
         "ids": ids, "segments": segs, "positions": pos,
         "owners": owners, "n_segments": n_seg,
     }
+    if types is not None:
+        out["type_ids"] = types
+    return out
 
 
 def packing_efficiency(packed: Dict[str, np.ndarray]) -> float:

@@ -21,7 +21,16 @@ from ..core.precision import Precision, DEFAULT_PRECISION, precision_for
 from ..core import checkpoint as ckpt
 from ..data.batching import pick_bucket, BUCKETS
 from ..train.steps import classifier_forward, init_classifier_head
-from .encoder import init_params
+from .encoder import init_params, encoder_forward, dequant_weight
+from .pooling import segment_first_pool
+
+
+def _strip_pair_rows(ids, mask, tts):
+    """Padded (N, L) pair arrays → per-pair token/type lists for packing."""
+    lens = mask.sum(axis=1)
+    rows = [list(ids[i, : lens[i]]) for i in range(ids.shape[0])]
+    types = [list(tts[i, : lens[i]]) for i in range(ids.shape[0])]
+    return rows, types
 
 
 class CrossEncoder:
@@ -72,6 +81,131 @@ class CrossEncoder:
             self._jit_cache[shape] = jax.jit(fn)
         return self._jit_cache[shape]
 
+    def _score_of_logits(self, logits):
+        if logits.shape[-1] == 1:
+            return logits[..., 0]
+        if logits.shape[-1] == 2:
+            return jax.nn.softmax(logits, axis=-1)[..., 1]
+        return logits
+
+    def _jitted_packed(self, shape, max_segments: int):
+        """Packed pair scoring: several [CLS] a [SEP] b [SEP] pairs per
+        fixed-width row behind a block-diagonal mask (data/packing.py) —
+        rerank pairs are short (~40 tokens vs 128-256 wide rows), so
+        packing multiplies cross-encoder throughput the same way it does
+        encode (docs/ROUND4.md §8). Each pair's own [CLS] pools via
+        segment_first_pool."""
+        key = ("packed", shape, max_segments)
+        if key not in self._jit_cache:
+            arch, precision = self.arch, self.precision
+            if self.pooling != "cls":
+                raise ValueError("packed scoring supports cls pooling only")
+
+            def fn(params, ids, segments, positions, type_ids):
+                mask = (segments > 0).astype(jnp.int32)
+                out = encoder_forward(
+                    params["encoder"], ids, mask, type_ids, arch=arch,
+                    precision=precision, segment_ids=segments,
+                    position_ids=positions,
+                )
+                pooled = segment_first_pool(
+                    out.last_hidden_state, segments, max_segments
+                )  # (R, M, H)
+                head = params["head"]
+                logits = (
+                    pooled.astype(jnp.float32) @ dequant_weight(head["w"])
+                    + head["b"]
+                )
+                return self._score_of_logits(logits)   # (R, M) or (R, M, C)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # same conservative threshold as SentenceEncoder.encode — see there
+    PACK_AUTO_RATIO = 1.3
+
+    def predict_packed(
+        self,
+        pairs: Sequence,
+        width: int = 256,
+        rows_per_batch: int = 128,
+        max_len: int = 256,
+        max_segments: int = 0,   # 0 = derive (rounded up to a power of
+                                 # two to bound compile shapes)
+    ) -> np.ndarray:
+        """Score pairs via greedy packing — same output contract as
+        ``predict`` (score i ↔ pairs[i])."""
+        if self.tokenizer is None:
+            raise ValueError("cross encoder has no tokenizer")
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        ids, mask, tts = self.tokenizer.encode_pair_batch(
+            a, b, max_len=min(max_len, width)
+        )
+        rows, types = _strip_pair_rows(ids, mask, tts)
+        return self._predict_packed_rows(
+            rows, types, len(pairs), width, rows_per_batch, max_segments
+        )
+
+    def _predict_packed_rows(
+        self, rows, types, n_pairs: int, width: int,
+        rows_per_batch: int = 128, max_segments: int = 0,
+    ) -> np.ndarray:
+        from ..data.packing import pack_sequences
+
+        packed = pack_sequences(
+            rows, width, pad_id=self.tokenizer.pad_id, row_types=types
+        )
+        m = int(packed["owners"].shape[1])
+        if not max_segments and m > 1:
+            m = 1 << (m - 1).bit_length()
+        m = max_segments or m
+        if packed["owners"].shape[1] > m:
+            raise ValueError(
+                f"layout needs {packed['owners'].shape[1]} segment slots, "
+                f"max_segments={m}"
+            )
+        r = packed["ids"].shape[0]
+        fn = self._jitted_packed((rows_per_batch, width), m)
+        out_shape = (
+            (n_pairs,)
+            if self.num_classes <= 2
+            else (n_pairs, self.num_classes)
+        )
+        out = np.zeros(out_shape, np.float32)
+        pending = []
+        for st in range(0, r, rows_per_batch):
+            chunk = {
+                k: packed[k][st:st + rows_per_batch]
+                for k in ("ids", "segments", "positions", "type_ids",
+                          "owners")
+            }
+            pad = rows_per_batch - chunk["ids"].shape[0]
+            if pad:
+                for k in ("ids", "segments", "positions", "type_ids"):
+                    chunk[k] = np.pad(chunk[k], ((0, pad), (0, 0)))
+                chunk["owners"] = np.pad(
+                    chunk["owners"], ((0, pad), (0, 0)), constant_values=-1
+                )
+            ow = chunk["owners"]
+            if ow.shape[1] < m:
+                ow = np.pad(
+                    ow, ((0, 0), (0, m - ow.shape[1])), constant_values=-1
+                )
+            scores = fn(
+                self.params,
+                jnp.asarray(chunk["ids"], jnp.int32),
+                jnp.asarray(chunk["segments"], jnp.int32),
+                jnp.asarray(chunk["positions"], jnp.int32),
+                jnp.asarray(chunk["type_ids"], jnp.int32),
+            )
+            pending.append((ow, scores))   # async; sync once below
+        for ow, scores in pending:
+            sh = np.asarray(scores)
+            sel = ow >= 0
+            out[ow[sel]] = sh[sel]
+        return out
+
     def to_int8(self) -> "CrossEncoder":
         """int8 serving quantization (see SentenceEncoder.to_int8): the
         encoder stack runs true int8 MXU dots; the tiny head dequants."""
@@ -95,12 +229,45 @@ class CrossEncoder:
         pairs: Sequence,            # sequence of (text_a, text_b)
         batch_size: int = 64,
         max_len: int = 256,
+        packed="auto",
     ) -> np.ndarray:
-        """Score text pairs → (N,) relevance scores (or (N, C) logits)."""
+        """Score text pairs → (N,) relevance scores (or (N, C) logits).
+
+        ``packed``: True / False / "auto". Rerank pairs are usually short
+        relative to the bucket width, so auto routes them through greedy
+        sequence packing (several pairs per row behind a block-diagonal
+        mask, each scored at its own [CLS] via segment_first_pool) when
+        the padded-token estimate clears PACK_AUTO_RATIO — identical
+        scores, parity-tested."""
         if self.tokenizer is None:
             raise ValueError("cross encoder has no tokenizer")
         a = [p[0] for p in pairs]
         b = [p[1] for p in pairs]
+        if (
+            packed is True
+            or (packed == "auto" and self.pooling == "cls"
+                and len(pairs) > 8)
+        ):
+            ids, mask, tts = self.tokenizer.encode_pair_batch(
+                a, b, max_len=max_len
+            )
+            lens = mask.sum(axis=1)
+            width = pick_bucket(int(lens.max()), BUCKETS)
+            # bucketed cost mirrors the loop below: per in-order chunk of
+            # batch_size, rows pad to the chunk's longest bucket
+            bucket_tokens = 0
+            for st in range(0, len(pairs), batch_size):
+                chunk_max = int(lens[st:st + batch_size].max())
+                bucket_tokens += batch_size * pick_bucket(chunk_max, BUCKETS)
+            est_rows = -(-int(lens.sum()) // int(width * 0.98))
+            if (
+                packed is True
+                or bucket_tokens >= self.PACK_AUTO_RATIO * est_rows * width
+            ):
+                rows, types = _strip_pair_rows(ids, mask, tts)
+                return self._predict_packed_rows(
+                    rows, types, len(pairs), width
+                )
         # >2 classes: score_tokens returns raw (B, C) logits, so collect
         # an (N, C) output; binary/regression heads reduce to (N,) scores.
         out_shape = (

@@ -63,6 +63,30 @@ def segment_mean_pool(
     return (summed / count[..., None]).astype(hidden.dtype)
 
 
+def segment_first_pool(
+    hidden: jax.Array,     # (B, S, H)
+    segments: jax.Array,   # (B, S) 1-based segment tag per token, 0 = pad
+    max_segments: int,
+) -> jax.Array:
+    """Per-segment FIRST-token (CLS) pool for PACKED rows: each packed
+    sequence starts with its own [CLS], so segment m's score vector is the
+    hidden state at the first position tagged m. Returns
+    (B, max_segments, H); empty slots come out zero. The packed analogue
+    of cls_pool for cross-encoder pair scoring."""
+    b, s, _ = hidden.shape
+    pos = jnp.arange(s, dtype=jnp.int32)
+    tags = jnp.arange(1, max_segments + 1, dtype=segments.dtype)
+    is_m = segments[:, :, None] == tags[None, None, :]       # (B, S, M)
+    first = jnp.min(
+        jnp.where(is_m, pos[None, :, None], s), axis=1
+    )                                                         # (B, M)
+    present = first < s
+    gathered = jnp.take_along_axis(
+        hidden, jnp.minimum(first, s - 1)[:, :, None], axis=1
+    )                                                         # (B, M, H)
+    return jnp.where(present[:, :, None], gathered, 0)
+
+
 def bert_pooler(hidden: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     cls = hidden[:, 0, :].astype(jnp.float32)
     return jnp.tanh(cls @ w + b).astype(hidden.dtype)
