@@ -446,7 +446,10 @@ def main():
         return logits[..., 0]                          # (R, M)
 
     rr_rows = packed_rr["ids"].shape[0]
-    rr_chunk = 512
+    # rows-per-call sweep on HW (2026-08-20, clean window): 256 → 24.0k,
+    # 512 → 44.9k, 1024 → 45.6k, 2048 → 37.0k pairs/s — 512-1024 is the
+    # plateau (256 is dispatch-bound, 2048 over-pads the 10.7k-row set)
+    rr_chunk = 1024
     pad_rr = (-rr_rows) % rr_chunk
     pk = {
         k: np.pad(packed_rr[k], ((0, pad_rr), (0, 0)))

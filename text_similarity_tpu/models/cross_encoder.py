@@ -128,7 +128,8 @@ class CrossEncoder:
         self,
         pairs: Sequence,
         width: int = 256,
-        rows_per_batch: int = 128,
+        rows_per_batch: int = 512,   # HW plateau 512-1024 rows/call;
+                                     # 128-256 is relay-dispatch-bound
         max_len: int = 256,
         max_segments: int = 0,   # 0 = derive (rounded up to a power of
                                  # two to bound compile shapes)
@@ -149,7 +150,7 @@ class CrossEncoder:
 
     def _predict_packed_rows(
         self, rows, types, n_pairs: int, width: int,
-        rows_per_batch: int = 128, max_segments: int = 0,
+        rows_per_batch: int = 512, max_segments: int = 0,
     ) -> np.ndarray:
         from ..data.packing import pack_sequences
 
