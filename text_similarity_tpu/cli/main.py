@@ -124,6 +124,14 @@ def _train_common(p: argparse.ArgumentParser):
                         "'expert' axis; random-init models only)")
     p.add_argument("--expert-top-k", type=int, default=2,
                    help="experts consulted per token (MoE routing)")
+    p.add_argument("--packed", action="store_true",
+                   help="sequence-packed training: pack several short "
+                        "sentences per row behind a block-diagonal mask "
+                        "(bi-encoder + cross-encoder objectives; MXU work "
+                        "tracks real tokens instead of padded width)")
+    p.add_argument("--packed-rows", type=int, default=32,
+                   help="packed rows per tower per step (step batch is "
+                        "whatever pair count packs into these rows)")
 
 
 def _pp_mesh(args):
@@ -150,19 +158,30 @@ def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
     jax = _jax()
     import jax.numpy as jnp
 
-    from ..data.pairs import build_pair_batches
+    from ..data.pairs import build_pair_batches, build_packed_pair_batches
     from ..train import (
-        make_optimizer, make_bi_encoder_train_step, init_train_state,
+        make_optimizer, make_bi_encoder_train_step,
+        make_packed_bi_encoder_train_step, init_train_state,
     )
     from ..train.trainer import Trainer
     from ..core.precision import precision_for
 
     texts = [p[0] for p in pairs] + [p[1] for p in pairs]
     enc = encoder or _encoder(args, texts=texts)
-    batches = build_pair_batches(
-        enc.tokenizer, pairs, targets, batch_size=args.batch_size,
-        max_len=args.max_len, seed=args.seed, target_dtype=target_dtype,
-    )
+    packed = getattr(args, "packed", False)
+    if packed:
+        if getattr(args, "pipe", 1) > 1:
+            raise SystemExit("--packed and --pipe are mutually exclusive")
+        batches = build_packed_pair_batches(
+            enc.tokenizer, pairs, targets,
+            rows_per_side=args.packed_rows, width=args.max_len,
+            seed=args.seed, target_dtype=target_dtype,
+        )
+    else:
+        batches = build_pair_batches(
+            enc.tokenizer, pairs, targets, batch_size=args.batch_size,
+            max_len=args.max_len, seed=args.seed, target_dtype=target_dtype,
+        )
     cfg = _train_cfg(args)
     total = len(batches) * cfg.epochs
     params = {"encoder": enc.params}
@@ -177,15 +196,22 @@ def _run_bi_encoder_training(args, pairs, targets, loss_type, eval_fn=None,
         )
     tx = make_optimizer(cfg, total, params_example=params)
     state = init_train_state(params, tx, seed=args.seed)
-    step = make_bi_encoder_train_step(
-        enc.arch, tx, loss_type=loss_type,
-        # default to the LOADED encoder's pooling — training with a
-        # different pooler than encode()/the saved artifact silently
-        # mismatches the objective and the eval
-        pooling=args.pooling or enc.pooling,
-        precision=precision_for(cfg.bf16),
-        pp_mesh=_pp_mesh(args),
-    )
+    if packed:
+        step = make_packed_bi_encoder_train_step(
+            enc.arch, tx, loss_type=loss_type,
+            pooling=args.pooling or enc.pooling,
+            precision=precision_for(cfg.bf16),
+        )
+    else:
+        step = make_bi_encoder_train_step(
+            enc.arch, tx, loss_type=loss_type,
+            # default to the LOADED encoder's pooling — training with a
+            # different pooler than encode()/the saved artifact silently
+            # mismatches the objective and the eval
+            pooling=args.pooling or enc.pooling,
+            precision=precision_for(cfg.bf16),
+            pp_mesh=_pp_mesh(args),
+        )
     trainer = Trainer(
         step, state, save_path=args.save_path, eval_fn=eval_fn,
         tracked_metric=getattr(args, "metric", "loss"),
@@ -317,9 +343,10 @@ def cmd_train_cross_encoder(args):
     import jax.numpy as jnp
 
     from ..data.datasets import load_paws, load_nli, load_sts
-    from ..data.pairs import build_pair_batches
+    from ..data.pairs import build_pair_batches, build_packed_pair_batches
     from ..train import (
-        make_optimizer, make_classifier_train_step, init_train_state,
+        make_optimizer, make_classifier_train_step,
+        make_packed_classifier_train_step, init_train_state,
     )
     from ..train.steps import init_classifier_head
     from ..train.trainer import Trainer
@@ -334,12 +361,22 @@ def cmd_train_cross_encoder(args):
         num_classes = 2
     texts = [a for a, _, _ in rows] + [b for _, b, _ in rows]
     enc = _encoder(args, texts=texts)
-    batches = build_pair_batches(
-        enc.tokenizer, [(a, b) for a, b, _ in rows],
-        [l for _, _, l in rows], batch_size=args.batch_size,
-        max_len=args.max_len, mode="cross", target_dtype=np.int32,
-        seed=args.seed,
-    )
+    if args.packed:
+        if getattr(args, "pipe", 1) > 1:
+            raise SystemExit("--packed and --pipe are mutually exclusive")
+        batches = build_packed_pair_batches(
+            enc.tokenizer, [(a, b) for a, b, _ in rows],
+            [l for _, _, l in rows], rows_per_side=args.packed_rows,
+            width=args.max_len, mode="cross", target_dtype=np.int32,
+            seed=args.seed,
+        )
+    else:
+        batches = build_pair_batches(
+            enc.tokenizer, [(a, b) for a, b, _ in rows],
+            [l for _, _, l in rows], batch_size=args.batch_size,
+            max_len=args.max_len, mode="cross", target_dtype=np.int32,
+            seed=args.seed,
+        )
     cfg = _train_cfg(args)
     params = {
         "encoder": enc.params,
@@ -350,10 +387,15 @@ def cmd_train_cross_encoder(args):
     }
     tx = make_optimizer(cfg, len(batches) * cfg.epochs, params_example=params)
     state = init_train_state(params, tx, seed=args.seed)
-    step = make_classifier_train_step(
-        enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16),
-        pp_mesh=_pp_mesh(args),
-    )
+    if args.packed:
+        step = make_packed_classifier_train_step(
+            enc.arch, tx, precision=precision_for(cfg.bf16),
+        )
+    else:
+        step = make_classifier_train_step(
+            enc.arch, tx, pooling="cls", precision=precision_for(cfg.bf16),
+            pp_mesh=_pp_mesh(args),
+        )
     trainer = Trainer(step, state, save_path=args.save_path)
     result = trainer.execute(
         lambda e: (jax.tree.map(jnp.asarray, b) for b in batches),

@@ -140,6 +140,167 @@ def build_pair_batches(
     return batches
 
 
+def _pack_group(rows, group, width, pad_id, types=None):
+    from .packing import pack_sequences
+
+    return pack_sequences(
+        [rows[i] for i in group], width, pad_id=pad_id,
+        row_types=[types[i] for i in group] if types is not None else None,
+    )
+
+
+def _pad_packed(pk, rows_per_side, max_segments, with_types=False):
+    """Pad one pack_sequences layout to the batch-set's fixed shapes."""
+    r = pk["ids"].shape[0]
+    out = {}
+    keys = ("ids", "segments", "positions") + (
+        ("type_ids",) if with_types else ()
+    )
+    for k in keys:
+        out[k] = np.pad(pk[k], ((0, rows_per_side - r), (0, 0)))
+    ow = pk["owners"]
+    out["owners"] = np.pad(
+        ow,
+        ((0, rows_per_side - r), (0, max_segments - ow.shape[1])),
+        constant_values=-1,
+    )
+    return out
+
+
+def build_packed_pair_batches(
+    tokenizer,
+    pairs: Sequence,
+    targets: Sequence,
+    rows_per_side: int = 32,
+    width: int = 128,
+    mode: str = "bi",                 # "bi" (twin towers) | "cross" (joint)
+    shuffle: bool = True,
+    seed: int = 0,
+    target_dtype=np.float32,
+) -> List[Dict[str, np.ndarray]]:
+    """PACKED pair batches: several short sentences per fixed-width row
+    behind a block-diagonal mask (data/packing.py) — the training-side
+    form of the measured 2.3-2.6× packing win. Supersedes the reference's
+    smart batching (src/dataset/dataset.py:386-418): where that pads every
+    pair to its batch's longest, this packs ~width/len pairs per row so
+    MXU work tracks real tokens.
+
+    All batches share one static shape set (one compile):
+      mode="bi":    ids_a/segments_a/positions_a (R, W), owners_a (R, M),
+                    same _b, target (P,), valid (P,)
+      mode="cross": ids/segments/positions/type_ids (R, W), owners (R, M),
+                    labels (P,), valid (P,)
+    R = rows_per_side, W = width, M/P = derived segment-slot / pair
+    capacities (constant across the returned batches). Consumed by
+    train.steps.make_packed_{bi_encoder,classifier}_train_step."""
+    if not len(pairs):
+        return []
+    targets = np.asarray(targets)
+    rng = np.random.RandomState(seed)
+    cross = mode == "cross"
+    types = None
+    if cross:
+        ids_all, mask_all, tts_all = tokenizer.encode_pair_batch(
+            [p[0] for p in pairs], [p[1] for p in pairs], max_len=width
+        )
+        lens_r = mask_all.sum(axis=1)
+        rows_a = [
+            list(ids_all[i, : lens_r[i]]) for i in range(len(pairs))
+        ]
+        types = [
+            list(tts_all[i, : lens_r[i]]) for i in range(len(pairs))
+        ]
+        rows_b = rows_a
+        cost = lens_r.astype(np.int64)
+    else:
+        rows_a = _tok_rows(tokenizer, [p[0] for p in pairs], width)
+        rows_b = _tok_rows(tokenizer, [p[1] for p in pairs], width)
+        la = np.asarray([len(r) for r in rows_a], np.int64)
+        lb = np.asarray([len(r) for r in rows_b], np.int64)
+        cost = np.maximum(la, lb)
+
+    # group pairs by token budget (longest-first keeps groups homogeneous
+    # and FFD-friendly), then verify each side really packs into R rows —
+    # overflow pairs spill into the next group.
+    order = list(np.argsort(-cost, kind="stable"))
+    cap = int(rows_per_side * width * 0.98)
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    sa = sb = 0
+    for i in order:
+        a_len = len(rows_a[i])
+        b_len = a_len if cross else len(rows_b[i])
+        if cur and (sa + a_len > cap or sb + b_len > cap):
+            groups.append(cur)
+            cur, sa, sb = [], 0, 0
+        cur.append(int(i))
+        sa += a_len
+        sb += b_len
+    if cur:
+        groups.append(cur)
+
+    packed_groups = []
+    spill: List[int] = []
+    gi = 0
+    while gi < len(groups) or spill:
+        g = (spill + groups[gi]) if gi < len(groups) else spill
+        spill = []
+        gi += 1
+        while True:
+            pa = _pack_group(rows_a, g, width, tokenizer.pad_id, types)
+            pb = (
+                pa if cross
+                else _pack_group(rows_b, g, width, tokenizer.pad_id)
+            )
+            if (
+                pa["ids"].shape[0] <= rows_per_side
+                and pb["ids"].shape[0] <= rows_per_side
+            ):
+                break
+            spill.insert(0, g.pop())   # shortest member → next group
+        packed_groups.append((g, pa, pb))
+
+    # fixed segment-slot / pair capacities across the batch set
+    m = max(
+        max(pa["owners"].shape[1], pb["owners"].shape[1])
+        for _, pa, pb in packed_groups
+    )
+    if m > 1:
+        m = 1 << (m - 1).bit_length()
+    p_cap = max(len(g) for g, _, _ in packed_groups)
+    p_cap = -(-p_cap // 8) * 8
+
+    batches = []
+    for g, pa, pb in packed_groups:
+        tgt = np.zeros(
+            (p_cap,) + targets.shape[1:], target_dtype
+        )
+        valid = np.zeros((p_cap,), np.int32)
+        tgt[: len(g)] = targets[g]
+        valid[: len(g)] = 1
+        if cross:
+            side = _pad_packed(pa, rows_per_side, m, with_types=True)
+            batches.append(
+                {"ids": side["ids"], "segments": side["segments"],
+                 "positions": side["positions"],
+                 "type_ids": side["type_ids"], "owners": side["owners"],
+                 "labels": tgt, "valid": valid}
+            )
+        else:
+            a = _pad_packed(pa, rows_per_side, m)
+            b = _pad_packed(pb, rows_per_side, m)
+            batches.append(
+                {"ids_a": a["ids"], "segments_a": a["segments"],
+                 "positions_a": a["positions"], "owners_a": a["owners"],
+                 "ids_b": b["ids"], "segments_b": b["segments"],
+                 "positions_b": b["positions"], "owners_b": b["owners"],
+                 "target": tgt, "valid": valid}
+            )
+    if shuffle:
+        rng.shuffle(batches)
+    return batches
+
+
 def build_sequence_batches(
     tokenizer,
     texts: Sequence[str],

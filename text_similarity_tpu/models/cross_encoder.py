@@ -111,6 +111,16 @@ class CrossEncoder:
                 pooled = segment_first_pool(
                     out.last_hidden_state, segments, max_segments
                 )  # (R, M, H)
+                enc = params["encoder"]
+                if arch.has_pooler and "pooler" in enc:
+                    # dense scoring (classifier_forward, pooling="cls")
+                    # routes CLS through the BERT pooler tanh — the packed
+                    # path must match or packed/dense scores diverge
+                    pw = enc["pooler"]
+                    pooled = jnp.tanh(
+                        pooled.astype(jnp.float32)
+                        @ dequant_weight(pw["w"]) + pw["b"]
+                    )
                 head = params["head"]
                 logits = (
                     pooled.astype(jnp.float32) @ dequant_weight(head["w"])
@@ -167,6 +177,12 @@ class CrossEncoder:
                 f"max_segments={m}"
             )
         r = packed["ids"].shape[0]
+        # clamp to the layout: the 512-1024 plateau was measured on ~10k-row
+        # rerank sets; a small interactive call should keep a small padded
+        # shape instead of padding to 512 rows (ADVICE r4)
+        rows_per_batch = min(
+            rows_per_batch, max(128, 1 << (r - 1).bit_length())
+        )
         fn = self._jitted_packed((rows_per_batch, width), m)
         out_shape = (
             (n_pairs,)

@@ -3,6 +3,8 @@ from .prefetch import DevicePrefetcher
 from .steps import (
     make_bi_encoder_train_step,
     make_classifier_train_step,
+    make_packed_bi_encoder_train_step,
+    make_packed_classifier_train_step,
     TrainState,
     init_train_state,
     init_sharded_train_state,
@@ -16,6 +18,8 @@ __all__ = [
     "linear_warmup_schedule",
     "make_bi_encoder_train_step",
     "make_classifier_train_step",
+    "make_packed_bi_encoder_train_step",
+    "make_packed_classifier_train_step",
     "TrainState",
     "init_train_state",
     "init_sharded_train_state",

@@ -173,6 +173,31 @@ def _redraw_step(arch: EncoderArch, state: "TrainState"):
     return None
 
 
+def _pair_objective(loss_type, params, u, v, target, valid, margin):
+    """The SBERT pair-loss switch (reference modules.py losses), shared by
+    the dense and packed bi-encoder steps. Returns (loss, aux metrics)."""
+    aux = {}
+    if loss_type == "softmax":
+        head = params["head"]
+        loss, logits = L.softmax_loss(
+            u, v, head["w"], head["b"], target, valid
+        )
+        aux["accuracy"] = _masked_accuracy(logits, target, valid)
+    elif loss_type == "cosine_mse":
+        loss, _ = L.cosine_mse_loss(u, v, target, valid)
+    elif loss_type == "contrastive":
+        loss, _ = L.contrastive_loss(u, v, target, margin, valid)
+    elif loss_type == "online_contrastive":
+        loss, _ = L.online_contrastive_loss(u, v, target, margin, valid)
+    elif loss_type == "mnrl":
+        loss, _ = L.multiple_negatives_loss(u, v, valid=valid)
+    elif loss_type == "distill_mse":
+        loss = L.distill_mse_loss(u, target, valid)
+    else:
+        raise ValueError(f"unknown loss {loss_type}")
+    return loss, aux
+
+
 # ---------------------------------------------------------------------------
 # Bi-encoder (SBERT) training step
 # ---------------------------------------------------------------------------
@@ -219,25 +244,9 @@ def make_bi_encoder_train_step(
         )
         valid = batch.get("valid")
         target = batch.get("target")
-        aux = {}
-        if loss_type == "softmax":
-            head = params["head"]
-            loss, logits = L.softmax_loss(
-                u, v, head["w"], head["b"], target, valid
-            )
-            aux["accuracy"] = _masked_accuracy(logits, target, valid)
-        elif loss_type == "cosine_mse":
-            loss, _ = L.cosine_mse_loss(u, v, target, valid)
-        elif loss_type == "contrastive":
-            loss, _ = L.contrastive_loss(u, v, target, margin, valid)
-        elif loss_type == "online_contrastive":
-            loss, _ = L.online_contrastive_loss(u, v, target, margin, valid)
-        elif loss_type == "mnrl":
-            loss, _ = L.multiple_negatives_loss(u, v, valid=valid)
-        elif loss_type == "distill_mse":
-            loss = L.distill_mse_loss(u, target, valid)
-        else:
-            raise ValueError(f"unknown loss {loss_type}")
+        loss, aux = _pair_objective(
+            loss_type, params, u, v, target, valid, margin
+        )
         if arch.num_experts > 0:
             moe = 0.5 * (moe_u + moe_v)
             loss = loss + arch.moe_aux_weight * moe[0]
@@ -330,6 +339,203 @@ def make_classifier_train_step(
             rng=rng, deterministic=False,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
             with_moe_aux=True,
+        )
+        valid = batch.get("valid")
+        loss = L.cross_entropy_loss(logits, batch["labels"], valid)
+        aux = {"accuracy": _masked_accuracy(logits, batch["labels"], valid)}
+        if arch.num_experts > 0:
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
+        return loss, aux
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# PACKED training steps — several short sequences per fixed-width row
+# behind a block-diagonal attention mask (data/packing.py). This carries
+# the measured 2.3-2.6× sequence-packing inference win (docs/ROUND4.md)
+# into the train loop: the MXU work per step scales with real tokens, not
+# with rows × padded width. Supersedes the reference's smart batching for
+# training (src/dataset/dataset.py:386-418) the same way the packed
+# encode/predict paths supersede it for inference.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_segments(emb: jax.Array, owners: jax.Array, n_slots: int):
+    """Map per-segment outputs back to per-example slots.
+
+    emb (R, M, D) — segment_*_pool output for packed rows; owners (R, M)
+    — each segment's original example index, -1 = empty slot. Returns
+    (n_slots, D). Empty slots scatter into an explicit in-bounds trash row
+    (this TPU backend clamps OOB scatter indices instead of dropping them —
+    CLAUDE.md env rule 9), which is sliced off. Each real example owns
+    exactly one segment, so `add` is an exact (and order-safe) `set`."""
+    r, m, d = emb.shape
+    flat = emb.reshape(r * m, d)
+    own = owners.reshape(r * m)
+    idx = jnp.where(own >= 0, own, n_slots)
+    out = jnp.zeros((n_slots + 1, d), flat.dtype).at[idx].add(flat)
+    return out[:n_slots]
+
+
+def _packed_embed(
+    enc_params, ids, segments, positions, owners, n_slots, *,
+    arch, precision, pooling, rng, deterministic, remat=False,
+):
+    """Packed-row analogue of ``_embed``: encoder with block-diagonal
+    attention + per-segment pooling + owner scatter → ((n_slots, D) pooled,
+    (2,) moe stats). Rows where segments == 0 everywhere are padding."""
+    from ..models.pooling import segment_mean_pool, segment_first_pool
+
+    mask = (segments > 0).astype(jnp.int32)
+    out = encoder_forward(
+        enc_params, ids, mask, arch=arch, precision=precision,
+        deterministic=deterministic, dropout_rng=rng, remat=remat,
+        segment_ids=segments, position_ids=positions,
+    )
+    m = owners.shape[1]
+    if pooling == "cls":
+        pooled = segment_first_pool(out.last_hidden_state, segments, m)
+    else:
+        pooled = segment_mean_pool(out.last_hidden_state, segments, m)
+    if "projection" in enc_params:
+        pw = enc_params["projection"]
+        pooled = pooled.astype(jnp.float32) @ pw["w"] + pw["b"]
+    emb = _scatter_segments(pooled, owners, n_slots)
+    return emb, _moe_stats_of(out)
+
+
+def make_packed_bi_encoder_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    loss_type: str = "cosine_mse",
+    pooling: str = "mean",
+    precision: Precision = DEFAULT_PRECISION,
+    margin: float = 0.5,
+    remat: bool = False,
+) -> Callable:
+    """Packed twin-tower step. batch (data/pairs.build_packed_pair_batches):
+      ids_a/segments_a/positions_a (R, W), owners_a (R, M) — tower-a rows,
+      each holding several packed sentences; same ``_b``; target (P,),
+      valid (P,) where P = per-batch pair capacity. owners map each packed
+      segment back to its pair slot, so the loss sees exactly the dense
+      step's (u, v, target, valid) contract — grads match the dense step
+      on the same pair set (parity-gated in tests/test_packed_train.py).
+
+    Towers pack independently (a 3-sentence row on side a need not align
+    with side b); the owner scatter restores pair alignment. Performer
+    attention has no block-diagonal form here, and PP's microbatch split
+    would cut across packed rows — both unsupported by design."""
+    if arch.attention_type == "performer":
+        raise ValueError("packed training requires block-diagonal attention "
+                         "(attention_type='standard'/'window')")
+
+    def loss_fn(params, batch, rng):
+        enc = params["encoder"]
+        n_slots = batch["target"].shape[0]
+        r1, r2 = jax.random.split(rng)
+        u, moe_u = _packed_embed(
+            enc, batch["ids_a"], batch["segments_a"], batch["positions_a"],
+            batch["owners_a"], n_slots, arch=arch, precision=precision,
+            pooling=pooling, rng=r1, deterministic=False, remat=remat,
+        )
+        v, moe_v = _packed_embed(
+            enc, batch["ids_b"], batch["segments_b"], batch["positions_b"],
+            batch["owners_b"], n_slots, arch=arch, precision=precision,
+            pooling=pooling, rng=r2, deterministic=False, remat=remat,
+        )
+        valid = batch.get("valid")
+        loss, aux = _pair_objective(
+            loss_type, params, u, v, batch.get("target"), valid, margin
+        )
+        if arch.num_experts > 0:
+            moe = 0.5 * (moe_u + moe_v)
+            loss = loss + arch.moe_aux_weight * moe[0]
+            aux["moe_aux"] = moe[0]
+            aux["moe_drop"] = moe[1]
+        return loss, aux
+
+    def step(state: TrainState, batch) -> tuple:
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1, rng),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def packed_classifier_forward(
+    params, ids, segments, positions, type_ids, owners, n_slots, *,
+    arch, precision, rng=None, deterministic=True, remat=False,
+    with_moe_aux=False,
+):
+    """Packed cross-encoder forward: several [CLS] a [SEP] b [SEP] pairs
+    per row → per-pair logits (n_slots, C). Mirrors ``classifier_forward``
+    with pooling='cls' exactly — including the BERT pooler tanh when the
+    arch has one — so packed and dense scores/losses agree."""
+    enc = params["encoder"]
+    mask = (segments > 0).astype(jnp.int32)
+    out = encoder_forward(
+        enc, ids, mask, type_ids, arch=arch, precision=precision,
+        deterministic=deterministic, dropout_rng=rng, remat=remat,
+        segment_ids=segments, position_ids=positions,
+    )
+    from ..models.pooling import segment_first_pool
+
+    m = owners.shape[1]
+    pooled = segment_first_pool(out.last_hidden_state, segments, m)
+    if arch.has_pooler and "pooler" in enc:
+        pw = enc["pooler"]
+        pooled = jnp.tanh(
+            pooled.astype(jnp.float32) @ dequant_weight(pw["w"]) + pw["b"]
+        )
+    head = params["head"]
+    logits = (
+        pooled.astype(jnp.float32) @ dequant_weight(head["w"]) + head["b"]
+    )  # (R, M, C)
+    logits = _scatter_segments(logits, owners, n_slots)
+    return (logits, _moe_stats_of(out)) if with_moe_aux else logits
+
+
+def make_packed_classifier_train_step(
+    arch: EncoderArch,
+    tx: optax.GradientTransformation,
+    precision: Precision = DEFAULT_PRECISION,
+    remat: bool = False,
+) -> Callable:
+    """Packed cross-encoder / pair-classifier step. batch
+    (build_packed_pair_batches(mode='cross')): ids/segments/positions/
+    type_ids (R, W), owners (R, M), labels (P,), valid (P,)."""
+    if arch.attention_type == "performer":
+        raise ValueError("packed training requires block-diagonal attention")
+
+    def loss_fn(params, batch, rng):
+        n_slots = batch["labels"].shape[0]
+        logits, moe = packed_classifier_forward(
+            params, batch["ids"], batch["segments"], batch["positions"],
+            batch.get("type_ids"), batch["owners"], n_slots,
+            arch=arch, precision=precision, rng=rng, deterministic=False,
+            remat=remat, with_moe_aux=True,
         )
         valid = batch.get("valid")
         loss = L.cross_entropy_loss(logits, batch["labels"], valid)
