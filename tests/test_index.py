@@ -1160,3 +1160,51 @@ def test_ivf_packed_fold_recall_vs_oracle():
     pi = np.asarray(pi)
     rec = np.mean([len(set(pi[r]) & set(ti[r])) / 10 for r in range(32)])
     assert rec >= 0.95, rec
+
+
+def test_ivf_recall_retention_after_churn():
+    """Recall-retention gate (VERDICT r4 #3): after a 10% remove / 10%
+    re-add churn cycle, recall@10 vs the exact oracle over the live rows
+    must stay within 2 points of the fresh-build recall on the same
+    corpus — the live-index property hnswlib's add_items/mark_deleted
+    promises (reference search_pipeline.py:154-175)."""
+    from text_similarity_tpu.ops.topk import cosine_topk_xla
+
+    n, d, churn = 4000, 64, 400
+    corpus = _clustered_corpus(n=n, d=d)
+    cfg = IndexConfig(num_clusters=32, num_probes=12, kmeans_iters=8)
+    ivf = IVFIndex.build(corpus, cfg)
+
+    rng = np.random.RandomState(7)
+    queries = l2_normalize(
+        corpus[:64] + 0.1 * jnp.asarray(rng.randn(64, d), jnp.float32)
+    )
+
+    def recall(ix, live, id_map):
+        # oracle over the live matrix; positions -> global ids
+        _, opos = cosine_topk_xla(queries, live, k=10)
+        oracle = id_map[np.asarray(opos)]
+        _, ii = ix.query(queries, k=10)
+        ii = np.asarray(ii)
+        return np.mean([
+            len(set(ii[r]) & set(oracle[r])) / 10 for r in range(64)
+        ])
+
+    id0 = np.arange(n, dtype=np.int64)
+    rec_fresh = recall(ivf, corpus, id0)
+
+    removed = rng.choice(n, churn, replace=False)
+    assert ivf.remove(removed) == churn
+    new_rows = l2_normalize(jnp.asarray(rng.randn(churn, d), jnp.float32))
+    ivf.add(new_rows, start_id=n)
+
+    live = corpus.at[jnp.asarray(removed)].set(new_rows)
+    id_map = id0.copy()
+    id_map[removed] = n + np.arange(churn)
+    rec_churn = recall(ivf, live, id_map)
+
+    assert rec_churn >= rec_fresh - 0.02, (rec_churn, rec_fresh)
+    # and removed ids never come back
+    _, ii = ivf.query(queries, k=10)
+    ghosts = set(np.asarray(ii).ravel().tolist()) & set(removed.tolist())
+    assert not ghosts

@@ -768,3 +768,64 @@ def test_mining_pipeline_ivf_mode_matches_exact(encoder):
     assert exact_pairs <= approx_pairs | {
         (j, i) for i, j in approx_pairs
     }, (exact_pairs, approx_pairs)
+
+
+def test_search_server_rerank_endpoint(encoder, cross_encoder):
+    """POST /rerank: retrieve + cross-encoder re-score through the HTTP
+    layer (the served form of the reference ranking_pipeline.py)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import SearchServer
+
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    rr = RankingPipeline(pipe, cross_encoder, retrieve_k=5)
+    server = SearchServer(pipe, port=0, reranker=rr)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def call(path, payload):
+        req = urllib.request.Request(
+            base + path,
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return _json.loads(r.read())
+
+    try:
+        res = call("/rerank", {"queries": [CORPUS[0]], "k": 3})
+        row = res["results"][0]
+        assert len(row) == 3
+        scores = [x["score"] for x in row]
+        assert scores == sorted(scores, reverse=True)
+        # parity with the direct pipeline call
+        direct = rr([CORPUS[0]], top_k=3)[0]
+        assert [x["id"] for x in row] == [cid for _, _, cid in direct]
+    finally:
+        server.shutdown()
+
+
+def test_search_server_rerank_without_model_errors(encoder):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from text_similarity_tpu.pipelines import SearchServer
+
+    pipe = SemanticSearchPipeline(encoder, corpus=CORPUS[:6], use_ivf=False)
+    server = SearchServer(pipe, port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        req = urllib.request.Request(
+            base + "/rerank",
+            data=_json.dumps({"queries": ["x"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()

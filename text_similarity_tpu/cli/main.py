@@ -987,9 +987,21 @@ def cmd_serve(args):
     if args.warmup:
         n = pipe.warmup(max_queries=args.warmup)
         print(f"warmed {n} (bucket, k) serving shapes", flush=True)
+    reranker = None
+    if args.rerank_model:
+        from ..models.cross_encoder import CrossEncoder
+        from ..pipelines.rerank import RankingPipeline
+
+        ce = CrossEncoder.load(args.rerank_model, bf16=not args.fp32)
+        if args.int8:
+            ce.to_int8()
+        reranker = RankingPipeline(
+            pipe, ce, retrieve_k=args.retrieve_k, batch_size=512
+        )
     server = SearchServer(
         pipe, host=args.host, port=args.port,
         batch_window=args.batch_window_ms / 1000.0,
+        reranker=reranker,
     )
     print(f"serving on http://{args.host}:{server.port}", flush=True)
     try:
@@ -1210,6 +1222,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve with a true-int8 encoder (dynamic "
                         "activation quant + int8 MXU dots — the "
                         "reference's onnxruntime-int8 serving shape)")
+    p.add_argument("--rerank-model",
+                   help="cross-encoder dir: enables POST /rerank "
+                        "(retrieve top --retrieve-k, re-score, return "
+                        "top k — the reference ranking_pipeline served)")
+    p.add_argument("--retrieve-k", type=int, default=100,
+                   help="candidates retrieved per query before reranking")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("mine"); _common(p)

@@ -195,8 +195,6 @@ def build_packed_pair_batches(
     train.steps.make_packed_{bi_encoder,classifier}_train_step."""
     if not len(pairs):
         return []
-    targets = np.asarray(targets)
-    rng = np.random.RandomState(seed)
     cross = mode == "cross"
     types = None
     if cross:
@@ -211,13 +209,43 @@ def build_packed_pair_batches(
             list(tts_all[i, : lens_r[i]]) for i in range(len(pairs))
         ]
         rows_b = rows_a
-        cost = lens_r.astype(np.int64)
     else:
         rows_a = _tok_rows(tokenizer, [p[0] for p in pairs], width)
         rows_b = _tok_rows(tokenizer, [p[1] for p in pairs], width)
-        la = np.asarray([len(r) for r in rows_a], np.int64)
-        lb = np.asarray([len(r) for r in rows_b], np.int64)
-        cost = np.maximum(la, lb)
+    return packed_pair_batches_from_rows(
+        rows_a, rows_b, targets, rows_per_side=rows_per_side, width=width,
+        pad_id=tokenizer.pad_id, types=types, cross=cross,
+        shuffle=shuffle, seed=seed, target_dtype=target_dtype,
+    )
+
+
+def packed_pair_batches_from_rows(
+    rows_a: Sequence[Sequence[int]],
+    rows_b: Sequence[Sequence[int]],
+    targets: Sequence,
+    rows_per_side: int = 32,
+    width: int = 128,
+    pad_id: int = 0,
+    types: Optional[Sequence[Sequence[int]]] = None,
+    cross: bool = False,
+    shuffle: bool = True,
+    seed: int = 0,
+    target_dtype=np.float32,
+) -> List[Dict[str, np.ndarray]]:
+    """Pre-tokenized-row form of ``build_packed_pair_batches`` (benches and
+    drive scripts feed synthetic token rows directly). ``cross=True``
+    treats rows_a as joint [CLS] a [SEP] b [SEP] rows (rows_b ignored)."""
+    if not len(rows_a):
+        return []
+    targets = np.asarray(targets)
+    rng = np.random.RandomState(seed)
+    rows_a = [list(r[:width]) for r in rows_a]
+    rows_b = rows_a if cross else [list(r[:width]) for r in rows_b]
+    if types is not None:
+        types = [list(t[:width]) for t in types]
+    la = np.asarray([len(r) for r in rows_a], np.int64)
+    lb = np.asarray([len(r) for r in rows_b], np.int64)
+    cost = la if cross else np.maximum(la, lb)
 
     # group pairs by token budget (longest-first keeps groups homogeneous
     # and FFD-friendly), then verify each side really packs into R rows —
@@ -247,10 +275,10 @@ def build_packed_pair_batches(
         spill = []
         gi += 1
         while True:
-            pa = _pack_group(rows_a, g, width, tokenizer.pad_id, types)
+            pa = _pack_group(rows_a, g, width, pad_id, types)
             pb = (
                 pa if cross
-                else _pack_group(rows_b, g, width, tokenizer.pad_id)
+                else _pack_group(rows_b, g, width, pad_id)
             )
             if (
                 pa["ids"].shape[0] <= rows_per_side

@@ -151,8 +151,14 @@ class SearchServer:
         port: int = 8080,
         batch_window: float = 0.0,  # >0: micro-batch concurrent /search
                                     # requests (seconds of linger)
+        reranker=None,              # pipelines.rerank.RankingPipeline over
+                                    # the same search pipeline: serves
+                                    # POST /rerank (retrieve + cross-
+                                    # encoder re-score; the served form of
+                                    # the reference ranking_pipeline.py)
     ):
         self.pipeline = pipeline
+        self.reranker = reranker
         self.stats = _EndpointStats()
         self.lock = threading.Lock()
         self.batcher = (
@@ -200,7 +206,8 @@ class SearchServer:
                     )
 
             ENDPOINTS = {
-                "/search", "/encode", "/add", "/remove", "/save",
+                "/search", "/rerank", "/encode", "/add", "/remove",
+                "/save",
             }
 
             def do_POST(self):  # noqa: N802
@@ -222,6 +229,7 @@ class SearchServer:
                         return self._reply(200, out)
                     handler = {
                         "/search": server._search,
+                        "/rerank": server._rerank,
                         "/encode": server._encode,
                         "/add": server._add,
                         "/remove": server._remove,
@@ -269,6 +277,15 @@ class SearchServer:
         return self._format_results(
             self.pipeline(queries, max_num_results=k)
         )
+
+    def _rerank(self, req: dict) -> dict:
+        if self.reranker is None:
+            raise ValueError("server started without a reranker model")
+        queries = req["queries"]
+        if isinstance(queries, str):
+            queries = [queries]
+        k = int(req.get("k", 10))
+        return self._format_results(self.reranker(queries, top_k=k))
 
     def _search_batched(self, req: dict) -> dict:
         queries = req["queries"]
