@@ -55,6 +55,47 @@ def test_pack_sequences_layout():
     assert packing_efficiency(packed) > 0.5
 
 
+def test_ffd_placement_matches_naive_first_fit():
+    """The O(n log n) segment-tree placement (native C + Python fallback)
+    must reproduce the naive first-fit scan exactly: lowest-indexed row
+    with free space >= len, else a new row."""
+    from text_similarity_tpu.data.packing import _ffd_place_py
+
+    rng = np.random.default_rng(1)
+    for _ in range(25):
+        width = int(rng.choice([16, 64, 128]))
+        n = int(rng.integers(1, 300))
+        sl = np.sort(rng.integers(0, width + 1, n))[::-1].astype(np.int32)
+        # naive oracle
+        space, o_row, o_slot, o_off = [], [], [], []
+        for L in sl:
+            for ri in range(len(space)):
+                if space[ri] >= L:
+                    break
+            else:
+                space.append(width)
+                ri = len(space) - 1
+            o_row.append(ri)
+            o_slot.append(sum(1 for r in o_row[:-1] if r == ri))
+            o_off.append(width - space[ri])
+            space[ri] -= int(L)
+        r, row, slot, off = _ffd_place_py(sl, width)
+        assert r == len(space)
+        np.testing.assert_array_equal(row, o_row)
+        np.testing.assert_array_equal(slot, o_slot)
+        np.testing.assert_array_equal(off, o_off)
+        try:
+            from text_similarity_tpu.native import ffd_place_native
+
+            nat = ffd_place_native(sl, width)
+        except Exception:
+            nat = None
+        if nat is not None:
+            assert nat[0] == r
+            for x, y in zip(nat[1:], (row, slot, off)):
+                np.testing.assert_array_equal(x, y)
+
+
 def test_pack_truncates_overlong():
     packed = pack_sequences([list(range(5, 40))], width=16, pad_id=0)
     assert packed["ids"].shape == (1, 16)

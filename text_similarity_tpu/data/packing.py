@@ -17,9 +17,50 @@ Everything here is host-side layout; shapes stay static: rows are always
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from itertools import chain
+from typing import Dict, Optional, Sequence
 
 import numpy as np
+
+
+def _ffd_place_py(lens: np.ndarray, width: int):
+    """Pure-Python fallback for native.ffd_place_native — identical
+    placement semantics (lowest-indexed row with free space >= len, else a
+    new row) via the same segment-tree query, O(n log n)."""
+    n = len(lens)
+    if n == 0:
+        return 0, np.empty(0, np.int32), np.empty(0, np.int32), \
+            np.empty(0, np.int32)
+    P = 1
+    while P < n:
+        P <<= 1
+    tree = [width] * (2 * P)      # uncreated rows hold full free space
+    nseg = [0] * n
+    out_row = np.empty(n, np.int32)
+    out_slot = np.empty(n, np.int32)
+    out_off = np.empty(n, np.int32)
+    max_row = -1
+    for i in range(n):
+        L = min(max(int(lens[i]), 0), width)
+        node = 1
+        while node < P:                 # leftmost leaf with space >= L
+            node <<= 1
+            if tree[node] < L:
+                node |= 1
+        row = node - P
+        free = tree[node]
+        out_row[i] = row
+        out_slot[i] = nseg[row]
+        out_off[i] = width - free
+        nseg[row] += 1
+        tree[node] = free - L
+        node >>= 1
+        while node >= 1:
+            tree[node] = max(tree[2 * node], tree[2 * node + 1])
+            node >>= 1
+        if row > max_row:
+            max_row = row
+    return max_row + 1, out_row, out_slot, out_off
 
 
 def pack_sequences(
@@ -44,57 +85,89 @@ def pack_sequences(
 
     Sequences longer than ``width`` are truncated (parity with the
     bucketed path's max_len truncation).
+
+    Placement is O(n log n) — native C (native/pack.c) with a same-
+    semantics Python segment-tree fallback — and materialization is
+    vectorized, so corpus-scale inputs (1M sentences) pack in seconds.
+    The naive first-fit scan this replaces was O(n·rows) and measured
+    ~2 minutes for 200k rows (hours at 1M — the corpus-ingestion wall).
     """
     n = len(row_ids)
-    lens = np.asarray([min(len(r), width) for r in row_ids], np.int64)
+    lens = np.fromiter(
+        (min(len(r), width) for r in row_ids), np.int64, count=n
+    )
     order = np.argsort(-lens, kind="stable")   # longest first
+    sl = lens[order].astype(np.int32)
 
-    rows: List[List[int]] = []      # sequence indices per row
-    space: List[int] = []           # free tokens per row
-    # first-fit over a simple free-space list; corpus-scale inputs
-    # (~100k sentences) pack in well under a second because the fit
-    # search short-circuits on the first row with room
-    for si in order:
-        L = int(lens[si])
-        placed = False
-        for ri in range(len(rows)):
-            if space[ri] >= L:
-                rows[ri].append(int(si))
-                space[ri] -= L
-                placed = True
-                break
-        if not placed:
-            rows.append([int(si)])
-            space.append(width - L)
+    placed = None
+    if n >= 512:                       # ctypes overhead beats tiny inputs
+        try:
+            from ..native import ffd_place_native
 
-    r = len(rows)
-    max_per_row = max(len(x) for x in rows) if rows else 1
-    ids = np.full((r, width), pad_id, np.int32)
-    segs = np.zeros((r, width), np.int32)
-    pos = np.zeros((r, width), np.int32)
-    types = np.zeros((r, width), np.int32) if row_types is not None else None
+            placed = ffd_place_native(sl, width)
+        except Exception:              # no compiler / load failure
+            placed = None
+    if placed is None:
+        placed = _ffd_place_py(sl, width)
+    r, row, slot, off = placed
+
+    if n == 0:
+        out = {
+            "ids": np.full((0, width), pad_id, np.int32),
+            "segments": np.zeros((0, width), np.int32),
+            "positions": np.zeros((0, width), np.int32),
+            "owners": np.full((0, 1), -1, np.int32),
+            "n_segments": np.zeros((0,), np.int32),
+        }
+        if row_types is not None:
+            out["type_ids"] = np.zeros((0, width), np.int32)
+        return out
+
+    # vectorized materialization: flat scatter positions for every token
+    total = int(sl.sum())
+    starts = np.zeros(n, np.int64)
+    np.cumsum(sl[:-1], out=starts[1:])
+    sl64 = sl.astype(np.int64)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(starts, sl64)).astype(np.int32)
+    flat_pos = (np.repeat(row.astype(np.int64) * width + off, sl64)
+                + within)
+    tok = np.fromiter(
+        chain.from_iterable(
+            row_ids[si][:width] if len(row_ids[si]) > width
+            else row_ids[si]
+            for si in order
+        ),
+        np.int32, count=total,
+    )
+    ids = np.full(r * width, pad_id, np.int32)
+    ids[flat_pos] = tok
+    segs = np.zeros(r * width, np.int32)
+    segs[flat_pos] = np.repeat(slot + 1, sl64)
+    pos = np.zeros(r * width, np.int32)
+    pos[flat_pos] = within
+    max_per_row = int(slot.max()) + 1
     owners = np.full((r, max_per_row), -1, np.int32)
-    n_seg = np.zeros((r,), np.int32)
-    for ri, members in enumerate(rows):
-        off = 0
-        for mi, si in enumerate(members):
-            L = int(lens[si])
-            ids[ri, off:off + L] = np.asarray(row_ids[si][:L], np.int32)
-            segs[ri, off:off + L] = mi + 1
-            pos[ri, off:off + L] = np.arange(L, dtype=np.int32)
-            if types is not None:
-                types[ri, off:off + L] = np.asarray(
-                    row_types[si][:L], np.int32
-                )
-            owners[ri, mi] = si
-            off += L
-        n_seg[ri] = len(members)
+    owners[row, slot] = order
+    n_seg = np.bincount(row, minlength=r).astype(np.int32)
     out = {
-        "ids": ids, "segments": segs, "positions": pos,
+        "ids": ids.reshape(r, width),
+        "segments": segs.reshape(r, width),
+        "positions": pos.reshape(r, width),
         "owners": owners, "n_segments": n_seg,
     }
-    if types is not None:
-        out["type_ids"] = types
+    if row_types is not None:
+        typ = np.fromiter(
+            chain.from_iterable(
+                row_types[si][:width] if len(row_types[si]) > width
+                else row_types[si]
+                for si in order
+            ),
+            np.int32, count=total,
+        )
+        types = np.zeros(r * width, np.int32)
+        types[flat_pos] = typ
+        out["type_ids"] = types.reshape(r, width)
     return out
 
 

@@ -21,29 +21,33 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "wordpiece.c")
+_SRC_PACK = os.path.join(_HERE, "pack.c")
 
 _lib = None
 _lib_err: Optional[str] = None
 
 
 def _build_lib() -> Optional[str]:
-    """Compile wordpiece.c → cached .so keyed by source hash."""
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    """Compile wordpiece.c + pack.c → cached .so keyed by source hash."""
+    srcs = [_SRC, _SRC_PACK]
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     cache_dir = os.environ.get(
         "TS_TPU_NATIVE_CACHE",
         os.path.join(tempfile.gettempdir(), "ts_tpu_native"),
     )
     os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, f"wordpiece_{tag}.so")
+    so_path = os.path.join(cache_dir, f"native_{tag}.so")
     if os.path.exists(so_path):
         return so_path
     for cc in ("cc", "gcc", "clang"):
         try:
             tmp = so_path + ".tmp"
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp] + srcs,
                 check=True, capture_output=True, timeout=120,
             )
             os.replace(tmp, so_path)
@@ -113,8 +117,41 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32,
     ]
+    lib.ffd_place.restype = ctypes.c_int64
+    lib.ffd_place.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
+
+
+def ffd_place_native(lens: np.ndarray, width: int):
+    """C first-fit-decreasing placement (pack.c). ``lens`` must already be
+    in placement (longest-first) order. → (n_rows, row, slot, offset), or
+    None when no compiler is available."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lens, np.int32)
+    n = len(lens)
+    out_row = np.empty(n, np.int32)
+    out_slot = np.empty(n, np.int32)
+    out_off = np.empty(n, np.int32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    r = lib.ffd_place(
+        lens.ctypes.data_as(p32), n, int(width),
+        out_row.ctypes.data_as(p32),
+        out_slot.ctypes.data_as(p32),
+        out_off.ctypes.data_as(p32),
+    )
+    if r < 0:
+        raise MemoryError("ffd_place allocation failed")
+    return int(r), out_row, out_slot, out_off
 
 
 class NativeWordPiece:
