@@ -96,6 +96,78 @@ def test_ffd_placement_matches_naive_first_fit():
                 np.testing.assert_array_equal(x, y)
 
 
+def test_pack_pair_arrays_matches_ragged_path():
+    """The vectorized pair layout (pack_pair_arrays over padded body
+    arrays) must be byte-identical to pack_sequences over the ragged
+    [CLS] a [SEP] b [SEP] rows from encode_pair_rows — including
+    longest-first truncation cases."""
+    from text_similarity_tpu.data.packing import pack_pair_arrays
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+
+    rng = np.random.default_rng(3)
+    lex = [
+        "".join(chr(97 + c) for c in rng.integers(0, 26, rng.integers(3, 8)))
+        for _ in range(300)
+    ]
+
+    def mk(n, lo, hi):
+        return [
+            " ".join(rng.choice(lex, rng.integers(lo, hi))) for _ in range(n)
+        ]
+
+    corpus = mk(300, 3, 30)
+    tok = WordPieceTokenizer(
+        train_wordpiece_vocab(corpus, vocab_size=512, min_freq=1)
+    )
+    for lo, hi, ml, w in [(3, 10, 128, 128), (20, 60, 64, 128),
+                          (1, 40, 32, 64)]:
+        a, b = mk(150, lo, hi), mk(150, lo, hi)
+        rows, types = tok.encode_pair_rows(a, b, max_len=min(ml, w))
+        p0 = pack_sequences(rows, w, pad_id=tok.pad_id, row_types=types)
+        ba, la = tok.encode_bodies(a, min(ml, w) - 3)
+        bb, lb = tok.encode_bodies(b, min(ml, w) - 3)
+        p1 = pack_pair_arrays(
+            ba, la, bb, lb, w, cls_id=tok.cls_id, sep_id=tok.sep_id,
+            pad_id=tok.pad_id, max_len=min(ml, w),
+        )
+        for k in p0:
+            np.testing.assert_array_equal(p0[k], p1[k], err_msg=k)
+
+
+def test_encode_pair_rows_matches_padded_pair_batch():
+    """encode_pair_rows (ragged, closed-form truncation) must equal the
+    padded encode_pair_batch + strip on every pair."""
+    from text_similarity_tpu.data.tokenization import (
+        WordPieceTokenizer, train_wordpiece_vocab,
+    )
+    from text_similarity_tpu.models.cross_encoder import _strip_pair_rows
+
+    rng = np.random.default_rng(5)
+    lex = [
+        "".join(chr(97 + c) for c in rng.integers(0, 26, rng.integers(3, 8)))
+        for _ in range(300)
+    ]
+
+    def mk(n, lo, hi):
+        return [
+            " ".join(rng.choice(lex, rng.integers(lo, hi))) for _ in range(n)
+        ]
+
+    corpus = mk(300, 3, 30)
+    tok = WordPieceTokenizer(
+        train_wordpiece_vocab(corpus, vocab_size=512, min_freq=1)
+    )
+    for lo, hi, ml in [(3, 10, 128), (20, 60, 48), (1, 40, 16)]:
+        a, b = mk(120, lo, hi), mk(120, lo, hi)
+        ids, mask, tts = tok.encode_pair_batch(a, b, max_len=ml)
+        r0, t0 = _strip_pair_rows(ids, mask, tts)
+        r1, t1 = tok.encode_pair_rows(a, b, max_len=ml)
+        assert [list(map(int, x)) for x in r0] == r1
+        assert [list(map(int, x)) for x in t0] == t1
+
+
 def test_pack_truncates_overlong():
     packed = pack_sequences([list(range(5, 40))], width=16, pad_id=0)
     assert packed["ids"].shape == (1, 16)

@@ -123,6 +123,20 @@ def test_ranking_pipeline_runs(encoder, cross_encoder):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_ranking_pipelined_scores_match_predict(encoder, cross_encoder):
+    """The wave-pipelined packed scorer (host/device overlap path used
+    for >2048-pair rerank batches) must reproduce ce.predict exactly."""
+    search = SemanticSearchPipeline(encoder, corpus=CORPUS, use_ivf=False)
+    pipe = RankingPipeline(search, cross_encoder, retrieve_k=5)
+    rng = np.random.default_rng(0)
+    docs = [CORPUS[i] for i in rng.integers(0, len(CORPUS), 3000)]
+    qs = [CORPUS[i] for i in rng.integers(0, len(CORPUS), 3000)]
+    flat = list(zip(qs, docs))
+    got = pipe._predict_pipelined(flat, wave=1024)
+    want = cross_encoder.predict(flat, packed=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_clustering_pipeline(encoder):
     pipe = ClusteringPipeline(encoder, num_clusters=3, iters=10)
     clusters = pipe(CORPUS)

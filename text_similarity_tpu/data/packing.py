@@ -171,6 +171,120 @@ def pack_sequences(
     return out
 
 
+def pack_pair_arrays(
+    ids_a: np.ndarray, lens_a: np.ndarray,
+    ids_b: np.ndarray, lens_b: np.ndarray,
+    width: int,
+    cls_id: int, sep_id: int, pad_id: int = 0,
+    max_len: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Vectorized pair packing straight from padded per-side BODY arrays
+    (no ragged Python rows anywhere): builds the [CLS] a [SEP] b [SEP]
+    token/type streams with numpy gathers and scatters them into the
+    packed layout. Output is byte-identical to
+    ``pack_sequences(rows, width, row_types=types)`` over the rows that
+    ``WordPieceTokenizer.encode_pair_rows`` would emit for the same
+    bodies — pinned by tests/test_packing.py.
+
+    ``ids_a``/``ids_b`` hold body tokens (no CLS/SEP) left-aligned, valid
+    through ``lens_a``/``lens_b``. Sides longer than the pair budget may
+    arrive pre-truncated to it: closed-form longest-first truncation is
+    applied here and only reads tokens below the final lengths.
+
+    This is the serving rerank host hot path: the ragged-row build
+    measured ~1.4s for 25k pairs; this path is all-C tokenize + numpy.
+    """
+    budget = (max_len or width) - 3
+    half = budget // 2
+    la = np.minimum(np.asarray(lens_a, np.int64), budget)
+    lb = np.minimum(np.asarray(lens_b, np.int64), budget)
+    n = len(la)
+    # longest-first truncation (pop from the longer side, ties → a), in
+    # closed form — same maths as encode_pair_rows
+    over = la + lb > budget
+    keep_b = over & (lb <= half)
+    keep_a = over & ~keep_b & (la <= half)
+    both = over & ~keep_b & ~keep_a
+    la = np.where(keep_b, budget - lb, np.where(both, half, la))
+    lb = np.where(keep_a, budget - la, np.where(both, budget - half, lb))
+
+    L = (la + lb + 3).astype(np.int64)
+    order = np.argsort(-L, kind="stable")
+    sl = L[order].astype(np.int32)
+
+    placed = None
+    if n >= 512:
+        try:
+            from ..native import ffd_place_native
+
+            placed = ffd_place_native(sl, width)
+        except Exception:
+            placed = None
+    if placed is None:
+        placed = _ffd_place_py(sl, width)
+    r, row, slot, off = placed
+
+    if n == 0:
+        return {
+            "ids": np.full((0, width), pad_id, np.int32),
+            "segments": np.zeros((0, width), np.int32),
+            "positions": np.zeros((0, width), np.int32),
+            "type_ids": np.zeros((0, width), np.int32),
+            "owners": np.full((0, 1), -1, np.int32),
+            "n_segments": np.zeros((0,), np.int32),
+        }
+
+    total = int(sl.sum())
+    starts = np.zeros(n, np.int64)
+    np.cumsum(sl[:-1], out=starts[1:])
+    within = np.arange(total, dtype=np.int32)
+    within -= np.repeat(starts.astype(np.int32), sl)
+    flat_pos = np.repeat(row * width + off, sl).astype(np.int64) + within
+
+    seq = np.repeat(order.astype(np.int32), sl)   # original pair index
+    laq = np.repeat(la[order].astype(np.int32), sl)
+    # first/last token of each packed segment, via end scatters (cheaper
+    # than materializing a per-token segment-length array)
+    is_first = np.zeros(total, bool)
+    is_first[starts] = True
+    is_last = np.zeros(total, bool)
+    is_last[starts + sl - 1] = True
+    is_sep1 = within == laq + 1
+    in_a = (within >= 1) & (within <= laq)
+    in_b = ~(is_first | is_last | is_sep1 | in_a)
+    ia = np.ascontiguousarray(ids_a, np.int32)
+    ib = np.ascontiguousarray(ids_b, np.int32)
+    tok = np.empty(total, np.int32)
+    tok[is_first] = cls_id
+    tok[is_last] = sep_id
+    tok[is_sep1] = sep_id
+    sel = in_a.nonzero()[0]
+    tok[sel] = ia[seq[sel], within[sel] - 1]
+    sel = in_b.nonzero()[0]
+    tok[sel] = ib[seq[sel], within[sel] - laq[sel] - 2]
+    typ = (within >= laq + 2).astype(np.int32)
+
+    ids = np.full(r * width, pad_id, np.int32)
+    ids[flat_pos] = tok
+    segs = np.zeros(r * width, np.int32)
+    segs[flat_pos] = np.repeat(slot + 1, sl)
+    pos = np.zeros(r * width, np.int32)
+    pos[flat_pos] = within
+    types = np.zeros(r * width, np.int32)
+    types[flat_pos] = typ
+    max_per_row = int(slot.max()) + 1
+    owners = np.full((r, max_per_row), -1, np.int32)
+    owners[row, slot] = order
+    n_seg = np.bincount(row, minlength=r).astype(np.int32)
+    return {
+        "ids": ids.reshape(r, width),
+        "segments": segs.reshape(r, width),
+        "positions": pos.reshape(r, width),
+        "type_ids": types.reshape(r, width),
+        "owners": owners, "n_segments": n_seg,
+    }
+
+
 def packing_efficiency(packed: Dict[str, np.ndarray]) -> float:
     """Fraction of row slots holding real tokens (1.0 = zero padding)."""
     segs = packed["segments"]

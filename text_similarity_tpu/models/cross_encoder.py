@@ -150,10 +150,33 @@ class CrossEncoder:
             raise ValueError("cross encoder has no tokenizer")
         a = [p[0] for p in pairs]
         b = [p[1] for p in pairs]
-        ids, mask, tts = self.tokenizer.encode_pair_batch(
-            a, b, max_len=min(max_len, width)
-        )
-        rows, types = _strip_pair_rows(ids, mask, tts)
+        ml = min(max_len, width)
+        if hasattr(self.tokenizer, "encode_bodies"):
+            # array fast path: all-C pthread tokenize per side + fully
+            # vectorized pair layout — no ragged Python rows anywhere.
+            # The padded build+strip it replaces measured 88% of the
+            # composed rerank wall time at 25k pairs (docs/ROUND5.md).
+            from ..data.packing import pack_pair_arrays
+
+            ba, la = self.tokenizer.encode_bodies(a, ml - 3)
+            bb, lb = self.tokenizer.encode_bodies(b, ml - 3)
+            packed = pack_pair_arrays(
+                ba, la, bb, lb, width,
+                cls_id=self.tokenizer.cls_id,
+                sep_id=self.tokenizer.sep_id,
+                pad_id=self.tokenizer.pad_id, max_len=ml,
+            )
+            return self._predict_packed_layout(
+                packed, len(pairs), width, rows_per_batch, max_segments
+            )
+        if hasattr(self.tokenizer, "encode_pair_rows"):
+            # ragged middle path (tokenizers without array bodies)
+            rows, types = self.tokenizer.encode_pair_rows(a, b, max_len=ml)
+        else:
+            ids, mask, tts = self.tokenizer.encode_pair_batch(
+                a, b, max_len=ml
+            )
+            rows, types = _strip_pair_rows(ids, mask, tts)
         return self._predict_packed_rows(
             rows, types, len(pairs), width, rows_per_batch, max_segments
         )
@@ -167,6 +190,19 @@ class CrossEncoder:
         packed = pack_sequences(
             rows, width, pad_id=self.tokenizer.pad_id, row_types=types
         )
+        return self._predict_packed_layout(
+            packed, n_pairs, width, rows_per_batch, max_segments
+        )
+
+    def _dispatch_packed_layout(
+        self, packed, width: int,
+        rows_per_batch: int = 512, max_segments: int = 0,
+    ):
+        """Dispatch a packed layout's device work WITHOUT syncing: returns
+        a list of (owners, in-flight scores). The caller can prepare the
+        next batch on host while the device runs, then drain with
+        ``_collect_packed``. This is the wave-pipelining hook the serving
+        rerank path uses (RankingPipeline)."""
         m = int(packed["owners"].shape[1])
         if not max_segments and m > 1:
             m = 1 << (m - 1).bit_length()
@@ -184,12 +220,6 @@ class CrossEncoder:
             rows_per_batch, max(128, 1 << (r - 1).bit_length())
         )
         fn = self._jitted_packed((rows_per_batch, width), m)
-        out_shape = (
-            (n_pairs,)
-            if self.num_classes <= 2
-            else (n_pairs, self.num_classes)
-        )
-        out = np.zeros(out_shape, np.float32)
         pending = []
         for st in range(0, r, rows_per_batch):
             chunk = {
@@ -216,11 +246,32 @@ class CrossEncoder:
                 jnp.asarray(chunk["positions"], jnp.int32),
                 jnp.asarray(chunk["type_ids"], jnp.int32),
             )
-            pending.append((ow, scores))   # async; sync once below
+            pending.append((ow, scores))   # async; drain later
+        return pending
+
+    def _collect_packed(self, pending, out: np.ndarray, base: int = 0):
+        """Drain in-flight packed scores into ``out`` (pair-slot order);
+        ``base`` offsets owner indices (wave-pipelined callers score pair
+        slices)."""
         for ow, scores in pending:
             sh = np.asarray(scores)
             sel = ow >= 0
-            out[ow[sel]] = sh[sel]
+            out[base + ow[sel]] = sh[sel]
+
+    def _predict_packed_layout(
+        self, packed, n_pairs: int, width: int,
+        rows_per_batch: int = 512, max_segments: int = 0,
+    ) -> np.ndarray:
+        pending = self._dispatch_packed_layout(
+            packed, width, rows_per_batch, max_segments
+        )
+        out_shape = (
+            (n_pairs,)
+            if self.num_classes <= 2
+            else (n_pairs, self.num_classes)
+        )
+        out = np.zeros(out_shape, np.float32)
+        self._collect_packed(pending, out)
         return out
 
     def to_int8(self) -> "CrossEncoder":
@@ -265,10 +316,21 @@ class CrossEncoder:
             or (packed == "auto" and self.pooling == "cls"
                 and len(pairs) > 8)
         ):
-            ids, mask, tts = self.tokenizer.encode_pair_batch(
-                a, b, max_len=max_len
-            )
-            lens = mask.sum(axis=1)
+            fast = hasattr(self.tokenizer, "encode_bodies")
+            if fast:
+                # array fast path: tokenize each side once in the all-C
+                # batch call; pair lengths come from body lens (final
+                # packed length = min(la+lb, budget) + 3 after
+                # longest-first truncation). The padded encode_pair_batch
+                # this replaces was 88% of composed rerank wall time.
+                ba, la = self.tokenizer.encode_bodies(a, max_len - 3)
+                bb, lb = self.tokenizer.encode_bodies(b, max_len - 3)
+                lens = np.minimum(la + lb, max_len - 3) + 3
+            else:
+                ids, mask, tts = self.tokenizer.encode_pair_batch(
+                    a, b, max_len=max_len
+                )
+                lens = mask.sum(axis=1)
             width = pick_bucket(int(lens.max()), BUCKETS)
             # bucketed cost mirrors the loop below: per in-order chunk of
             # batch_size, rows pad to the chunk's longest bucket
@@ -281,6 +343,19 @@ class CrossEncoder:
                 packed is True
                 or bucket_tokens >= self.PACK_AUTO_RATIO * est_rows * width
             ):
+                if fast:
+                    from ..data.packing import pack_pair_arrays
+
+                    layout = pack_pair_arrays(
+                        ba, la, bb, lb, width,
+                        cls_id=self.tokenizer.cls_id,
+                        sep_id=self.tokenizer.sep_id,
+                        pad_id=self.tokenizer.pad_id,
+                        max_len=min(max_len, width),
+                    )
+                    return self._predict_packed_layout(
+                        layout, len(pairs), width
+                    )
                 rows, types = _strip_pair_rows(ids, mask, tts)
                 return self._predict_packed_rows(
                     rows, types, len(pairs), width

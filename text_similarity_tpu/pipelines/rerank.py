@@ -43,10 +43,59 @@ class RankingPipeline:
                 owners.append((qi, cid, doc))
         if not flat_pairs:
             return [[] for _ in queries]
-        scores = self.cross_encoder.predict(
-            flat_pairs, batch_size=self.batch_size
-        )
+        ce = self.cross_encoder
+        tok = getattr(ce, "tokenizer", None)
+        if (
+            hasattr(tok, "encode_bodies") and ce.pooling == "cls"
+            and ce.num_classes <= 2 and len(flat_pairs) > 2048
+        ):
+            # wave-pipelined packed scoring: host tokenize+pack of wave
+            # i+1 overlaps the device scoring of wave i (dispatches are
+            # async; one drain at the end). Measured on HW: host legs
+            # were ~60% of the serial composed rerank time.
+            scores = self._predict_pipelined(flat_pairs)
+        else:
+            scores = ce.predict(flat_pairs, batch_size=self.batch_size)
         out: List[List[Tuple[str, float, int]]] = [[] for _ in queries]
+        return self._rank(out, owners, scores, queries, top_k)
+
+    def _predict_pipelined(
+        self, flat_pairs, wave: int = 8192, max_len: int = 256
+    ) -> np.ndarray:
+        """Wave-pipelined packed pair scoring: tokenize + pack wave i+1
+        on the host while the device scores wave i. All device dispatches
+        are async, so a single thread gets the overlap; scores drain once
+        at the end. Requires the array tokenizer path
+        (WordPieceTokenizer.encode_bodies → data.packing.pack_pair_arrays)."""
+        from ..data.batching import BUCKETS, pick_bucket
+        from ..data.packing import pack_pair_arrays
+
+        ce = self.cross_encoder
+        tok = ce.tokenizer
+        n = len(flat_pairs)
+        out = np.zeros(n, np.float32)
+        pending = []
+        for st in range(0, n, wave):
+            chunk = flat_pairs[st:st + wave]
+            a = [p[0] for p in chunk]
+            b = [p[1] for p in chunk]
+            ba, la = tok.encode_bodies(a, max_len - 3)
+            bb, lb = tok.encode_bodies(b, max_len - 3)
+            lens = np.minimum(la + lb, max_len - 3) + 3
+            width = pick_bucket(int(lens.max()), BUCKETS)
+            layout = pack_pair_arrays(
+                ba, la, bb, lb, width,
+                cls_id=tok.cls_id, sep_id=tok.sep_id, pad_id=tok.pad_id,
+                max_len=min(max_len, width),
+            )
+            pending.append(
+                (st, ce._dispatch_packed_layout(layout, width))
+            )
+        for st, p in pending:
+            ce._collect_packed(p, out, base=st)
+        return out
+
+    def _rank(self, out, owners, scores, queries, top_k):
         for (qi, cid, doc), sc in zip(owners, scores):
             out[qi].append((doc, float(sc), cid))
         for row in out:
