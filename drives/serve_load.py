@@ -98,7 +98,17 @@ def post(conn_host, port, path, payload):
 def load_phase(name, port, path, queries, batch, n_threads, k,
                duration, extra=None):
     """n_threads clients send `batch`-query requests for `duration`
-    seconds; returns aggregate q/s + client-side p50/p95 per request."""
+    seconds; returns aggregate q/s + client-side p50/p95 per request.
+    An untimed warm round absorbs any remaining remote compiles for this
+    phase's request shape (a production daemon pays these at startup)."""
+    warm_sizes = sorted({
+        b for b in (1, 2, 4, 8, 16, 32, batch) if b <= max(batch, 32)
+    })
+    for w, wb in enumerate(warm_sizes):
+        payload = {"queries": list(queries[w * wb:(w + 1) * wb]), "k": k}
+        if extra:
+            payload.update(extra)
+        post("127.0.0.1", port, path, payload)
     stop = time.monotonic() + duration
     lat, counts = [], [0]
     lock = threading.Lock()

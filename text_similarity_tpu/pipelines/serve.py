@@ -91,11 +91,20 @@ class _MicroBatcher:
                 ):
                     batch.append(self._queue.popleft())
             all_q = [q for b in batch for q in b["q"]]
+            # quantize the aggregate to a power of two: every distinct
+            # query count otherwise compiles fresh device shapes down the
+            # encode path (through a remote relay that is seconds per
+            # shape, measured in drives/serve_load.py phase A) — pad with
+            # a repeat of the first query and drop the tail results
+            n_real = len(all_q)
+            n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+            all_q = all_q + [all_q[0]] * (n_pad - n_real)
             try:
                 with self.lock:
                     results = self.pipeline(
                         all_q, max_num_results=first["k"]
                     )
+                results = results[:n_real]
                 off = 0
                 for b in batch:
                     b["res"] = results[off:off + len(b["q"])]
@@ -252,8 +261,16 @@ class SearchServer:
                             self.path, time.monotonic() - t0, ok
                         )
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
-        self.httpd.daemon_threads = True
+        class _Server(ThreadingHTTPServer):
+            # http.server's default listen backlog is 5: any burst of >5
+            # concurrent connects gets RST at the kernel before a handler
+            # thread ever runs (measured: 32-client load test dropped
+            # connections, drives/serve_load.py). Device work is the
+            # bottleneck, not accept — queue deep.
+            request_queue_size = 128
+            daemon_threads = True
+
+        self.httpd = _Server((host, port), Handler)
 
     # -- request handlers (called under self.lock) -------------------------
 
