@@ -116,7 +116,7 @@ def drop_table(params, arch, batches, precision, timing=False):
     return rows
 
 
-def cmd_train(steps, b=32, s=64):
+def cmd_train(steps, b=16, s=64):
     jax.config.update("jax_platforms", "cpu")
     from text_similarity_tpu.core.cache import setup_compile_cache
 
@@ -209,7 +209,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--sweep", action="store_true")
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=200)
     args = ap.parse_args()
     if args.train:
         cmd_train(args.steps)

@@ -197,16 +197,25 @@ def main():
 
     queries = texts[: min(len(texts), 65536)]
     dur = 3.0 if SMOKE else DURATION
+    phases = os.environ.get("TS_SERVE_PHASES", "ABCD")
 
-    load_phase("A_search_b1_microbatch", port, "/search", queries,
-               batch=1, n_threads=32, k=10, duration=dur)
-    load_phase("B_search_b16", port, "/search", queries,
-               batch=16, n_threads=8, k=10, duration=dur)
-    load_phase("C_search_b256", port, "/search", queries,
-               batch=256, n_threads=4, k=10, duration=dur)
-    load_phase("D_rerank_b256_k100", port, "/rerank", queries,
-               batch=256, n_threads=2, k=10,
-               duration=dur * (1 if SMOKE else 3))
+    if "A" in phases:
+        load_phase("A_search_b1_microbatch", port, "/search", queries,
+                   batch=1, n_threads=32, k=10, duration=dur)
+    if "B" in phases:
+        load_phase("B_search_b16", port, "/search", queries,
+                   batch=16, n_threads=8, k=10, duration=dur)
+    if "C" in phases:
+        load_phase("C_search_b256", port, "/search", queries,
+                   batch=256, n_threads=4, k=10, duration=dur)
+    if "D" in phases:
+        load_phase("D_rerank_b256_k100", port, "/rerank", queries,
+                   batch=256, n_threads=2, k=10,
+                   duration=dur * (1 if SMOKE else 3))
+    if "E" in phases:  # single-client rerank: in-call rate, no lock queue
+        load_phase("E_rerank_b256_1client", port, "/rerank", queries,
+                   batch=256, n_threads=1, k=10,
+                   duration=dur * (1 if SMOKE else 3))
 
     conn = HTTPConnection("127.0.0.1", port)
     conn.request("GET", "/metrics")
