@@ -513,9 +513,12 @@ def test_search_server_micro_batching(encoder):
         for i in range(6):
             assert results[i][0]["document"] == CORPUS[i], (i, results[i])
         # and the 6 requests coalesced: the gated first call plus at most
-        # one batch carrying everyone who queued behind it
+        # one batch carrying everyone who queued behind it. Aggregates are
+        # pow2-quantized (repeat-padded) so serving shapes stay bounded —
+        # counts are powers of two covering >= the 6 real queries
         assert len(calls) <= 2, calls
-        assert sum(calls) == 6, calls
+        assert all(c & (c - 1) == 0 for c in calls), calls
+        assert sum(calls) >= 6, calls
     finally:
         server.shutdown()
 
