@@ -204,6 +204,12 @@ class IVFIndex:
             data_padded.shape[0] - num_base_clusters // group
         )
         self.config = config
+        # Host mirror of the flat ids slab, maintained by add()/remove():
+        # without it every add() pays a full ids readback through the
+        # relay + a fresh free-slot scan, which is why small-batch churn
+        # measured 2.8x slower than one big batch (drives/churn.py).
+        # None = not fetched yet; add() populates it lazily.
+        self._ids_host: Optional[np.ndarray] = None
         # Sentinel layout (derived from shape, so persistence is free):
         # stored rows carry one extra trailing column — +2 for live rows,
         # 0 for pad/removed slots. Queries append a 1, so every live
@@ -617,8 +623,15 @@ class IVFIndex:
             assign_clusters_topk(rows, self.centroids, topk=topk)
         ).T
 
-        # per-TRUE-cluster view (grouped storage keeps flat slot order)
-        ids_h = np.asarray(jax.device_get(self.ids_padded)).reshape(-1, mc)
+        # per-TRUE-cluster view (grouped storage keeps flat slot order).
+        # The host mirror makes repeated small adds cheap: only the FIRST
+        # add() (or the first after load) pays the full ids readback.
+        if (self._ids_host is None
+                or self._ids_host.size != self.ids_padded.size):
+            self._ids_host = np.array(
+                jax.device_get(self.ids_padded), np.int32
+            ).reshape(-1)
+        ids_h = self._ids_host.reshape(-1, mc)
         # free slots per base cluster — actual holes, NOT a live count:
         # after remove() the live count no longer equals the next free
         # offset and rank-based placement would overwrite live rows
@@ -676,6 +689,9 @@ class IVFIndex:
                 ).reshape(new_slabs, g * mc)
             c_tot += extra
             self.num_overflow = new_slabs - c // g
+            self._ids_host = np.concatenate(
+                [self._ids_host, np.full(pad_rows, -1, np.int32)]
+            )
 
         slot_dev = jnp.asarray(slot, jnp.int32)
         if self.scales_padded is not None:
@@ -698,6 +714,7 @@ class IVFIndex:
             jnp.asarray(new_ids)
         )
         self.ids_padded = ids_flat.reshape(c_tot // g, g * mc)
+        self._ids_host[slot] = new_ids
         if self.rescore_data is not None:
             need = start_id + n
             have = self.rescore_data.shape[0]
@@ -732,6 +749,14 @@ class IVFIndex:
         new_flat = jnp.where(hit, -1, ids_flat)
         n_removed = int(jnp.sum(hit.astype(jnp.int32)))
         self.ids_padded = new_flat.reshape(self.ids_padded.shape)
+        if self._ids_host is not None:
+            # keep the add() free-slot mirror consistent (same sorted-
+            # membership test, host-side)
+            hpos = np.clip(
+                np.searchsorted(rem, self._ids_host), 0, rem.size - 1
+            )
+            hhit = (rem[hpos] == self._ids_host) & (self._ids_host >= 0)
+            self._ids_host[hhit] = -1
         if self.sentinel:
             # the idless scan masks by the sentinel column, not ids:
             # zero it so removed rows score 0 (< any live row's [1, 3])
