@@ -998,6 +998,12 @@ def cmd_serve(args):
         reranker = RankingPipeline(
             pipe, ce, retrieve_k=args.retrieve_k, batch_size=512
         )
+        if args.warmup and len(pipe.corpus) > 0:
+            # precompile the retrieve(k)+CE scoring shapes before traffic
+            # (first /rerank otherwise pays them; drives/serve_load.py
+            # measured multi-second compile stalls on a cold daemon)
+            reranker([pipe.corpus[0]], top_k=min(10, args.retrieve_k))
+            print("warmed rerank path", flush=True)
     server = SearchServer(
         pipe, host=args.host, port=args.port,
         batch_window=args.batch_window_ms / 1000.0,
